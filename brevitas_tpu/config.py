@@ -1,0 +1,27 @@
+"""Global configuration flags.
+
+TPU-native analogue of reference ``src/brevitas/config.py:13-25``. The
+reference reads env flags at import (BREVITAS_JIT, BREVITAS_NATIVE_STE_BACKEND,
+BREVITAS_IGNORE_MISSING_KEYS, ...). Under JAX everything is jit-compiled by
+default, so the JIT flags become kernel-backend selection knobs instead.
+"""
+
+import os
+
+
+def env_to_bool(name: str, default: bool = False) -> bool:
+    return os.environ.get(name, str(default).upper()).upper() in ("1", "TRUE", "ON")
+
+
+# Use Pallas fused kernels for fake-quant where available (vs pure jnp).
+USE_PALLAS_KERNELS: bool = env_to_bool("BREVITAS_TPU_PALLAS", True)
+
+# Use the native C++ XLA custom-call backend for STE ops where registered.
+NATIVE_STE_BACKEND: bool = env_to_bool("BREVITAS_TPU_NATIVE_STE", False)
+
+# Tolerate missing quantizer state when restoring from a float checkpoint
+# (reference: BREVITAS_IGNORE_MISSING_KEYS, src/brevitas/config.py:17).
+IGNORE_MISSING_KEYS: bool = env_to_bool("BREVITAS_TPU_IGNORE_MISSING_KEYS", False)
+
+# Verbose logging of quantizer resolution.
+VERBOSE: bool = env_to_bool("BREVITAS_TPU_VERBOSE", False)
