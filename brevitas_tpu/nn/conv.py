@@ -1,0 +1,135 @@
+"""Quant convolutions (reference ``src/brevitas/nn/quant_conv.py:25,116``,
+``quant_convtranspose.py:25,114``).
+
+TPU-native layout: NHWC activations, HWIO kernels (output channel last) —
+per-channel scales are (1,...,1,O) and broadcast against kernel and output.
+Padding 'SAME'/'VALID' or explicit, matching the reference's standard + "same"
+padding support.
+"""
+
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from brevitas_tpu.quant.config import QuantConfig
+from brevitas_tpu.quant.presets import Int8WeightPerTensorFloat
+from brevitas_tpu.nn.quant_layer import QuantWBIOL
+
+Array = jnp.ndarray
+
+
+def _tuple(v, n):
+    return tuple(v) if isinstance(v, (tuple, list)) else (v,) * n
+
+
+class _QuantConvNd(QuantWBIOL):
+    """Shared N-d conv machinery."""
+
+    def __init__(
+        self,
+        spatial_dims: int,
+        in_channels: int,
+        out_channels: int,
+        kernel_size,
+        *,
+        stride=1,
+        padding="SAME",
+        dilation=1,
+        groups: int = 1,
+        use_bias: bool = True,
+        weight_quant: Optional[QuantConfig] = Int8WeightPerTensorFloat,
+        bias_quant: Optional[QuantConfig] = None,
+        input_quant: Optional[QuantConfig] = None,
+        output_quant: Optional[QuantConfig] = None,
+        return_quant_tensor: bool = False,
+        transposed: bool = False,
+        dtype=jnp.float32,
+        rngs: nnx.Rngs,
+    ):
+        self.spatial_dims = spatial_dims
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.kernel_size = _tuple(kernel_size, spatial_dims)
+        self.stride = _tuple(stride, spatial_dims)
+        self.dilation = _tuple(dilation, spatial_dims)
+        self.groups = groups
+        self.transposed = transposed
+        if isinstance(padding, str):
+            self.padding = padding.upper()
+        else:
+            p = _tuple(padding, spatial_dims)
+            self.padding = tuple((int(x), int(x)) for x in p)
+        # HWIO kernel; for grouped conv I = in_channels // groups
+        kshape = (*self.kernel_size, in_channels // groups, out_channels)
+        fan_in = int(np.prod(self.kernel_size)) * in_channels // groups
+        k = 1.0 / fan_in ** 0.5
+        w = nnx.initializers.uniform(2 * k)(rngs.params(), kshape, dtype) - k
+        self.weight = nnx.Param(w)
+        self.bias = nnx.Param(jnp.zeros((out_channels,), dtype)) if use_bias else None
+        # per-channel scaling groups over the OUTPUT channel: last axis of HWIO
+        self.init_quant(weight_quant, bias_quant, input_quant, output_quant,
+                        weight_init=w, channel_axis=len(kshape) - 1,
+                        bias_init=jnp.zeros((out_channels,), dtype),
+                        return_quant_tensor=return_quant_tensor)
+        self._fan_in = fan_in
+
+    @property
+    def reduce_size(self) -> int:
+        return self._fan_in
+
+    def _dn(self):
+        # N + spatial + C, kernel spatial + IO
+        spatial = "".join("DHW"[-self.spatial_dims:])
+        lhs = "N" + spatial + "C"
+        rhs = spatial + "IO"
+        return jax.lax.conv_dimension_numbers(
+            (1,) * (self.spatial_dims + 2), (1,) * (self.spatial_dims + 2),
+            (lhs, rhs, lhs))
+
+    def __call__(self, x):
+        def inner(xv, wv, bv):
+            if self.transposed:
+                y = jax.lax.conv_transpose(
+                    xv, wv, strides=self.stride, padding=self.padding,
+                    rhs_dilation=self.dilation, dimension_numbers=self._dn(),
+                    preferred_element_type=jnp.float32)
+            else:
+                y = jax.lax.conv_general_dilated(
+                    xv, wv, window_strides=self.stride, padding=self.padding,
+                    rhs_dilation=self.dilation, dimension_numbers=self._dn(),
+                    feature_group_count=self.groups,
+                    preferred_element_type=jnp.float32)
+            if bv is not None:
+                y = y + bv
+            return y.astype(xv.dtype)
+
+        return self.forward_quant(x, inner)
+
+
+class QuantConv1d(_QuantConvNd):
+    """(N, L, C) inputs."""
+
+    def __init__(self, in_channels, out_channels, kernel_size, **kw):
+        super().__init__(1, in_channels, out_channels, kernel_size, **kw)
+
+
+class QuantConv2d(_QuantConvNd):
+    """(N, H, W, C) inputs."""
+
+    def __init__(self, in_channels, out_channels, kernel_size, **kw):
+        super().__init__(2, in_channels, out_channels, kernel_size, **kw)
+
+
+class QuantConvTranspose1d(_QuantConvNd):
+    def __init__(self, in_channels, out_channels, kernel_size, **kw):
+        super().__init__(1, in_channels, out_channels, kernel_size,
+                         transposed=True, **kw)
+
+
+class QuantConvTranspose2d(_QuantConvNd):
+    def __init__(self, in_channels, out_channels, kernel_size, **kw):
+        super().__init__(2, in_channels, out_channels, kernel_size,
+                         transposed=True, **kw)

@@ -1,0 +1,147 @@
+"""Quant layer base: the weight/bias/input/output (WBIOL) forward law.
+
+Re-design of reference ``src/brevitas/nn/quant_layer.py:256-365``
+(QuantWeightBiasInputOutputLayer.forward_impl):
+
+    input_quant(x) → weight_quant(w) → accumulator scale/bit-width
+    propagation → bias_quant(b | acc_scale, acc_bit_width) → inner forward
+    (matmul/conv) → output_quant → pack.
+
+Layout note (TPU-native): activations are channels-last (N..C) and kernels
+are ...IO with the output channel LAST, so per-channel weight scales of shape
+(1, ..., O) broadcast against both the kernel and the layer output without
+the reshape gymnastics the reference needs for NCHW
+(``compute_channel_view_shape``, nn/utils.py).
+"""
+
+import math
+from typing import Optional, Union
+
+import jax.numpy as jnp
+from flax import nnx
+
+from brevitas_tpu.ops import ceil_ste, max_int
+from brevitas_tpu.quant.config import QuantConfig, QuantType
+from brevitas_tpu.quant.presets import NoneActQuant, NoneBiasQuant, NoneWeightQuant
+from brevitas_tpu.quant.quantizers import (
+    ActQuantizer,
+    BiasQuantizer,
+    ParameterQuantizer,
+    TrainToggleMixin,
+)
+from brevitas_tpu.quant_tensor import QuantTensor, pack, unpack
+
+Array = jnp.ndarray
+TensorOrQuant = Union[Array, QuantTensor]
+
+
+def _cfg(q: Optional[QuantConfig], default: QuantConfig) -> QuantConfig:
+    return default if q is None else q
+
+
+class QuantLayerMixin(TrainToggleMixin):
+    """Input/output packing shared by all quant layers (reference
+    QuantLayerMixin, nn/mixin/base.py:80)."""
+
+    return_quant_tensor: bool = False
+
+    def unpack_input(self, x: TensorOrQuant) -> QuantTensor:
+        return pack(x)
+
+    def pack_output(self, qt: QuantTensor) -> TensorOrQuant:
+        if self.return_quant_tensor:
+            return qt
+        return qt.value
+
+
+class QuantWBIOL(nnx.Module, QuantLayerMixin):
+    """Base for layers with quantized Weight, Bias, Input, Output."""
+
+    def init_quant(
+        self,
+        weight_quant: Optional[QuantConfig],
+        bias_quant: Optional[QuantConfig],
+        input_quant: Optional[QuantConfig],
+        output_quant: Optional[QuantConfig],
+        weight_init: Array,
+        channel_axis: int,
+        bias_init: Optional[Array],
+        return_quant_tensor: bool,
+    ) -> None:
+        self.weight_quant = ParameterQuantizer(
+            _cfg(weight_quant, NoneWeightQuant), weight_init, channel_axis)
+        self.input_quant = ActQuantizer(_cfg(input_quant, NoneActQuant))
+        self.output_quant = ActQuantizer(_cfg(output_quant, NoneActQuant))
+        self.bias_quant = BiasQuantizer(
+            _cfg(bias_quant, NoneBiasQuant), bias_init)
+        self.return_quant_tensor = return_quant_tensor
+
+    # -- accumulator bit-width law (reference nn/quant_linear.py:68,
+    #    nn/quant_conv.py:107) --
+    def max_acc_bit_width(self, input_bit_width: Array,
+                          weight_bit_width: Array) -> Array:
+        max_input = max_int(False, False, input_bit_width)
+        w_cfg = self.weight_quant.cfg
+        max_weight = max_int(False, w_cfg.narrow_range, weight_bit_width)
+        max_output = max_input * max_weight * self.reduce_size
+        return ceil_ste(jnp.log2(max_output))
+
+    @property
+    def reduce_size(self) -> int:
+        """Number of elements summed per output element (fan-in)."""
+        raise NotImplementedError
+
+    def quant_weight(self) -> QuantTensor:
+        return self.weight_quant(self.weight[...])
+
+    def forward_quant(self, inp: TensorOrQuant, inner_forward) -> TensorOrQuant:
+        """The WBIOL law (reference forward_impl, nn/quant_layer.py:302-365)."""
+        qt_in = self.unpack_input(inp)
+        if self.input_quant.quant_type != QuantType.NONE:
+            quant_input = self.input_quant(qt_in.value)
+        else:
+            quant_input = qt_in  # pass an already-quantized input through
+        quant_weight = self.quant_weight()
+
+        output_scale = None
+        output_bit_width = None
+        output_zero_point = None
+        output_signed = None
+        if quant_input.bit_width is not None and quant_weight.bit_width is not None:
+            output_bit_width = self.max_acc_bit_width(
+                quant_input.bit_width, quant_weight.bit_width)
+        if quant_input.scale is not None and quant_weight.scale is not None:
+            # channels-last: per-channel weight scale (1,..,O) broadcasts
+            # directly against the (N,..,O) output
+            w_scale = quant_weight.scale
+            if w_scale.ndim > 1:
+                w_scale = w_scale.reshape(-1)  # (O,) broadcast over trailing dim
+            output_scale = w_scale * quant_input.scale
+        if quant_input.signed is not None:
+            output_signed = quant_input.signed or quant_weight.signed
+
+        bias = getattr(self, "bias", None)
+        if bias is not None:
+            quant_bias = self.bias_quant(
+                bias[...], input_scale=output_scale,
+                input_bit_width=output_bit_width)
+            out = inner_forward(quant_input.value, quant_weight.value,
+                                quant_bias.value)
+            if quant_bias.bit_width is not None and output_bit_width is not None:
+                output_bit_width = jnp.maximum(quant_bias.bit_width,
+                                               output_bit_width) + 1
+        else:
+            out = inner_forward(quant_input.value, quant_weight.value, None)
+
+        if (self.return_quant_tensor
+                and self.output_quant.quant_type == QuantType.NONE
+                and quant_input.zero_point is not None
+                and output_zero_point is None):
+            output_zero_point = quant_input.zero_point
+
+        qt_out = QuantTensor(out, output_scale, output_zero_point,
+                             output_bit_width, signed=output_signed,
+                             training=self.input_quant.training)
+        if self.output_quant.quant_type != QuantType.NONE:
+            qt_out = self.output_quant(qt_out.value)
+        return self.pack_output(qt_out)

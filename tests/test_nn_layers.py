@@ -1,0 +1,245 @@
+"""Quant layer tests (mirror of reference tests/brevitas/nn/test_wbiol.py,
+test_act.py, test_linear.py, test_conv2d.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+import brevitas_tpu.nn as qnn
+from brevitas_tpu.quant import presets
+from brevitas_tpu.quant_tensor import QuantTensor
+
+
+def rngs():
+    return nnx.Rngs(0)
+
+
+def test_quant_linear_default(rng):
+    layer = qnn.QuantLinear(16, 8, rngs=rngs())
+    x = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    y = layer(x)
+    assert y.shape == (4, 8)
+    # default: weight quant enabled, fp output
+    assert isinstance(y, jnp.ndarray)
+    # weight fake-quant error bounded
+    qw = layer.quant_weight()
+    assert qw.is_valid()
+
+
+def test_quant_linear_full_pipeline(rng):
+    layer = qnn.QuantLinear(
+        16, 8, rngs=rngs(),
+        weight_quant=presets.Int8WeightPerChannelFloat,
+        input_quant=presets.Int8ActPerTensorFloat.let(collect_stats_steps=1),
+        bias_quant=presets.Int16Bias,
+        output_quant=presets.Int8ActPerTensorFloat.let(collect_stats_steps=1),
+        return_quant_tensor=True)
+    x = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    y = layer(x)
+    assert isinstance(y, QuantTensor)
+    assert y.scale is not None and float(y.bit_width) == 8.0
+
+
+def test_quant_linear_acc_bit_width(rng):
+    layer = qnn.QuantLinear(
+        16, 8, rngs=rngs(), use_bias=False,
+        weight_quant=presets.Int8WeightPerTensorFloat,
+        input_quant=presets.Int8ActPerTensorFloat.let(collect_stats_steps=1),
+        return_quant_tensor=True)
+    x = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    y = layer(x)
+    # acc bits = ceil(log2(255 * 255 * 16)) = ceil(log2(1040400)) = 20
+    assert float(y.bit_width) == 20.0
+    # output scale = input_scale * weight_scale
+    np.testing.assert_allclose(
+        np.asarray(y.scale).reshape(-1),
+        (np.asarray(layer.quant_weight().scale)
+         * np.asarray(layer.input_quant(x).scale)).reshape(-1), rtol=1e-5)
+
+
+def test_quant_linear_grad_and_jit(rng):
+    layer = qnn.QuantLinear(16, 8, rngs=rngs(),
+                            weight_quant=presets.Int8WeightPerTensorFloat)
+    x = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+
+    @nnx.jit
+    def loss_grad(model, x):
+        return nnx.grad(lambda m, v: jnp.sum(m(v) ** 2))(model, x)
+
+    g = loss_grad(layer, x)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert any(bool(jnp.any(l != 0)) for l in leaves)
+
+
+@pytest.mark.parametrize("cls,kw", [
+    (qnn.QuantConv1d, {}),
+    (qnn.QuantConv2d, {}),
+    (qnn.QuantConvTranspose2d, {}),
+])
+def test_quant_conv_shapes(cls, kw, rng):
+    layer = cls(8, 16, 3, rngs=rngs(), padding="SAME", **kw)
+    if cls is qnn.QuantConv1d:
+        x = jnp.asarray(rng.standard_normal((2, 12, 8)).astype(np.float32))
+        y = layer(x)
+        assert y.shape == (2, 12, 16)
+    else:
+        x = jnp.asarray(rng.standard_normal((2, 12, 12, 8)).astype(np.float32))
+        y = layer(x)
+        assert y.shape == (2, 12, 12, 16)
+
+
+def test_quant_conv2d_per_channel_scale_broadcast(rng):
+    layer = qnn.QuantConv2d(
+        4, 8, 3, rngs=rngs(), padding="SAME",
+        weight_quant=presets.Int8WeightPerChannelFloat,
+        input_quant=presets.Int8ActPerTensorFloat.let(collect_stats_steps=1),
+        use_bias=False, return_quant_tensor=True)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 4)).astype(np.float32))
+    y = layer(x)
+    assert y.scale.shape == (8,)  # broadcasts against NHWC output
+    qw = layer.quant_weight()
+    assert qw.scale.shape == (1, 1, 1, 8)
+
+
+def test_quant_conv_grouped(rng):
+    layer = qnn.QuantConv2d(8, 8, 3, rngs=rngs(), groups=8, padding="SAME")
+    x = jnp.asarray(rng.standard_normal((2, 6, 6, 8)).astype(np.float32))
+    assert layer(x).shape == (2, 6, 6, 8)
+    assert layer.reduce_size == 9  # depthwise fan-in = k*k*1
+
+
+def test_quant_relu(rng):
+    act = qnn.QuantReLU(
+        act_quant=presets.Uint8ActPerTensorFloat.let(collect_stats_steps=1),
+        return_quant_tensor=True)
+    x = jnp.asarray(rng.standard_normal(256).astype(np.float32))
+    y = act(x)
+    assert float(jnp.min(y.value)) >= 0.0
+    assert not y.signed
+    assert y.is_valid()
+
+
+def test_quant_hardtanh_learned_clip(rng):
+    act = qnn.QuantHardTanh(max_val=2.0, return_quant_tensor=True)
+    x = jnp.asarray(rng.standard_normal(256).astype(np.float32) * 5)
+    y = act(x)
+    assert float(jnp.max(jnp.abs(y.value))) <= 2.0 + 1e-5
+    assert y.is_valid()
+
+
+def test_quant_identity_binary():
+    act = qnn.QuantIdentity(
+        act_quant=presets.SignedBinaryActPerTensorConst.let(scaling_const=1.0),
+        return_quant_tensor=True)
+    x = jnp.asarray([0.3, -0.7, 2.0])
+    y = act(x)
+    np.testing.assert_allclose(y.value, [1.0, -1.0, 1.0])
+
+
+def test_quant_avg_pool_trunc(rng):
+    pool = qnn.QuantAvgPool2d(2, return_quant_tensor=True)
+    ints = jnp.asarray(rng.integers(-100, 100, (1, 4, 4, 3)).astype(np.float32))
+    qt = QuantTensor(ints * 0.1, jnp.asarray(0.1), jnp.asarray(0.0),
+                     jnp.asarray(8.0), signed=True)
+    y = pool(qt)
+    assert y.value.shape == (1, 2, 2, 3)
+    assert float(y.bit_width) == 8.0
+    # trunc semantics: output ints = floor(sum_ints / 2^(acc_bw - 8)) / k
+    assert y.is_valid()
+
+
+def test_quant_max_pool_passthrough(rng):
+    pool = qnn.QuantMaxPool2d(2, return_quant_tensor=True)
+    qt = QuantTensor(jnp.asarray(rng.standard_normal((1, 4, 4, 2)).astype(np.float32)),
+                     jnp.asarray(0.1), jnp.asarray(0.0), jnp.asarray(8.0),
+                     signed=True)
+    y = pool(qt)
+    np.testing.assert_allclose(y.scale, 0.1)
+    assert y.value.shape == (1, 2, 2, 2)
+
+
+def test_quant_eltwise_add_aligns_scales(rng):
+    add = qnn.QuantEltwiseAdd(
+        input_quant=presets.Int8ActPerTensorFloat.let(collect_stats_steps=1),
+        return_quant_tensor=True)
+    a = jnp.asarray(rng.standard_normal(64).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(64).astype(np.float32))
+    y = add(a, b)
+    assert y.scale is not None
+    np.testing.assert_allclose(y.value, np.asarray(add.input_quant(a).value)
+                               + np.asarray(add.input_quant(b).value), rtol=1e-5)
+
+
+def test_quant_cat(rng):
+    qcat = qnn.QuantCat(
+        input_quant=presets.Int8ActPerTensorFloat.let(collect_stats_steps=1),
+        return_quant_tensor=True)
+    a = jnp.asarray(rng.standard_normal((2, 4)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((2, 4)).astype(np.float32))
+    y = qcat([a, b], axis=1)
+    assert y.value.shape == (2, 8)
+    assert y.scale is not None
+
+
+def test_quant_embedding(rng):
+    emb = qnn.QuantEmbedding(10, 8, rngs=rngs(), return_quant_tensor=True)
+    ids = jnp.asarray([0, 3, 7])
+    y = emb(ids)
+    assert y.value.shape == (3, 8)
+    assert y.is_valid()
+
+
+def test_quant_scale_bias(rng):
+    sb = qnn.QuantScaleBias(8)
+    x = jnp.asarray(rng.standard_normal((4, 8)).astype(np.float32))
+    y = sb(x)
+    np.testing.assert_allclose(y, x, rtol=1e-6)  # weight=1, bias=0 quantized
+
+
+def test_merge_bn(rng):
+    layer = qnn.QuantLinear(4, 4, rngs=rngs(), weight_quant=None)
+    x = jnp.asarray(rng.standard_normal((2, 4)).astype(np.float32))
+    scale = jnp.asarray([1.0, 2.0, 0.5, 1.5])
+    bias = jnp.asarray([0.1, -0.2, 0.0, 0.3])
+    mean = jnp.asarray([0.5, 0.1, -0.3, 0.0])
+    var = jnp.asarray([1.0, 0.5, 2.0, 1.0])
+    y_unfused = (layer(x) - mean) / jnp.sqrt(var + 1e-5) * scale + bias
+    qnn.merge_bn(layer, scale, bias, mean, var)
+    y_fused = layer(x)
+    np.testing.assert_allclose(y_fused, y_unfused, rtol=1e-4, atol=1e-5)
+
+
+def test_hadamard_classifier(rng):
+    cls = qnn.HadamardClassifier(16, 10)
+    x = jnp.asarray(rng.standard_normal((2, 16)).astype(np.float32))
+    y = cls(x)
+    assert y.shape == (2, 10)
+
+
+def test_upsampling(rng):
+    up = qnn.QuantUpsamplingNearest2d(2, return_quant_tensor=True)
+    qt = QuantTensor(jnp.ones((1, 2, 2, 3)), jnp.asarray(0.1),
+                     jnp.asarray(0.0), jnp.asarray(8.0), signed=True)
+    y = up(qt)
+    assert y.value.shape == (1, 4, 4, 3)
+    np.testing.assert_allclose(y.scale, 0.1)
+
+
+def test_dropout(rng):
+    drop = qnn.QuantDropout(0.5, rngs=rngs())
+    x = jnp.ones((100,))
+    y = drop(x)
+    assert bool(jnp.any(y == 0))
+    drop.eval_mode()
+    np.testing.assert_array_equal(drop(x), x)
+
+
+def test_train_eval_propagates_to_quantizers(rng):
+    layer = qnn.QuantLinear(
+        8, 4, rngs=rngs(),
+        input_quant=presets.Int8ActPerTensorFloat.let(collect_stats_steps=1))
+    layer.eval_mode()
+    assert layer.input_quant.training is False
+    assert layer.input_quant.scaling.training is False
