@@ -1,0 +1,72 @@
+"""Benchmark: LFC INT4 QAT train-step throughput (images/sec/chip).
+
+The BASELINE headline config: "LFC 3-layer MLP on MNIST, per-tensor INT4
+weights/acts". The reference publishes no throughput numbers (BASELINE.md),
+so ``vs_baseline`` reports QAT throughput relative to the SAME model's
+unquantized FP step on the same chip — i.e. how close fake-quant training is
+to free. 1.0 means quantization costs nothing.
+
+Prints exactly one JSON line.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import nnx
+
+from brevitas_tpu.examples.bnn_pynq import sqr_hinge_loss
+from brevitas_tpu.models import lfc
+
+BATCH = 1024
+WARMUP = 5
+STEPS = 30
+
+
+def build(bits):
+    model = lfc(weight_bit_width=bits, act_bit_width=bits, in_bit_width=bits,
+                dropout=0.0, rngs=nnx.Rngs(0))
+    optimizer = nnx.Optimizer(model, optax.adam(1e-3), wrt=nnx.Param)
+
+    @nnx.jit
+    def step(model, optimizer, x, y):
+        loss, grads = nnx.value_and_grad(
+            lambda m: sqr_hinge_loss(m(x), y))(model)
+        optimizer.update(model, grads)
+        model.clip_weights(-1.0, 1.0)
+        return loss
+
+    return model, optimizer, step
+
+
+def time_steps(bits):
+    model, optimizer, step = build(bits)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((BATCH, 28, 28, 1), dtype=np.float32))
+    y = jnp.asarray(rng.integers(0, 10, BATCH).astype(np.int32))
+    for _ in range(WARMUP):
+        step(model, optimizer, x, y).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        loss = step(model, optimizer, x, y)
+    loss.block_until_ready()
+    dt = time.perf_counter() - t0
+    return BATCH * STEPS / dt
+
+
+def main():
+    qat_ips = time_steps(4)
+    fp_ips = time_steps(None)
+    print(json.dumps({
+        "metric": "lfc_int4_qat_images_per_sec_per_chip",
+        "value": round(qat_ips, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(qat_ips / fp_ips, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,17 @@
+"""Mesh/sharding utilities — the parallelism layer the reference lacks
+(SURVEY §2.4: no DP/TP/PP anywhere in Brevitas).
+
+Design: one `jax.sharding.Mesh` with named axes (data, model); parameters get
+PartitionSpecs by path-pattern rules; XLA GSPMD inserts the collectives.
+Per-channel quantizer scales shard with their channel axis; per-tensor scales
+and counters replicate; activation-stats reductions become global via the
+mesh-axis hooks already built into brevitas_tpu.core.stats.
+"""
+
+from brevitas_tpu.parallel.mesh import (
+    make_mesh,
+    replicate_model,
+    shard_model_by_rules,
+)
+
+__all__ = ["make_mesh", "shard_model_by_rules", "replicate_model"]

@@ -1,0 +1,70 @@
+"""Mesh construction and rule-based model sharding."""
+
+import re
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from flax import nnx
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(axis_sizes: Sequence[Tuple[str, int]],
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a mesh from (axis_name, size) pairs, e.g.
+    [("data", 4), ("model", 2)]."""
+    devices = list(devices if devices is not None else jax.devices())
+    names = [n for n, _ in axis_sizes]
+    sizes = [s for _, s in axis_sizes]
+    total = int(np.prod(sizes))
+    assert total <= len(devices), f"mesh needs {total} devices, have {len(devices)}"
+    dev_array = np.array(devices[:total]).reshape(sizes)
+    return Mesh(dev_array, names)
+
+
+def shard_model_by_rules(model: nnx.Module, mesh: Mesh,
+                         rules: Sequence[Tuple[str, P]]) -> None:
+    """Apply NamedShardings to model state in place.
+
+    ``rules`` is an ordered list of (path_regex, PartitionSpec); the first
+    match wins; unmatched leaves replicate. Paths look like
+    ``hidden/0/weight`` (nnx state paths joined with '/')."""
+
+    state = nnx.state(model)
+    flat = nnx.to_flat_state(state)
+    new_flat = []
+    for path, leaf in flat:
+        path_str = "/".join(str(p) for p in path)
+        spec = P()
+        for pattern, candidate in rules:
+            if re.search(pattern, path_str):
+                spec = candidate
+                break
+        value = leaf.get_value() if hasattr(leaf, "get_value") else leaf
+        if hasattr(value, "shape"):
+            # drop specs that don't fit the rank or don't divide the dims
+            spec = _fit_spec(spec, value.shape, mesh)
+            value = jax.device_put(value, NamedSharding(mesh, spec))
+        if hasattr(leaf, "replace"):
+            leaf = leaf.replace(value)
+        new_flat.append((path, leaf))
+    nnx.update(model, nnx.from_flat_state(new_flat))
+
+
+def _fit_spec(spec: P, shape, mesh: Mesh) -> P:
+    if len(spec) > len(shape):
+        return P()
+    out = []
+    for i, axis in enumerate(spec):
+        if axis is None:
+            out.append(None)
+            continue
+        size = mesh.shape[axis] if isinstance(axis, str) else int(
+            np.prod([mesh.shape[a] for a in axis]))
+        out.append(axis if shape[i] % size == 0 else None)
+    return P(*out)
+
+
+def replicate_model(model: nnx.Module, mesh: Mesh) -> None:
+    """Fully replicate all model state across the mesh."""
+    shard_model_by_rules(model, mesh, [])

@@ -1,0 +1,87 @@
+"""End-to-end: QAT training converges; entry points compile and run
+(mirror of reference tests/brevitas_end_to_end + examples smoke tests)."""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from flax import nnx
+
+
+def test_tfc_trains_on_digits(tmp_path):
+    from brevitas_tpu.examples.bnn_pynq import main
+
+    acc = main(["--network", "TFC_1W1A", "--dataset", "digits",
+                "--epochs", "2", "--batch-size", "64", "--log-every", "1000",
+                "--ckpt-dir", str(tmp_path)])
+    assert acc > 0.3  # far above 10% chance after 2 epochs on tiny data
+
+
+def test_tfc_int4_loss_decreases(rng):
+    from brevitas_tpu.examples.bnn_pynq import sqr_hinge_loss
+    from brevitas_tpu.models import tfc
+
+    model = tfc(4, 4, 4, dropout=0.0, rngs=nnx.Rngs(0))
+    optimizer = nnx.Optimizer(model, optax.adam(0.01), wrt=nnx.Param)
+    x = jnp.asarray(rng.random((64, 28, 28, 1)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 10, 64).astype(np.int32))
+
+    @nnx.jit
+    def step(model, optimizer, x, y):
+        loss, grads = nnx.value_and_grad(
+            lambda m: sqr_hinge_loss(m(x), y))(model)
+        optimizer.update(model, grads)
+        model.clip_weights(-1.0, 1.0)
+        return loss
+
+    losses = [float(step(model, optimizer, x, y)) for _ in range(20)]
+    assert losses[-1] < losses[0] * 0.7, losses
+
+
+def test_cnv_forward_shapes():
+    from brevitas_tpu.models import cnv
+
+    model = cnv(1, 1, 8, rngs=nnx.Rngs(0))
+    model.eval_mode()
+    x = jnp.zeros((2, 32, 32, 3))
+    y = model(x)
+    assert y.shape == (2, 10)
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    from brevitas_tpu.examples.bnn_pynq import load_checkpoint, save_checkpoint
+    from brevitas_tpu.models import tfc
+
+    model = tfc(4, 4, 4, dropout=0.0, rngs=nnx.Rngs(0))
+    optimizer = nnx.Optimizer(model, optax.adam(0.01), wrt=nnx.Param)
+    x = jnp.asarray(rng.random((8, 28, 28, 1)).astype(np.float32))
+    model.eval_mode()
+    y_before = model(x)
+    path = str(tmp_path / "ckpt.pkl")
+    save_checkpoint(path, model, optimizer, epoch=3, best_acc=0.5)
+
+    model2 = tfc(4, 4, 4, dropout=0.0, rngs=nnx.Rngs(42))
+    optimizer2 = nnx.Optimizer(model2, optax.adam(0.01), wrt=nnx.Param)
+    epoch, best = load_checkpoint(path, model2, optimizer2)
+    model2.eval_mode()
+    np.testing.assert_allclose(model2(x), y_before, rtol=1e-6)
+    assert epoch == 3 and best == 0.5
+
+
+def test_graft_entry_compiles():
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (128, 10)
+
+
+def test_dryrun_multichip_8dev():
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
