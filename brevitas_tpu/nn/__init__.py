@@ -35,11 +35,14 @@ from brevitas_tpu.nn.pool import (
     QuantMaxPool2d,
 )
 from brevitas_tpu.nn.quant_layer import QuantLayerMixin, QuantWBIOL
+from brevitas_tpu.nn.rnn import QuantLSTM, QuantRNN
 
 __all__ = [
     "QuantWBIOL",
     "QuantLayerMixin",
     "QuantLinear",
+    "QuantLSTM",
+    "QuantRNN",
     "QuantConv1d",
     "QuantConv2d",
     "QuantConvTranspose1d",

@@ -142,6 +142,14 @@ class QuantWBIOL(nnx.Module, QuantLayerMixin):
         qt_out = QuantTensor(out, output_scale, output_zero_point,
                              output_bit_width, signed=output_signed,
                              training=self.input_quant.training)
+        # pre-output-quant hook: the seam used by PTQ bias correction
+        # (reference registers forward-pre-hooks on output_quant,
+        # graph/calibrate.py:204-277)
+        hook = getattr(self, "_pre_output_hook", None)
+        if hook is not None:
+            maybe = hook(self, qt_out)
+            if maybe is not None:
+                qt_out = maybe
         if self.output_quant.quant_type != QuantType.NONE:
             qt_out = self.output_quant(qt_out.value)
         return self.pack_output(qt_out)
