@@ -1,0 +1,34 @@
+"""Export flows (reference layer 6, ``src/brevitas/export/__init__.py:17-47``).
+
+- :func:`export_onnx_qcdq` — QuantizeLinear/Clip/DequantizeLinear graphs
+  (reference StdQCDQONNXManager).
+- :func:`export_qonnx` — custom ``Quant``-op graphs for the FINN flow
+  (reference QONNXManager; FINN consumes QONNX, so this is also the
+  ``export_finn_onnx`` entry point).
+- :func:`export_native` — integer serving artifact for this runtime
+  (capability the reference delegates to external backends).
+
+No onnx package exists in this image: serialization is the in-repo protobuf
+emitter (:mod:`brevitas_tpu.export.onnx_proto`) and validation uses the
+in-repo interpreter (:mod:`brevitas_tpu.export.interp`) as the oracle.
+"""
+
+from brevitas_tpu.export.interp import run_onnx
+from brevitas_tpu.export.native import export_native, load_native
+from brevitas_tpu.export.qcdq import export_model
+
+
+def export_onnx_qcdq(model, example_input, path=None, **kw) -> bytes:
+    return export_model(model, example_input, path, style="qcdq", **kw)
+
+
+def export_qonnx(model, example_input, path=None, **kw) -> bytes:
+    return export_model(model, example_input, path, style="qonnx", **kw)
+
+
+# FINN consumes the QONNX dialect (reference FINNManager runs a QONNX→FINN
+# conversion downstream, export/onnx/finn/manager.py:75)
+export_finn_onnx = export_qonnx
+
+__all__ = ["export_onnx_qcdq", "export_qonnx", "export_finn_onnx",
+           "export_native", "load_native", "run_onnx", "export_model"]

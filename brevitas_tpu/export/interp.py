@@ -1,0 +1,143 @@
+"""Numpy interpreter for exported ONNX graphs — the test oracle.
+
+The reference validates exports against onnxruntime
+(``tests/brevitas_ort/common.py:37``); this image has no onnxruntime, so this
+module executes the exact op subset the exporter emits, with ONNX-faithful
+semantics (QuantizeLinear round-half-to-even + saturate, per-axis support,
+NCHW convolutions). Also interprets the QONNX custom ``Quant`` op.
+"""
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from brevitas_tpu.export.onnx_proto import OnnxGraph, parse_model
+
+
+def _quantize_linear(x, scale, zp, axis: Optional[int]):
+    if scale.ndim == 1 and axis is not None:
+        shape = [1] * x.ndim
+        shape[axis] = scale.size
+        scale = scale.reshape(shape)
+        zp_r = zp.reshape(shape)
+    else:
+        zp_r = zp
+    q = np.round(x / scale).astype(np.int64) + zp_r.astype(np.int64)
+    info = np.iinfo(zp.dtype)
+    return np.clip(q, info.min, info.max).astype(zp.dtype)
+
+
+def _dequantize_linear(q, scale, zp, axis: Optional[int]):
+    if scale.ndim == 1 and axis is not None:
+        shape = [1] * q.ndim
+        shape[axis] = scale.size
+        scale = scale.reshape(shape)
+        zp = zp.reshape(shape)
+    return (q.astype(np.float32) - zp.astype(np.float32)) * scale
+
+
+def _conv(x, w, b, strides, pads, dilations, group):
+    n, cin, *ish = x.shape
+    cout, cin_g, *ksh = w.shape
+    spatial = len(ksh)
+    pad_width = [(0, 0), (0, 0)] + [
+        (pads[i], pads[i + spatial]) for i in range(spatial)]
+    xp = np.pad(x, pad_width)
+    osh = [
+        (xp.shape[2 + i] - dilations[i] * (ksh[i] - 1) - 1) // strides[i] + 1
+        for i in range(spatial)]
+    out = np.zeros((n, cout, *osh), np.float32)
+    cig = cin // group
+    cog = cout // group
+    for g in range(group):
+        xs = xp[:, g * cig:(g + 1) * cig]
+        ws = w[g * cog:(g + 1) * cog]
+        # im2col-free direct loop over kernel positions (test-scale sizes)
+        for idx in np.ndindex(*ksh):
+            slices = tuple(
+                slice(idx[i] * dilations[i],
+                      idx[i] * dilations[i] + strides[i] * osh[i], strides[i])
+                for i in range(spatial))
+            patch = xs[(slice(None), slice(None)) + slices]
+            out[:, g * cog:(g + 1) * cog] += np.einsum(
+                "nc...,oc->no...", patch, ws[(slice(None), slice(None)) + idx])
+    if b is not None:
+        out += b.reshape(1, -1, *([1] * spatial))
+    return out
+
+
+def _pool(x, kernel, strides, op):
+    n, c, h, w = x.shape
+    kh, kw = kernel
+    sh, sw = strides
+    oh = (h - kh) // sh + 1
+    ow = (w - kw) // sw + 1
+    out = np.empty((n, c, oh, ow), x.dtype)
+    for i in range(oh):
+        for j in range(ow):
+            win = x[:, :, i * sh:i * sh + kh, j * sw:j * sw + kw]
+            out[:, :, i, j] = win.max((2, 3)) if op == "max" else win.mean((2, 3))
+    return out
+
+
+def run_onnx(model_bytes: bytes, inputs: Dict[str, np.ndarray]) -> List[np.ndarray]:
+    g: OnnxGraph = parse_model(model_bytes)
+    env: Dict[str, np.ndarray] = dict(g.initializers)
+    env.update({k: np.asarray(v) for k, v in inputs.items()})
+
+    for n in g.nodes:
+        i = [env[name] for name in n.inputs if name]
+        a = n.attrs
+        if n.op_type == "QuantizeLinear":
+            out = _quantize_linear(i[0], i[1], i[2], a.get("axis"))
+        elif n.op_type == "DequantizeLinear":
+            out = _dequantize_linear(i[0], i[1], i[2], a.get("axis"))
+        elif n.op_type == "Clip":
+            out = np.clip(i[0], i[1], i[2])
+        elif n.op_type == "BipolarQuant":  # QONNX custom op: sign(x)*scale
+            x, scale = i
+            out = np.where(x >= 0, 1.0, -1.0).astype(np.float32) * scale
+        elif n.op_type == "Quant":  # QONNX custom op
+            x, scale, zp, bw = i
+            signed, narrow = bool(a["signed"]), bool(a["narrow"])
+            bw = float(np.asarray(bw).reshape(-1)[0])
+            lo = (-(2 ** (bw - 1)) + (1 if narrow else 0)) if signed else 0.0
+            hi = (2 ** (bw - 1) - 1) if signed else (2**bw - 1 - (1 if narrow else 0))
+            q = np.clip(np.round(x / scale + zp), lo, hi)
+            out = ((q - zp) * scale).astype(np.float32)
+        elif n.op_type == "MatMul":
+            out = i[0] @ i[1]
+        elif n.op_type == "Add":
+            out = i[0] + i[1]
+        elif n.op_type == "Mul":
+            out = i[0] * i[1]
+        elif n.op_type == "Relu":
+            out = np.maximum(i[0], 0)
+        elif n.op_type == "Sigmoid":
+            out = 1.0 / (1.0 + np.exp(-i[0]))
+        elif n.op_type == "Tanh":
+            out = np.tanh(i[0])
+        elif n.op_type == "Conv":
+            out = _conv(i[0], i[1], i[2] if len(i) > 2 else None,
+                        a.get("strides", [1, 1]), a.get("pads", [0, 0, 0, 0]),
+                        a.get("dilations", [1, 1]), a.get("group", 1))
+        elif n.op_type == "MaxPool":
+            out = _pool(i[0], a["kernel_shape"], a["strides"], "max")
+        elif n.op_type == "AveragePool":
+            out = _pool(i[0], a["kernel_shape"], a["strides"], "avg")
+        elif n.op_type == "BatchNormalization":
+            x, scale, bias, mean, var = i
+            shape = [1, -1] + [1] * (x.ndim - 2)
+            out = ((x - mean.reshape(shape))
+                   / np.sqrt(var.reshape(shape) + a.get("epsilon", 1e-5))
+                   * scale.reshape(shape) + bias.reshape(shape))
+        elif n.op_type == "Flatten":
+            out = i[0].reshape(i[0].shape[0], -1)
+        elif n.op_type == "Identity":
+            out = i[0]
+        else:
+            raise NotImplementedError(f"op {n.op_type}")
+        env[n.outputs[0]] = np.asarray(out, dtype=np.float32) \
+            if n.op_type not in ("QuantizeLinear", "Clip") else out
+
+    return [env[name] for name in g.outputs]

@@ -1,0 +1,343 @@
+"""QCDQ / QONNX ONNX export.
+
+Reference: ``src/brevitas/export/onnx/standard/qcdq/`` (StdQCDQONNXManager —
+QuantizeLinear/Clip/DequantizeLinear chains) and ``export/onnx/qonnx/``
+(QONNXManager — custom Quant ops for FINN). The reference drives
+torch.onnx.export through proxy-level handlers; here a handler registry maps
+our NNX quant layers directly to ONNX nodes and the model is serialized with
+the in-repo protobuf emitter (no onnx dependency exists in this image).
+
+Graph extraction contract: the exporter walks layers in **declared order**
+(models expose ``export_layers()`` for anything beyond plain sequential
+attribute order). Glue ops between layers are declared as lightweight specs:
+("flatten",), ("affine", mul, add).
+"""
+
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from brevitas_tpu.export import onnx_proto as P
+from brevitas_tpu.nn import (
+    QuantAvgPool2d,
+    QuantConv1d,
+    QuantConv2d,
+    QuantIdentity,
+    QuantLinear,
+    QuantMaxPool2d,
+    QuantReLU,
+    QuantSigmoid,
+    QuantTanh,
+)
+from brevitas_tpu.nn.activation import QuantHardTanh, QuantNonLinearActLayer
+from brevitas_tpu.nn.misc import QuantDropout
+from brevitas_tpu.models.common import TensorNorm
+from brevitas_tpu.quant.config import QuantType
+from brevitas_tpu.quant_tensor import QuantTensor
+
+
+class GraphBuilder:
+    def __init__(self, style: str):
+        assert style in ("qcdq", "qonnx")
+        self.style = style
+        self.nodes: List[bytes] = []
+        self.initializers: List[bytes] = []
+        self.counter = 0
+
+    def fresh(self, hint: str) -> str:
+        self.counter += 1
+        return f"{hint}_{self.counter}"
+
+    def init_tensor(self, hint: str, array: np.ndarray) -> str:
+        name = self.fresh(hint)
+        self.initializers.append(P.tensor_proto(name, np.asarray(array)))
+        return name
+
+    def add(self, op: str, inputs, outputs=None, domain: str = "", **attrs) -> str:
+        out = outputs or [self.fresh(op.lower())]
+        self.nodes.append(P.node(op, inputs, out, domain=domain, **attrs))
+        return out[0]
+
+    # -- quantize-dequantize emission ---------------------------------------
+
+    def qdq(self, x_name: str, qt: QuantTensor, hint: str,
+            narrow: bool = False,
+            quant_type: QuantType = QuantType.INT) -> str:
+        """Emit the fake-quant of ``qt``'s metadata applied to ``x_name``."""
+        if quant_type == QuantType.BINARY:
+            # QONNX BipolarQuant (reference BrevitasBinaryQuantFn,
+            # export/onnx/qonnx/function.py:18): y = sign(x) * scale
+            if self.style != "qonnx":
+                raise ValueError("binary quantizers export via QONNX only "
+                                 "(reference FINN flow)")
+            s_name = self.init_tensor(hint + "_scale",
+                                      np.asarray(qt.scale, np.float32))
+            return self.add("BipolarQuant", [x_name, s_name],
+                            domain="onnx.brevitas")
+        scale = np.asarray(qt.scale, np.float32).reshape(-1)
+        if scale.size == 1:
+            scale = scale.reshape(())
+        zp_f = np.asarray(qt.zero_point, np.float32)
+        bw = float(np.asarray(qt.bit_width))
+        signed = bool(qt.signed)
+        if self.style == "qonnx":
+            s_name = self.init_tensor(hint + "_scale", scale)
+            z_name = self.init_tensor(hint + "_zp", zp_f.reshape(scale.shape)
+                                      if zp_f.size == scale.size else zp_f)
+            b_name = self.init_tensor(hint + "_bw", np.asarray(bw, np.float32))
+            return self.add(
+                "Quant", [x_name, s_name, z_name, b_name],
+                domain="onnx.brevitas", narrow=int(narrow), signed=int(signed),
+                rounding_mode="ROUND")
+        # QCDQ: QuantizeLinear → (Clip) → DequantizeLinear, int8/uint8 storage
+        assert bw <= 8.0, "QCDQ export targets <=8-bit quantizers"
+        np_dt = np.int8 if signed else np.uint8
+        s_name = self.init_tensor(hint + "_scale", scale)
+        zp = np.asarray(np.round(zp_f), np_dt)
+        zp = zp.reshape(scale.shape) if zp.size == scale.size else \
+            np.broadcast_to(zp, scale.shape).astype(np_dt)
+        z_name = self.init_tensor(hint + "_zp", zp)
+        axis_kw = {}
+        if scale.ndim == 1:
+            axis_kw["axis"] = 1  # per-output-channel (weights transposed below)
+        q = self.add("QuantizeLinear", [x_name, s_name, z_name], **axis_kw)
+        if bw < 8.0 or narrow:
+            lo = float(-(2 ** (bw - 1)) + (1 if narrow else 0)) if signed \
+                else 0.0
+            hi = float(2 ** (bw - 1) - 1) if signed else float(2**bw - 1 - (1 if narrow else 0))
+            lo_n = self.init_tensor(hint + "_lo", np.asarray(lo, np_dt))
+            hi_n = self.init_tensor(hint + "_hi", np.asarray(hi, np_dt))
+            q = self.add("Clip", [q, lo_n, hi_n])
+        return self.add("DequantizeLinear", [q, s_name, z_name], **axis_kw)
+
+
+Handler = Callable[[GraphBuilder, object, str], str]
+_HANDLERS: Dict[type, Handler] = {}
+
+
+def handles(*classes):
+    def deco(fn):
+        for c in classes:
+            _HANDLERS[c] = fn
+        return fn
+
+    return deco
+
+
+@handles(QuantLinear)
+def _export_linear(b: GraphBuilder, layer: QuantLinear, x: str) -> str:
+    if layer.input_quant.quant_type != QuantType.NONE:
+        probe = jnp.zeros((1, layer.in_features), jnp.float32)
+        x = b.qdq(x, layer.input_quant(probe), "act",
+                  narrow=layer.input_quant.cfg.narrow_range,
+                  quant_type=layer.input_quant.quant_type)
+    qw = layer.quant_weight()
+    w = np.asarray(qw.value)  # (in, out); binary/ternary already materialized
+    w_name = b.init_tensor("weight", w)
+    if qw.scale is not None and layer.weight_quant.quant_type == QuantType.INT:
+        scale = np.asarray(qw.scale)
+        qt = QuantTensor(qw.value, jnp.asarray(scale.reshape(-1) if scale.size > 1
+                                               else scale.reshape(())),
+                         qw.zero_point, qw.bit_width, qw.signed)
+        w_name = b.qdq(w_name, qt, "weight",
+                       narrow=layer.weight_quant.cfg.narrow_range)
+    y = b.add("MatMul", [x, w_name])
+    if layer.bias is not None:
+        b_name = b.init_tensor("bias", np.asarray(layer.bias[...], np.float32))
+        y = b.add("Add", [y, b_name])
+    if layer.output_quant.quant_type != QuantType.NONE:
+        probe = jnp.zeros((1, layer.out_features), jnp.float32)
+        y = b.qdq(y, layer.output_quant(probe), "act",
+                  narrow=layer.output_quant.cfg.narrow_range,
+                  quant_type=layer.output_quant.quant_type)
+    return y
+
+
+@handles(QuantConv1d, QuantConv2d)
+def _export_conv(b: GraphBuilder, layer, x: str) -> str:
+    if layer.input_quant.quant_type != QuantType.NONE:
+        probe = jnp.zeros((1,) + (8,) * layer.spatial_dims + (layer.in_channels,))
+        x = b.qdq(x, layer.input_quant(probe), "act",
+                  narrow=layer.input_quant.cfg.narrow_range,
+                  quant_type=layer.input_quant.quant_type)
+    # NHWC → ONNX is NCHW; exporter wraps the graph with transposes at the
+    # boundary, so here x is NCHW. Kernel HWIO → OIHW.
+    qw = layer.quant_weight()
+    spatial = layer.spatial_dims
+    perm = (spatial + 1, spatial) + tuple(range(spatial))  # HWIO→OIHW
+    w = np.transpose(np.asarray(qw.value), perm)
+    w_name = b.init_tensor("weight", w)
+    if qw.scale is not None and layer.weight_quant.quant_type == QuantType.INT:
+        scale = np.asarray(qw.scale).reshape(-1)
+        qt = QuantTensor(qw.value,
+                         jnp.asarray(scale if scale.size > 1 else scale.reshape(())),
+                         qw.zero_point, qw.bit_width, qw.signed)
+        # per-channel axis for OIHW weights is 0
+        saved = b.qdq
+        w_name = _qdq_axis0(b, w_name, qt, layer.weight_quant.cfg.narrow_range)
+    pads = _onnx_pads(layer)
+    y = b.add("Conv", [x, w_name] + (
+        [b.init_tensor("bias", np.asarray(layer.bias[...], np.float32))]
+        if layer.bias is not None else []),
+        kernel_shape=list(layer.kernel_size), strides=list(layer.stride),
+        dilations=list(layer.dilation), group=layer.groups, pads=pads)
+    if layer.output_quant.quant_type != QuantType.NONE:
+        probe = jnp.zeros((1,) + (8,) * spatial + (layer.out_channels,))
+        y = b.qdq(y, layer.output_quant(probe), "act",
+                  narrow=layer.output_quant.cfg.narrow_range,
+                  quant_type=layer.output_quant.quant_type)
+    return y
+
+
+def _qdq_axis0(b: GraphBuilder, x_name: str, qt: QuantTensor, narrow: bool) -> str:
+    """Weight QDQ with per-channel axis 0 (OIHW kernels)."""
+    scale = np.asarray(qt.scale, np.float32).reshape(-1)
+    per_channel = scale.size > 1
+    if b.style == "qonnx":
+        return b.qdq(x_name, qt, "weight", narrow)
+    np_dt = np.int8 if qt.signed else np.uint8
+    s_name = b.init_tensor("w_scale", scale if per_channel else scale.reshape(()))
+    zp = np.zeros_like(scale, np_dt) if per_channel else np.asarray(0, np_dt)
+    z_name = b.init_tensor("w_zp", zp)
+    kw = {"axis": 0} if per_channel else {}
+    q = b.add("QuantizeLinear", [x_name, s_name, z_name], **kw)
+    bw = float(np.asarray(qt.bit_width))
+    if bw < 8.0 or narrow:
+        lo = -(2 ** (bw - 1)) + (1 if narrow else 0)
+        hi = 2 ** (bw - 1) - 1
+        q = b.add("Clip", [q, b.init_tensor("lo", np.asarray(lo, np_dt)),
+                           b.init_tensor("hi", np.asarray(hi, np_dt))])
+    return b.add("DequantizeLinear", [q, s_name, z_name], **kw)
+
+
+def _onnx_pads(layer) -> List[int]:
+    if isinstance(layer.padding, str):
+        if layer.padding == "VALID":
+            return [0] * (2 * layer.spatial_dims)
+        raise ValueError("SAME padding export requires static input; use "
+                         "explicit padding for export")
+    starts = [p[0] for p in layer.padding]
+    ends = [p[1] for p in layer.padding]
+    return starts + ends
+
+
+@handles(QuantReLU, QuantSigmoid, QuantTanh, QuantIdentity, QuantHardTanh)
+def _export_act(b: GraphBuilder, layer: QuantNonLinearActLayer, x: str) -> str:
+    import jax
+
+    fn_map = {QuantReLU: "Relu", QuantSigmoid: "Sigmoid", QuantTanh: "Tanh"}
+    op = fn_map.get(type(layer))
+    if op:
+        x = b.add(op, [x])
+    if layer.act_quant.quant_type != QuantType.NONE:
+        probe = jnp.zeros((1, 8), jnp.float32)
+        x = b.qdq(x, layer.act_quant(probe), "act",
+                  narrow=layer.act_quant.cfg.narrow_range,
+                  quant_type=layer.act_quant.quant_type)
+    return x
+
+
+@handles(QuantMaxPool2d)
+def _export_maxpool(b: GraphBuilder, layer, x: str) -> str:
+    return b.add("MaxPool", [x], kernel_shape=list(layer.kernel_size),
+                 strides=list(layer.stride))
+
+
+@handles(QuantAvgPool2d)
+def _export_avgpool(b: GraphBuilder, layer, x: str) -> str:
+    return b.add("AveragePool", [x], kernel_shape=list(layer.kernel_size),
+                 strides=list(layer.stride))
+
+
+@handles(nnx.BatchNorm)
+def _export_bn(b: GraphBuilder, layer: nnx.BatchNorm, x: str) -> str:
+    n = layer.num_features
+    scale = np.asarray(layer.scale[...]) if layer.scale is not None else np.ones(n)
+    bias = np.asarray(layer.bias[...]) if layer.bias is not None else np.zeros(n)
+    return b.add(
+        "BatchNormalization",
+        [x, b.init_tensor("bn_scale", scale.astype(np.float32)),
+         b.init_tensor("bn_bias", bias.astype(np.float32)),
+         b.init_tensor("bn_mean", np.asarray(layer.mean[...], np.float32)),
+         b.init_tensor("bn_var", np.asarray(layer.var[...], np.float32))],
+        epsilon=float(layer.epsilon))
+
+
+@handles(TensorNorm)
+def _export_tensor_norm(b: GraphBuilder, layer: TensorNorm, x: str) -> str:
+    inv_std = 1.0 / np.sqrt(float(layer.running_var[...]) + layer.eps)
+    mul = float(layer.weight[...]) * inv_std
+    add = float(layer.bias[...]) - float(layer.running_mean[...]) * mul
+    y = b.add("Mul", [x, b.init_tensor("tn_mul", np.asarray(mul, np.float32))])
+    return b.add("Add", [y, b.init_tensor("tn_add", np.asarray(add, np.float32))])
+
+
+@handles(QuantDropout)
+def _export_dropout(b: GraphBuilder, layer, x: str) -> str:
+    return x  # eval-mode export
+
+
+def export_model(model, example_input, path: Optional[str] = None,
+                 style: str = "qcdq", input_name: str = "input",
+                 output_name: str = "output") -> bytes:
+    """Export a sequential quant model. The model must expose
+    ``export_layers()`` → list of layers / glue specs; spatial layers assume
+    the ONNX side runs NCHW (the caller feeds NCHW inputs to the ONNX graph
+    while the NNX model itself stays NHWC)."""
+    from brevitas_tpu.utils import eval_mode
+
+    eval_mode(model)
+    if hasattr(model, "export_layers"):
+        items = model.export_layers()
+    else:
+        items = [m for _, m in _sequential_children(model)]
+    b = GraphBuilder(style)
+    x = input_name
+    for item in items:
+        if isinstance(item, tuple):  # glue spec
+            if item[0] == "flatten":
+                x = b.add("Flatten", [x], axis=1)
+            elif item[0] == "affine":
+                _, mul, add = item
+                x = b.add("Mul", [x, b.init_tensor("mul", np.asarray(mul, np.float32))])
+                x = b.add("Add", [x, b.init_tensor("add", np.asarray(add, np.float32))])
+            else:
+                raise ValueError(f"unknown glue spec {item}")
+            continue
+        handler = None
+        for cls in type(item).__mro__:
+            if cls in _HANDLERS:
+                handler = _HANDLERS[cls]
+                break
+        if handler is None:
+            raise ValueError(f"no export handler for {type(item).__name__}")
+        x = handler(b, item, x)
+    b.nodes.append(P.node("Identity", [x], [output_name]))
+
+    shape = _onnx_input_shape(np.asarray(example_input).shape, items)
+    inputs = [P.value_info(input_name, P.FLOAT, shape)]
+    outputs = [P.value_info(output_name, P.FLOAT, [None])]
+    graph_msg = P.graph(b.nodes, "brevitas_tpu_export", inputs, outputs,
+                        b.initializers)
+    custom = [("onnx.brevitas", 1)] if style == "qonnx" else []
+    blob = P.model(graph_msg, opset=13, custom_domains=custom)
+    if path:
+        with open(path, "wb") as f:
+            f.write(blob)
+    return blob
+
+
+def _onnx_input_shape(nhwc_shape, items) -> List[Optional[int]]:
+    """NHWC example input → NCHW ONNX input shape (batch dim dynamic)."""
+    if len(nhwc_shape) == 4:
+        n, h, w, c = nhwc_shape
+        return [None, c, h, w]
+    return [None] + list(nhwc_shape[1:])
+
+
+def _sequential_children(model):
+    from brevitas_tpu.graph.base import _children
+
+    return list(_children(model))

@@ -1,0 +1,38 @@
+"""Graph transforms: PTQ calibration/bias-correction, equalization,
+auto-quantization, BN fusion, integer-serving conversion
+(reference layer 5, ``src/brevitas/graph/``)."""
+
+from brevitas_tpu.graph.base import (
+    find_modules,
+    get_module,
+    named_modules,
+    replace_modules_by_class,
+    set_module,
+)
+from brevitas_tpu.graph.calibrate import (
+    bias_correction_mode,
+    calibration_mode,
+    clip_float_weights,
+    finalize_collect_stats,
+)
+from brevitas_tpu.graph.convert_int import (
+    Int8InferenceConv,
+    Int8InferenceLinear,
+    convert_integer_inference,
+)
+from brevitas_tpu.graph.equalize import (
+    cross_layer_equalization,
+    equalize,
+    sequential_regions,
+)
+from brevitas_tpu.graph.quantize import merge_batchnorms, quantize
+
+__all__ = [
+    "named_modules", "get_module", "set_module", "find_modules",
+    "replace_modules_by_class",
+    "calibration_mode", "bias_correction_mode", "finalize_collect_stats",
+    "clip_float_weights",
+    "equalize", "cross_layer_equalization", "sequential_regions",
+    "quantize", "merge_batchnorms",
+    "convert_integer_inference", "Int8InferenceLinear", "Int8InferenceConv",
+]

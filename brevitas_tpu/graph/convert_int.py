@@ -1,0 +1,122 @@
+"""QAT → integer-domain serving conversion.
+
+The capability Brevitas delegates to ONNX backends (export + onnxruntime,
+SURVEY §1 layer 6) done in-framework: freeze trained quantizer state, cache
+int8 weights + scales, and run true int8 MXU matmuls/convs with dequant in
+the epilogue (:mod:`brevitas_tpu.kernels.int_matmul`).
+
+Asymmetric inputs use the standard QGEMM identity: with x_q = x/s_x + zp_x,
+    y = s_x s_w ( x_q @ w_q - zp_x * colsum(w_q) )
+so the zp correction folds into the bias.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from brevitas_tpu.graph.base import named_modules, set_module
+from brevitas_tpu.kernels import int8_matmul
+from brevitas_tpu.nn.conv import _QuantConvNd
+from brevitas_tpu.nn.linear import QuantLinear
+from brevitas_tpu.quant.config import QuantType
+
+Array = jnp.ndarray
+
+
+def _freeze_act_quant(act_quantizer):
+    """Extract (scale, zero_point, bit_width) from a trained activation
+    quantizer — post-training these no longer depend on the input."""
+    act_quantizer.eval_mode()
+    probe = jnp.zeros((1, 1), jnp.float32)
+    qt = act_quantizer(probe)
+    return qt.scale, qt.zero_point, qt.bit_width
+
+
+class Int8InferenceLinear(nnx.Module):
+    """Serving twin of a trained QuantLinear: cached int8 kernel + fused
+    quantized GEMM."""
+
+    def __init__(self, qlinear: QuantLinear, act: Optional[str] = None):
+        qw = qlinear.quant_weight()
+        assert float(jnp.max(qw.bit_width)) <= 8.0, "int8 path needs bw<=8"
+        self.w_int = jax.lax.stop_gradient(qw.int())  # (in, out) int8
+        self.w_scale = jnp.asarray(qw.scale).reshape(-1)
+        if qlinear.input_quant.quant_type == QuantType.NONE:
+            raise ValueError(
+                "integer inference needs an input quantizer for the input scale")
+        x_scale, x_zp, _ = _freeze_act_quant(qlinear.input_quant)
+        self.x_scale = jnp.asarray(x_scale).reshape(())
+        self.x_zp = jnp.asarray(x_zp).reshape(())
+        self.x_signed = qlinear.input_quant.cfg.signed
+        bias = (qlinear.bias[...].astype(jnp.float32)
+                if qlinear.bias is not None else jnp.zeros((self.w_int.shape[1],)))
+        # fold the input-zero-point correction into the bias
+        colsum = jnp.sum(self.w_int.astype(jnp.int32), axis=0).astype(jnp.float32)
+        self.bias = bias - self.x_zp * colsum * self.x_scale * self.w_scale
+        self.act = act
+
+    def __call__(self, x: Array) -> Array:
+        lo, hi = (-128, 127) if self.x_signed else (0, 255)
+        x_int = jnp.clip(jnp.round(x / self.x_scale + self.x_zp), lo, hi)
+        x_int = x_int.astype(jnp.int8)
+        flat = x_int.reshape(-1, x_int.shape[-1])
+        y = int8_matmul(flat, self.w_int, self.x_scale, self.w_scale,
+                        self.bias, act=self.act)
+        return y.reshape(*x.shape[:-1], self.w_int.shape[1])
+
+
+class Int8InferenceConv(nnx.Module):
+    """Serving twin of a trained QuantConv: int8 XLA conv with int32
+    accumulation, dequant folded into the output epilogue."""
+
+    def __init__(self, qconv: _QuantConvNd):
+        qw = qconv.quant_weight()
+        assert float(jnp.max(qw.bit_width)) <= 8.0
+        self.w_int = jax.lax.stop_gradient(qw.int())  # HWIO int8
+        self.w_scale = jnp.asarray(qw.scale).reshape(-1)
+        x_scale, x_zp, _ = _freeze_act_quant(qconv.input_quant)
+        self.x_scale = jnp.asarray(x_scale).reshape(())
+        self.x_zp = jnp.asarray(x_zp).reshape(())
+        self.x_signed = qconv.input_quant.cfg.signed
+        self.stride = qconv.stride
+        self.padding = qconv.padding
+        self.dilation = qconv.dilation
+        self.groups = qconv.groups
+        self.dn = qconv._dn()
+        self.bias = (qconv.bias[...].astype(jnp.float32)
+                     if qconv.bias is not None else None)
+        if float(self.x_zp) != 0.0:
+            raise NotImplementedError(
+                "int8 conv path currently requires symmetric input quant")
+
+    def __call__(self, x: Array) -> Array:
+        lo, hi = (-128, 127) if self.x_signed else (0, 255)
+        x_int = jnp.clip(jnp.round(x / self.x_scale), lo, hi).astype(jnp.int8)
+        acc = jax.lax.conv_general_dilated(
+            x_int, self.w_int, window_strides=self.stride,
+            padding=self.padding, rhs_dilation=self.dilation,
+            dimension_numbers=self.dn, feature_group_count=self.groups,
+            preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * (self.x_scale * self.w_scale)
+        if self.bias is not None:
+            y = y + self.bias
+        return y
+
+
+def convert_integer_inference(model: nnx.Module) -> nnx.Module:
+    """Swap every eligible trained quant layer for its integer serving twin
+    in place. Layers without an input quantizer (no input scale available)
+    are left on the fake-quant path."""
+    for path, mod in list(named_modules(model)):
+        try:
+            if isinstance(mod, QuantLinear) \
+                    and mod.weight_quant.quant_type == QuantType.INT:
+                set_module(model, path, Int8InferenceLinear(mod))
+            elif isinstance(mod, _QuantConvNd) \
+                    and mod.weight_quant.quant_type == QuantType.INT:
+                set_module(model, path, Int8InferenceConv(mod))
+        except (ValueError, NotImplementedError, AssertionError):
+            continue
+    return model

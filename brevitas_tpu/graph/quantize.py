@@ -1,0 +1,101 @@
+"""Float → quant auto-quantization by module surgery.
+
+The analogue of the reference's FX-based flexml pipeline
+(``src/brevitas/graph/target/flexml.py:338-412``: wbiol handler swapping
+Conv/Linear for Quant versions, act handler, avgpool handler). NNX models are
+object trees, so the swap is direct module replacement with weight copy; run
+:func:`~brevitas_tpu.graph.calibrate.calibration_mode` +
+``bias_correction_mode`` afterwards for the full PTQ flow.
+"""
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import nnx
+
+from brevitas_tpu.graph.base import find_modules, named_modules, set_module
+from brevitas_tpu.nn import QuantConv1d, QuantConv2d, QuantLinear
+from brevitas_tpu.quant.config import QuantConfig
+from brevitas_tpu.quant.presets import (
+    Int8ActPerTensorFloat,
+    Int8WeightPerTensorFloat,
+    Int32Bias,
+)
+
+
+def quantize(
+    model: nnx.Module,
+    *,
+    weight_quant: QuantConfig = Int8WeightPerTensorFloat,
+    act_quant: Optional[QuantConfig] = Int8ActPerTensorFloat,
+    bias_quant: Optional[QuantConfig] = Int32Bias,
+    rngs: Optional[nnx.Rngs] = None,
+) -> nnx.Module:
+    """Replace nnx.Linear / nnx.Conv with Quant equivalents in place,
+    preserving trained weights; each quant layer gets an input act
+    quantizer (the flexml structure: activations quantize between layers,
+    and the bias quantizer receives input_scale * weight_scale)."""
+    rngs = rngs or nnx.Rngs(0)
+
+    for path, mod in list(named_modules(model)):
+        if isinstance(mod, nnx.Linear) and type(mod) is nnx.Linear:
+            kernel = mod.kernel[...]
+            new = QuantLinear(
+                kernel.shape[0], kernel.shape[1],
+                use_bias=mod.bias is not None,
+                weight_quant=weight_quant, bias_quant=bias_quant,
+                input_quant=act_quant, return_quant_tensor=False, rngs=rngs)
+            new.weight[...] = kernel
+            if mod.bias is not None:
+                new.bias[...] = mod.bias[...]
+            # rebuild the weight quantizer against the real weights so
+            # stats-initialized scaling sees them
+            from brevitas_tpu.quant.quantizers import ParameterQuantizer
+            new.weight_quant = ParameterQuantizer(weight_quant, kernel,
+                                                  channel_axis=1)
+            set_module(model, path, new)
+        elif isinstance(mod, nnx.Conv) and type(mod) is nnx.Conv:
+            kernel = mod.kernel[...]
+            spatial = kernel.ndim - 2
+            cls = QuantConv1d if spatial == 1 else QuantConv2d
+            in_ch = kernel.shape[-2] * mod.feature_group_count
+            new = cls(
+                in_ch, kernel.shape[-1], kernel.shape[:spatial],
+                stride=mod.strides, padding=mod.padding,
+                groups=mod.feature_group_count,
+                use_bias=mod.bias is not None,
+                weight_quant=weight_quant, bias_quant=bias_quant,
+                input_quant=act_quant, return_quant_tensor=False, rngs=rngs)
+            new.weight[...] = kernel
+            if mod.bias is not None:
+                new.bias[...] = mod.bias[...]
+            from brevitas_tpu.quant.quantizers import ParameterQuantizer
+            new.weight_quant = ParameterQuantizer(weight_quant, kernel,
+                                                  channel_axis=kernel.ndim - 1)
+            set_module(model, path, new)
+    return model
+
+
+def merge_batchnorms(model: nnx.Module, pairs) -> nnx.Module:
+    """Fold nnx.BatchNorm modules into preceding quant layers and neutralize
+    them (reference MergeBatchNorm, graph/fixed_point.py:89). ``pairs`` is a
+    list of (layer_path, bn_path)."""
+    from brevitas_tpu.graph.base import get_module
+    from brevitas_tpu.nn import merge_bn
+
+    for layer_path, bn_path in pairs:
+        layer = get_module(model, layer_path)
+        bn = get_module(model, bn_path)
+        merge_bn(layer,
+                 bn_scale=bn.scale[...] if bn.scale is not None else jnp.ones(bn.num_features),
+                 bn_bias=bn.bias[...] if bn.bias is not None else jnp.zeros(bn.num_features),
+                 bn_mean=bn.mean[...], bn_var=bn.var[...], eps=bn.epsilon)
+        # neutralize the BN in place
+        bn.mean[...] = jnp.zeros_like(bn.mean[...])
+        bn.var[...] = jnp.ones_like(bn.var[...])
+        if bn.scale is not None:
+            bn.scale[...] = jnp.ones_like(bn.scale[...])
+        if bn.bias is not None:
+            bn.bias[...] = jnp.zeros_like(bn.bias[...])
+        bn.use_running_average = True
+    return model

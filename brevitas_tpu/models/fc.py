@@ -92,6 +92,14 @@ class FC(nnx.Module, TrainToggleMixin):
         x = self.head(x)
         return self.norm(x)
 
+    def export_layers(self):
+        """Layer sequence for ONNX export (expects a pre-flattened
+        (N, in_features) graph input; dropout is eval-elided)."""
+        items = [("affine", 2.0, -1.0), self.input_quant]
+        items.extend(self.hidden)
+        items.extend([self.head, self.norm])
+        return items
+
     def train_mode(self):
         self.set_attributes(training=True, raise_if_not_found=False)
         self.set_attributes(use_running_average=False, raise_if_not_found=False)

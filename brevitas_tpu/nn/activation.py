@@ -24,13 +24,15 @@ Array = jnp.ndarray
 
 class QuantNonLinearActLayer(nnx.Module, QuantLayerMixin):
     """act_fn → act_quant (reference QuantNonLinearActLayer,
-    nn/quant_layer.py:20)."""
+    nn/quant_layer.py:20). ``num_channels`` enables per-channel activation
+    scaling (channels-last broadcast)."""
 
     def __init__(self, act_fn: Optional[Callable], act_quant: Optional[QuantConfig],
-                 return_quant_tensor: bool = False):
+                 return_quant_tensor: bool = False,
+                 num_channels: Optional[int] = None):
         self.act_fn = act_fn
         self.act_quant = ActQuantizer(act_quant if act_quant is not None
-                                      else NoneActQuant)
+                                      else NoneActQuant, num_channels)
         self.return_quant_tensor = return_quant_tensor
 
     def __call__(self, x):
@@ -46,28 +48,32 @@ class QuantIdentity(QuantNonLinearActLayer):
     """Reference QuantIdentity (nn/quant_activation.py:86)."""
 
     def __init__(self, act_quant: Optional[QuantConfig] = Int8ActPerTensorFloat,
-                 return_quant_tensor: bool = False):
-        super().__init__(None, act_quant, return_quant_tensor)
+                 return_quant_tensor: bool = False,
+                 num_channels=None):
+        super().__init__(None, act_quant, return_quant_tensor, num_channels)
 
 
 class QuantReLU(QuantNonLinearActLayer):
     """Reference QuantReLU (nn/quant_activation.py:14): unsigned act quant."""
 
     def __init__(self, act_quant: Optional[QuantConfig] = Uint8ActPerTensorFloat,
-                 return_quant_tensor: bool = False):
-        super().__init__(jax.nn.relu, act_quant, return_quant_tensor)
+                 return_quant_tensor: bool = False,
+                 num_channels=None):
+        super().__init__(jax.nn.relu, act_quant, return_quant_tensor, num_channels)
 
 
 class QuantSigmoid(QuantNonLinearActLayer):
     def __init__(self, act_quant: Optional[QuantConfig] = Uint8ActPerTensorFloat,
-                 return_quant_tensor: bool = False):
-        super().__init__(jax.nn.sigmoid, act_quant, return_quant_tensor)
+                 return_quant_tensor: bool = False,
+                 num_channels=None):
+        super().__init__(jax.nn.sigmoid, act_quant, return_quant_tensor, num_channels)
 
 
 class QuantTanh(QuantNonLinearActLayer):
     def __init__(self, act_quant: Optional[QuantConfig] = Int8ActPerTensorFloat,
-                 return_quant_tensor: bool = False):
-        super().__init__(jnp.tanh, act_quant, return_quant_tensor)
+                 return_quant_tensor: bool = False,
+                 num_channels=None):
+        super().__init__(jnp.tanh, act_quant, return_quant_tensor, num_channels)
 
 
 class QuantHardTanh(QuantNonLinearActLayer):

@@ -445,6 +445,7 @@ class ParameterQuantizer(nnx.Module, TrainToggleMixin):
                  channel_axis: int = 0):
         self.cfg = cfg
         self.quant_type = QuantType(cfg.quant_type)
+        self.disable_quant: bool = False  # calibration-mode bypass
         self.channel_axis = channel_axis
         self.per_channel = cfg.scaling_per_output_channel
         self.bshape = scaling_broadcast_shape(
@@ -473,7 +474,7 @@ class ParameterQuantizer(nnx.Module, TrainToggleMixin):
 
     def __call__(self, w: Array) -> QuantTensor:
         cfg = self.cfg
-        if self.quant_type == QuantType.NONE:
+        if self.quant_type == QuantType.NONE or self.disable_quant:
             return QuantTensor(w)
         view = stats_view(w, self.per_channel, self.channel_axis)
         bit_width = self.bit_width_impl()
@@ -520,22 +521,47 @@ class ActQuantizer(nnx.Module, TrainToggleMixin):
     """Activation-side quantizer (reference ActQuantProxyFromInjector +
     ActQuantSolver, proxy/runtime_quant.py:87, quant/solver/act.py:121)."""
 
-    def __init__(self, cfg: QuantConfig):
+    def __init__(self, cfg: QuantConfig, num_channels: Optional[int] = None):
         self.cfg = cfg
         self.quant_type = QuantType(cfg.quant_type)
         self.training: bool = True
+        self.disable_quant: bool = False  # calibration-mode bypass
         if self.quant_type == QuantType.NONE:
             return
+        # per-channel activation scaling: channels-last, so the scale is a
+        # plain (C,) vector broadcasting over (..., C) activations
+        # (reference needs per_channel_broadcastable_shape for NCHW,
+        # quant/solver/act.py; channels-last makes it implicit)
+        self.per_channel = bool(cfg.scaling_per_output_channel)
+        if self.per_channel and num_channels is None:
+            raise ValueError("per-channel act quant requires num_channels")
+        bshape = (num_channels,) if self.per_channel else ()
         self.bit_width_impl = BitWidth(cfg)
-        self.scaling = build_scaling(cfg, ())
-        self.zero_point = ZeroPoint(cfg, (), runtime=True)
+        self.scaling = build_scaling(cfg, bshape)
+        self.zero_point = ZeroPoint(cfg, bshape, runtime=True)
         self.delay = QuantDelay(cfg.quant_delay_steps)
 
     def __call__(self, x: Array) -> QuantTensor:
         cfg = self.cfg
         if self.quant_type == QuantType.NONE:
             return QuantTensor(x, training=self.training)
-        view = stats_view(x, per_channel=False)
+        if self.disable_quant:
+            # calibration mode: advance scaling/zero-point statistics state
+            # but emit the float value unchanged (the reference achieves this
+            # with post-forward hooks, graph/calibrate.py:112-133)
+            view = stats_view(x, self.per_channel, channel_axis=-1)
+            bit_width = self.bit_width_impl()
+            if self.quant_type == QuantType.INT:
+                threshold = self.scaling(view)
+                scale = Qf.rescaling_scale(
+                    threshold, bit_width, signed=cfg.signed,
+                    narrow_range=cfg.narrow_range,
+                    po2_int_scale=cfg.po2_int_scale)
+                self.zero_point(view, scale, bit_width)
+            else:
+                self.scaling(view)
+            return QuantTensor(x, training=self.training)
+        view = stats_view(x, self.per_channel, channel_axis=-1)
         bit_width = self.bit_width_impl()
         if self.quant_type == QuantType.BINARY:
             scale = self.scaling(view)
@@ -569,6 +595,7 @@ class BiasQuantizer(nnx.Module, TrainToggleMixin):
     def __init__(self, cfg: QuantConfig, bias_init: Optional[Array] = None):
         self.cfg = cfg
         self.quant_type = QuantType(cfg.quant_type)
+        self.disable_quant: bool = False  # calibration-mode bypass
         if self.quant_type == QuantType.NONE:
             return
         self.bit_width_impl = BitWidth(cfg)
@@ -581,7 +608,7 @@ class BiasQuantizer(nnx.Module, TrainToggleMixin):
     def __call__(self, b: Array, input_scale: Optional[Array] = None,
                  input_bit_width: Optional[Array] = None) -> QuantTensor:
         cfg = self.cfg
-        if self.quant_type == QuantType.NONE:
+        if self.quant_type == QuantType.NONE or self.disable_quant:
             return QuantTensor(b)
         if cfg.requires_input_bit_width:
             assert input_bit_width is not None

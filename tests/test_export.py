@@ -1,0 +1,157 @@
+"""Export tests: QCDQ/QONNX graphs validated numerically against the NNX
+model via the in-repo ONNX interpreter (the onnxruntime-oracle analogue of
+reference tests/brevitas_ort/)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+import brevitas_tpu.nn as qnn
+from brevitas_tpu.export import (
+    export_native,
+    export_onnx_qcdq,
+    export_qonnx,
+    load_native,
+    run_onnx,
+)
+from brevitas_tpu.export.onnx_proto import parse_model
+from brevitas_tpu.models import tfc
+from brevitas_tpu.quant import presets
+from brevitas_tpu.utils import eval_mode
+
+
+class SmallNet(nnx.Module):
+    """Linear → ReLU → Linear with full quant pipeline."""
+
+    def __init__(self, w_bits=8, a_bits=8, rngs=None):
+        rngs = rngs or nnx.Rngs(0)
+        act = presets.Int8ActPerTensorFloat.let(collect_stats_steps=1,
+                                                bit_width=float(a_bits))
+        uact = presets.Uint8ActPerTensorFloat.let(collect_stats_steps=1,
+                                                  bit_width=float(a_bits))
+        wq = presets.Int8WeightPerTensorFloat.let(bit_width=float(w_bits))
+        self.inp = qnn.QuantIdentity(act, return_quant_tensor=False)
+        self.l1 = qnn.QuantLinear(16, 32, weight_quant=wq, rngs=rngs)
+        self.relu = qnn.QuantReLU(uact)
+        self.l2 = qnn.QuantLinear(32, 8, weight_quant=wq, rngs=rngs)
+
+    def export_layers(self):
+        return [self.inp, self.l1, self.relu, self.l2]
+
+    def __call__(self, x):
+        return self.l2(self.relu(self.l1(self.inp(x))))
+
+
+@pytest.mark.parametrize("bits", [8, 4, 2])
+@pytest.mark.parametrize("style", ["qcdq", "qonnx"])
+def test_export_matches_model(bits, style, rng):
+    m = SmallNet(w_bits=bits, a_bits=bits)
+    x = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    m(x)  # collect act stats
+    eval_mode(m)
+    y_model = np.asarray(m(x))
+    export_fn = export_onnx_qcdq if style == "qcdq" else export_qonnx
+    blob = export_fn(m, x)
+    (y_onnx,) = run_onnx(blob, {"input": np.asarray(x)})
+    np.testing.assert_allclose(y_onnx, y_model, rtol=1e-4, atol=1e-4)
+
+
+def test_export_per_channel_weights(rng):
+    m = SmallNet()
+    m.l1 = qnn.QuantLinear(16, 32,
+                           weight_quant=presets.Int8WeightPerChannelFloat,
+                           rngs=nnx.Rngs(1))
+    x = jnp.asarray(rng.standard_normal((2, 16)).astype(np.float32))
+    m(x)
+    eval_mode(m)
+    y_model = np.asarray(m(x))
+    blob = export_onnx_qcdq(m, x)
+    (y_onnx,) = run_onnx(blob, {"input": np.asarray(x)})
+    np.testing.assert_allclose(y_onnx, y_model, rtol=1e-4, atol=1e-4)
+
+
+def test_export_tfc_binary(rng):
+    model = tfc(1, 1, 1, dropout=0.0, rngs=nnx.Rngs(0))
+    x = jnp.asarray(rng.random((2, 28, 28, 1)).astype(np.float32))
+    model(x)
+    eval_mode(model)
+    y_model = np.asarray(model(x))
+    blob = export_qonnx(model, jnp.zeros((1, 784)))
+    x_flat = np.asarray(x).reshape(2, -1)
+    (y_onnx,) = run_onnx(blob, {"input": x_flat})
+    np.testing.assert_allclose(y_onnx, y_model, rtol=1e-3, atol=1e-3)
+
+
+def test_qcdq_graph_structure(rng):
+    m = SmallNet()
+    x = jnp.asarray(rng.standard_normal((2, 16)).astype(np.float32))
+    m(x)
+    eval_mode(m)
+    blob = export_onnx_qcdq(m, x, path="/tmp/smallnet_qcdq.onnx")
+    g = parse_model(blob)
+    ops = [n.op_type for n in g.nodes]
+    assert ops.count("QuantizeLinear") >= 4  # 2 act + 2 weight
+    assert ops.count("DequantizeLinear") == ops.count("QuantizeLinear")
+    assert "MatMul" in ops and "Relu" in ops
+    # file round-trip
+    with open("/tmp/smallnet_qcdq.onnx", "rb") as f:
+        assert f.read() == blob
+
+
+def test_qonnx_uses_custom_domain(rng):
+    m = SmallNet()
+    x = jnp.asarray(rng.standard_normal((2, 16)).astype(np.float32))
+    m(x)
+    eval_mode(m)
+    g = parse_model(export_qonnx(m, x))
+    quant_nodes = [n for n in g.nodes if n.op_type == "Quant"]
+    assert quant_nodes and all(n.domain == "onnx.brevitas" for n in quant_nodes)
+
+
+def test_export_conv_qcdq(rng):
+    class ConvNet(nnx.Module):
+        def __init__(self):
+            r = nnx.Rngs(0)
+            act = presets.Int8ActPerTensorFloat.let(collect_stats_steps=1)
+            self.inp = qnn.QuantIdentity(act)
+            self.conv = qnn.QuantConv2d(
+                3, 8, 3, padding=1, rngs=r,
+                weight_quant=presets.Int8WeightPerChannelFloat)
+            self.relu = qnn.QuantReLU(
+                presets.Uint8ActPerTensorFloat.let(collect_stats_steps=1))
+
+        def export_layers(self):
+            return [self.inp, self.conv, self.relu]
+
+        def __call__(self, x):
+            return self.relu(self.conv(self.inp(x)))
+
+    m = ConvNet()
+    x = jnp.asarray(rng.standard_normal((2, 6, 6, 3)).astype(np.float32))
+    m(x)
+    eval_mode(m)
+    y_model = np.asarray(m(x))  # NHWC
+    blob = export_onnx_qcdq(m, x)
+    x_nchw = np.asarray(x).transpose(0, 3, 1, 2)
+    (y_onnx,) = run_onnx(blob, {"input": x_nchw})
+    np.testing.assert_allclose(y_onnx, y_model.transpose(0, 3, 1, 2),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_native_export_roundtrip(tmp_path, rng):
+    m = SmallNet(w_bits=8)
+    x = jnp.asarray(rng.standard_normal((2, 16)).astype(np.float32))
+    m(x)
+    path = str(tmp_path / "model.npz")
+    info = export_native(m, path)
+    assert info["layers"] == 2
+    loaded = load_native(path)
+    assert set(loaded) == {"l1", "l2"}
+    entry = loaded["l1"]
+    assert entry["w_int"].dtype == np.int8
+    # dequantized int weights reproduce the fake-quant weights
+    qw = m.l1.quant_weight()
+    np.testing.assert_allclose(
+        entry["w_int"].astype(np.float32) * entry["w_scale"],
+        np.asarray(qw.value), rtol=1e-5, atol=1e-6)

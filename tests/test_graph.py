@@ -1,0 +1,172 @@
+"""Graph transform tests (mirror of reference tests/brevitas/graph/:
+test_transforms.py, test_calibration.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+import brevitas_tpu.graph as G
+import brevitas_tpu.nn as qnn
+from brevitas_tpu.utils import eval_mode
+from brevitas_tpu.quant import presets
+from brevitas_tpu.quant.config import ScalingImplType
+
+
+def rngs():
+    return nnx.Rngs(0)
+
+
+class FloatMLP(nnx.Module):
+    def __init__(self, rngs):
+        self.l1 = nnx.Linear(16, 32, rngs=rngs)
+        self.l2 = nnx.Linear(32, 8, rngs=rngs)
+
+    def __call__(self, x):
+        return self.l2(jax.nn.relu(self.l1(x)))
+
+
+# ---- base surgery -----------------------------------------------------------
+
+
+def test_named_modules_and_replace():
+    m = FloatMLP(rngs())
+    paths = [p for p, _ in G.named_modules(m)]
+    assert set(paths) == {"", "l1", "l2"}
+    n = G.replace_modules_by_class(
+        m, nnx.Linear,
+        lambda path, old: qnn.QuantLinear(
+            old.kernel[...].shape[0], old.kernel[...].shape[1], rngs=rngs()))
+    assert n == 2
+    assert isinstance(m.l1, qnn.QuantLinear)
+
+
+# ---- auto-quantize + calibrate + bias-correct (the PTQ pipeline) ------------
+
+
+def test_quantize_preserves_function_shape(rng):
+    m = FloatMLP(rngs())
+    x = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    y_float = m(x)
+    G.quantize(m, act_quant=presets.Int8ActPerTensorFloat.let(
+        collect_stats_steps=1))
+    assert isinstance(m.l1, qnn.QuantLinear)
+    with G.calibration_mode(m):
+        y_calib = m(x)
+    # calibration pass is the float function
+    np.testing.assert_allclose(y_calib, y_float, rtol=1e-5, atol=1e-6)
+    # post-calibration quantized output close to float
+    eval_mode(m)
+    y_quant = m(x)
+    err = float(jnp.max(jnp.abs(y_quant - y_float)))
+    assert err < 0.15, err
+    assert err > 0  # actually quantized
+
+
+def test_calibration_finalizes_counters(rng):
+    m = FloatMLP(rngs())
+    G.quantize(m, act_quant=presets.Int8ActPerTensorFloat.let(
+        collect_stats_steps=100))
+    x = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    with G.calibration_mode(m):
+        for _ in range(3):
+            m(x)
+    sc = m.l1.input_quant.scaling
+    assert int(sc.counter[...]) == sc.steps + 1  # promoted despite 3 < 100
+    assert float(sc.value[...]) != 1.0
+
+
+def test_bias_correction_shifts_bias(rng):
+    m = FloatMLP(rngs())
+    x = jnp.asarray(rng.standard_normal((32, 16)).astype(np.float32))
+    y_float = m(x)
+    G.quantize(m, weight_quant=presets.Int8WeightPerTensorFloat.let(bit_width=3),
+               act_quant=presets.Int8ActPerTensorFloat.let(
+                   collect_stats_steps=1, bit_width=3))
+    with G.calibration_mode(m):
+        m(x)
+    eval_mode(m)
+    err_before = float(jnp.mean(jnp.abs(jnp.mean(m(x), 0) - jnp.mean(y_float, 0))))
+    with G.bias_correction_mode(m):
+        m(x)
+    err_after = float(jnp.mean(jnp.abs(jnp.mean(m(x), 0) - jnp.mean(y_float, 0))))
+    assert err_after < err_before
+
+
+# ---- equalization -----------------------------------------------------------
+
+
+def test_cross_layer_equalization_preserves_function(rng):
+    m = FloatMLP(rngs())
+    # inflate channel imbalance
+    m.l1.kernel[...] = m.l1.kernel[...] * jnp.linspace(0.1, 10.0, 32)[None, :]
+    x = jnp.asarray(rng.standard_normal((8, 16)).astype(np.float32))
+    y_before = m(x)
+    ranges_before = np.ptp(np.asarray(m.l1.kernel[...]), axis=0)
+    G.equalize(m, [(["l1"], ["l2"])], iterations=5)
+    y_after = m(x)
+    # function preserved (relu is positively homogeneous)
+    np.testing.assert_allclose(y_after, y_before, rtol=1e-3, atol=1e-4)
+    ranges_after = np.ptp(np.asarray(m.l1.kernel[...]), axis=0)
+    assert ranges_after.max() / ranges_after.min() \
+        < ranges_before.max() / ranges_before.min()
+
+
+def test_merge_batchnorms(rng):
+    class ConvBN(nnx.Module):
+        def __init__(self, rngs):
+            self.conv = qnn.QuantConv2d(3, 8, 3, padding="SAME",
+                                        weight_quant=None, rngs=rngs)
+            self.bn = nnx.BatchNorm(8, use_running_average=True, rngs=rngs)
+
+        def __call__(self, x):
+            return self.bn(self.conv(x))
+
+    m = ConvBN(rngs())
+    m.bn.mean[...] = jnp.asarray(rng.standard_normal(8).astype(np.float32))
+    m.bn.var[...] = jnp.abs(jnp.asarray(rng.standard_normal(8).astype(np.float32))) + 0.5
+    m.bn.scale[...] = jnp.asarray(rng.standard_normal(8).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 3)).astype(np.float32))
+    y_before = m(x)
+    G.merge_batchnorms(m, [("conv", "bn")])
+    y_after = m(x)
+    np.testing.assert_allclose(y_after, y_before, rtol=1e-3, atol=1e-4)
+
+
+# ---- integer serving conversion --------------------------------------------
+
+
+def test_convert_integer_inference_matches_fake_quant(rng):
+    from jax.experimental.pallas import tpu as pltpu
+
+    layer = qnn.QuantLinear(
+        16, 8, rngs=rngs(), use_bias=True,
+        weight_quant=presets.Int8WeightPerTensorFloat,
+        input_quant=presets.Int8ActPerTensorFloat.let(collect_stats_steps=1))
+    x = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    layer(x)  # collect stats
+    layer.eval_mode()
+    y_fake = layer(x)
+
+    class Holder(nnx.Module):
+        def __init__(self, lyr):
+            self.lyr = lyr
+
+        def __call__(self, x):
+            return self.lyr(x)
+
+    m = Holder(layer)
+    G.convert_integer_inference(m)
+    assert isinstance(m.lyr, G.Int8InferenceLinear)
+    with pltpu.force_tpu_interpret_mode():
+        y_int = m(x)
+    np.testing.assert_allclose(y_int, y_fake, rtol=1e-3, atol=1e-3)
+
+
+def test_clip_float_weights(rng):
+    m = FloatMLP(rngs())
+    G.quantize(m, act_quant=None)
+    m.l1.weight[...] = m.l1.weight[...].at[0, 0].set(100.0)
+    G.clip_float_weights(m, threshold=15.0)
+    assert float(jnp.max(jnp.abs(m.l1.weight[...]))) <= 15.0
