@@ -1,0 +1,101 @@
+"""Model zoo tests (mirror of reference tests/brevitas_examples import/JIT
+smoke tests) + loss/logging utils."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from brevitas_tpu.losses import (
+    log_quantizer_bit_widths,
+    output_bit_width_weighted_by_ops,
+    weight_bit_width_weighted_by_size,
+)
+from brevitas_tpu.models.mobilenetv1 import quant_mobilenet_v1
+from brevitas_tpu.utils import eval_mode, train_mode
+
+
+def test_mobilenet_v1_forward_and_eval():
+    m = quant_mobilenet_v1(bit_width=4, width_scale=0.125, num_classes=10,
+                           rngs=nnx.Rngs(0))
+    x = jnp.asarray(np.random.default_rng(0).random((2, 224, 224, 3),
+                                                    dtype=np.float32))
+    y = m(x)
+    assert y.shape == (2, 10)
+    eval_mode(m)
+    y2 = m(x)
+    assert bool(jnp.all(jnp.isfinite(y2)))
+    # per-channel act scaling on the first block
+    assert m.features[0].activation.act_quant.per_channel
+
+
+def test_mobilenet_grad_step():
+    import optax
+
+    m = quant_mobilenet_v1(bit_width=4, width_scale=0.125, num_classes=10,
+                           rngs=nnx.Rngs(0))
+    opt = nnx.Optimizer(m, optax.sgd(0.01), wrt=nnx.Param)
+    x = jnp.asarray(np.random.default_rng(0).random((2, 32, 32, 3),
+                                                    dtype=np.float32))
+    # 32x32 input: skip final 7x7 pool by replacing with 1x1
+    m.final_pool.kernel_size = (1, 1)
+    m.final_pool.stride = (1, 1)
+    y = jnp.asarray([0, 1])
+
+    @nnx.jit
+    def step(m, opt, x, y):
+        loss, grads = nnx.value_and_grad(
+            lambda mm: jnp.mean(
+                (mm(x) - jax.nn.one_hot(y, 10)) ** 2))(m)
+        opt.update(m, grads)
+        return loss
+
+    l0 = float(step(m, opt, x, y))
+    l1 = float(step(m, opt, x, y))
+    assert np.isfinite(l0) and np.isfinite(l1)
+
+
+def test_imagenet_val_cli_synthetic():
+    from brevitas_tpu.examples.imagenet_val import main
+
+    # tiny width keeps this fast; CLI must produce metrics
+    from brevitas_tpu.examples import imagenet_val
+
+    imagenet_val.MODELS["tiny"] = lambda rngs: quant_mobilenet_v1(
+        bit_width=4, width_scale=0.125, num_classes=10, rngs=rngs)
+    res = main(["--model", "tiny", "--dataset", "synthetic",
+                "--batches", "1", "--batch-size", "8", "--num-classes", "10"])
+    assert 0.0 <= res["top1"] <= 1.0 and res["images"] == 8
+
+
+def test_bit_width_losses(rng):
+    import brevitas_tpu.nn as qnn
+    from brevitas_tpu.quant import presets
+
+    class M(nnx.Module):
+        def __init__(self):
+            r = nnx.Rngs(0)
+            self.l1 = qnn.QuantLinear(
+                8, 16, rngs=r,
+                weight_quant=presets.Int8WeightPerTensorFloatLearnedBitWidth,
+                input_quant=presets.Int8ActPerTensorFloatLearnedBitWidth.let(
+                    collect_stats_steps=1))
+            self.l2 = qnn.QuantLinear(
+                16, 4, rngs=r,
+                weight_quant=presets.Int8WeightPerTensorFloatLearnedBitWidth)
+
+        def __call__(self, x):
+            return self.l2(self.l1(x))
+
+    m = M()
+    loss = weight_bit_width_weighted_by_size(m)
+    np.testing.assert_allclose(float(loss), 8.0)
+    # loss is differentiable w.r.t. the bit-width offsets
+    g = nnx.grad(lambda mm: weight_bit_width_weighted_by_size(mm))(m)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert any(bool(jnp.any(l != 0)) for l in leaves)
+    acc_loss = output_bit_width_weighted_by_ops(m)
+    assert float(acc_loss) > 8.0  # accumulators wider than operands
+    widths = log_quantizer_bit_widths(m)
+    assert any(v == 8.0 for v in widths.values())
