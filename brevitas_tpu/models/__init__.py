@@ -1,9 +1,20 @@
-"""Model zoo (reference ``src/brevitas_examples``: bnn_pynq FC/CNV families;
-MobileNetV1 / ProxylessNAS / QuartzNet / MelGAN arrive in later modules)."""
+"""Model zoo (reference ``src/brevitas_examples``): bnn_pynq FC/CNV,
+imagenet_classification MobileNetV1/ProxylessNAS/VGG, speech_to_text
+QuartzNet, text_to_speech MelGAN."""
 
 from brevitas_tpu.models.cnv import CNV, cnv
 from brevitas_tpu.models.common import TensorNorm, common_act_quant, common_weight_quant
 from brevitas_tpu.models.fc import FC, lfc, sfc, tfc
+from brevitas_tpu.models.melgan import MelGANGenerator, melgan_8b
+from brevitas_tpu.models.mobilenetv1 import MobileNetV1, quant_mobilenet_v1
+from brevitas_tpu.models.proxylessnas import ProxylessNAS, quant_proxylessnas_mobile14
+from brevitas_tpu.models.quartznet import QuartzNet, quartznet_15x5, quartznet_15x5_4b
+from brevitas_tpu.models.vgg import QuantVGG, quant_vgg11, quant_vgg16
 
 __all__ = ["FC", "tfc", "sfc", "lfc", "CNV", "cnv",
-           "TensorNorm", "common_act_quant", "common_weight_quant"]
+           "TensorNorm", "common_act_quant", "common_weight_quant",
+           "MobileNetV1", "quant_mobilenet_v1",
+           "ProxylessNAS", "quant_proxylessnas_mobile14",
+           "QuantVGG", "quant_vgg11", "quant_vgg16",
+           "QuartzNet", "quartznet_15x5", "quartznet_15x5_4b",
+           "MelGANGenerator", "melgan_8b"]

@@ -61,7 +61,9 @@ class _QuantConvNd(QuantWBIOL):
             self.padding = padding.upper()
         else:
             p = _tuple(padding, spatial_dims)
-            self.padding = tuple((int(x), int(x)) for x in p)
+            self.padding = tuple(
+                (int(x[0]), int(x[1])) if isinstance(x, (tuple, list))
+                else (int(x), int(x)) for x in p)
         # HWIO kernel; for grouped conv I = in_channels // groups
         kshape = (*self.kernel_size, in_channels // groups, out_channels)
         fan_in = int(np.prod(self.kernel_size)) * in_channels // groups

@@ -1,0 +1,41 @@
+"""Canonical sharding rule sets for quant models.
+
+The key quantization-specific constraint: per-channel scale/zero-point state
+must shard WITH its channel axis (a weight sharded over output channels needs
+its (1, ..., O) scale sharded the same way), while per-tensor scales, EMA
+buffers, and counters replicate. Channels-last layouts make the rule regular:
+the output channel is always the LAST kernel axis.
+"""
+
+from typing import List, Sequence, Tuple
+
+from jax.sharding import PartitionSpec as P
+
+
+def fsdp_rules(data_axis: str = "data") -> List[Tuple[str, P]]:
+    """Fully-replicated parameters (pure data parallel): no rules — all
+    state replicates; the batch shards over ``data_axis`` at the step level."""
+    return []
+
+
+def tensor_parallel_linear_rules(model_axis: str = "model",
+                                 prefix: str = "") -> List[Tuple[str, P]]:
+    """Column-parallel QuantLinear kernels: (in, out) shards over out;
+    per-channel weight-scale params (1, out) and bias (out,) follow."""
+    p = prefix
+    return [
+        (rf"{p}.*weight_quant/scaling/value", P(None, model_axis)),
+        (rf"{p}.*weight$", P(None, model_axis)),
+        (rf"{p}.*bias$", P(model_axis)),
+    ]
+
+
+def tensor_parallel_conv_rules(model_axis: str = "model",
+                               prefix: str = "") -> List[Tuple[str, P]]:
+    """Conv HWIO kernels shard over O (last axis); per-channel scales
+    (1,...,1,O) follow."""
+    p = prefix
+    return [
+        (rf"{p}.*weight_quant/scaling/value", P(None, None, None, model_axis)),
+        (rf"{p}.*conv.*weight$", P(None, None, None, model_axis)),
+    ]

@@ -107,6 +107,13 @@ class QuantConfig:
     requires_input_scale: bool = False
     requires_input_bit_width: bool = False
 
+    # distributed statistics: when set and the quantizer runs inside
+    # shard_map/pjit with this named mesh axis, activation statistics reduce
+    # GLOBALLY across data shards (psum/pmax) so every replica agrees on
+    # scales — a design point the single-device reference never faces
+    # (SURVEY §2.4)
+    stats_reduce_mesh_axis: Optional[str] = None
+
     def let(self, **overrides) -> "QuantConfig":
         """Functional update — the analogue of injector ``.let()``
         (reference inject/__init__.py, proxy/quant_proxy.py:89-95)."""

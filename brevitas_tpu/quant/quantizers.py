@@ -305,6 +305,9 @@ def build_scaling(cfg: QuantConfig, bshape: Tuple[int, ...],
         cfg.scaling_stats_op, sigma=cfg.scaling_stats_sigma,
         high_percentile_q=cfg.high_percentile_q,
         low_percentile_q=cfg.low_percentile_q)
+    if cfg.stats_reduce_mesh_axis is not None:
+        base_fn, axis = stats_fn, cfg.stats_reduce_mesh_axis
+        stats_fn = lambda x: base_fn(x, mesh_axis=axis)  # noqa: E731
     if impl == ScalingImplType.CONST:
         assert cfg.scaling_const is not None, "CONST scaling requires scaling_const"
         return ConstScaling(cfg, cfg.scaling_const, bshape)

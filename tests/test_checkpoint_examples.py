@@ -1,0 +1,91 @@
+"""Orbax checkpoint semantics + speech/TTS CLI smoke tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from flax import nnx
+
+import brevitas_tpu.nn as qnn
+from brevitas_tpu import checkpoint as ckpt
+from brevitas_tpu.quant import presets
+from brevitas_tpu.utils import eval_mode
+
+
+def make_model():
+    return qnn.QuantLinear(
+        8, 4, rngs=nnx.Rngs(0),
+        weight_quant=presets.Int8WeightPerTensorFloat,
+        input_quant=presets.Int8ActPerTensorFloat.let(collect_stats_steps=2))
+
+
+def test_orbax_roundtrip_with_quantizer_state(tmp_path, rng):
+    m = make_model()
+    x = jnp.asarray(rng.standard_normal((4, 8)).astype(np.float32))
+    m(x)  # advance counter to 1 (mid-collection)
+    assert int(m.input_quant.scaling.counter[...]) == 1
+    path = str(tmp_path / "ckpt1")
+    ckpt.save(path, m, step=7)
+
+    m2 = make_model()
+    step = ckpt.restore(path, m2)
+    assert step == 7
+    # two-phase counter and EMA buffer round-trip (the state the reference
+    # needs custom state_dict surgery for)
+    assert int(m2.input_quant.scaling.counter[...]) == 1
+    np.testing.assert_allclose(np.asarray(m2.input_quant.scaling.buffer[...]),
+                               np.asarray(m.input_quant.scaling.buffer[...]))
+    eval_mode(m)
+    eval_mode(m2)
+    np.testing.assert_allclose(m2(x), m(x))
+
+
+def test_restore_ignore_missing_float_to_quant(tmp_path, rng):
+    """Float checkpoint into a quant model: weights restore, quantizer state
+    keeps init (BREVITAS_IGNORE_MISSING_KEYS semantics)."""
+
+    class FloatNet(nnx.Module):
+        def __init__(self):
+            self.weight = nnx.Param(jnp.full((8, 4), 0.5))
+            self.bias = nnx.Param(jnp.zeros(4))
+
+    f = FloatNet()
+    path = str(tmp_path / "float_ckpt")
+    ckpt.save(path, f)
+
+    q = make_model()
+    ckpt.restore(path, q, ignore_missing=True)
+    np.testing.assert_allclose(np.asarray(q.weight[...]), 0.5)
+    # quantizer state untouched
+    assert int(q.input_quant.scaling.counter[...]) == 0
+
+
+def test_quartznet_cli_smoke(tmp_path):
+    from brevitas_tpu.examples.speech_to_text import main
+
+    res = main(["--model", "tiny", "--batches", "1"])
+    assert res["utterances"] == 1
+
+
+def test_melgan_cli_smoke(tmp_path):
+    from brevitas_tpu.examples.text_to_speech import main
+
+    res = main(["--batches", "1", "--mel-frames", "16",
+                "--out-dir", str(tmp_path)])
+    assert res["waveforms"] == 1 and res["samples"] == 16 * 256
+
+
+def test_ctc_decoder_and_wer():
+    from brevitas_tpu.examples.speech_to_text import (
+        BLANK,
+        greedy_ctc_decode,
+        word_error_rate,
+    )
+
+    # "ab" with repeats and blanks: a a _ b
+    logits = np.full((4, 29), -10.0)
+    for t, c in enumerate([1, 1, BLANK, 2]):
+        logits[t, c] = 10.0
+    assert greedy_ctc_decode(logits) == "ab"
+    assert word_error_rate("the cat", "the cat") == 0.0
+    assert word_error_rate("the bat", "the cat") == 0.5

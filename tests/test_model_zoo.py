@@ -1,0 +1,89 @@
+"""Smoke + structure tests for the wider model zoo
+(reference tests/brevitas_examples import tests)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from brevitas_tpu.models import melgan_8b, quant_vgg11
+from brevitas_tpu.models.proxylessnas import ProxylessNAS
+from brevitas_tpu.models.quartznet import QuartzNet
+from brevitas_tpu.utils import eval_mode
+
+
+def test_quartznet_tiny_forward():
+    topo = ((32, 1, 33, 2, 1, False, True),
+            (32, 2, 33, 1, 1, True, True),
+            (64, 1, 1, 1, 1, False, False))
+    qn = QuartzNet(num_features=16, vocab_size=10, bit_width=8,
+                   topology=topo, rngs=nnx.Rngs(0))
+    x = jnp.asarray(np.random.default_rng(0).random((2, 64, 16), np.float32))
+    y = qn(x)
+    assert y.shape == (2, 32, 10)  # stride-2 prologue halves time
+    eval_mode(qn)
+    assert bool(jnp.all(jnp.isfinite(qn(x))))
+
+
+def test_quartznet_residual_block_aligns_scales():
+    topo = ((32, 1, 33, 1, 1, False, True), (32, 2, 33, 1, 1, True, True))
+    qn = QuartzNet(num_features=16, vocab_size=4, bit_width=8,
+                   topology=topo, rngs=nnx.Rngs(0))
+    blk = qn.encoder[1]
+    assert blk.residual and hasattr(blk, "res_quant")
+
+
+def test_melgan_upsamples_256x():
+    mg = melgan_8b(mel_channels=8, rngs=nnx.Rngs(0))
+    x = jnp.asarray(np.random.default_rng(0).random((1, 16, 8), np.float32))
+    y = mg(x)
+    assert y.shape == (1, 16 * 256, 1)  # 8*8*2*2 upsampling
+    assert float(jnp.max(jnp.abs(y))) <= 1.0 + 1e-5  # tanh output
+
+
+@pytest.mark.slow
+def test_vgg_tiny_forward():
+    vg = quant_vgg11(num_classes=10, rngs=nnx.Rngs(0))
+    x = jnp.zeros((1, 64, 64, 3))
+    # adaptive pool requires divisible dims: 64/2^5 = 2 → pool to (7,7) fails;
+    # use 224 for the real geometry
+    x = jnp.zeros((1, 224, 224, 3))
+    y = vg(x)
+    assert y.shape == (1, 10)
+
+
+@pytest.mark.slow
+def test_proxylessnas_mobile14_forward():
+    pn = ProxylessNAS(bit_width=4, num_classes=10, rngs=nnx.Rngs(0))
+    y = pn(jnp.zeros((1, 224, 224, 3)))
+    assert y.shape == (1, 10)
+
+
+def test_flexml_pipeline(rng):
+    import jax
+
+    import brevitas_tpu.graph as G
+    from brevitas_tpu.graph.flexml import preprocess_flexml, quantize_flexml
+
+    class Net(nnx.Module):
+        def __init__(self, rngs):
+            self.l1 = nnx.Linear(8, 16, rngs=rngs)
+            self.l2 = nnx.Linear(16, 4, rngs=rngs)
+
+        def __call__(self, x):
+            return self.l2(jax.nn.relu(self.l1(x)))
+
+    m = Net(nnx.Rngs(0))
+    x = jnp.asarray(rng.standard_normal((8, 8)).astype(np.float32))
+    y_float = m(x)
+    preprocess_flexml(m, equalize_regions=[(["l1"], ["l2"])])
+    quantize_flexml(m, collect_stats_steps=1)
+    with G.calibration_mode(m):
+        m(x)
+    eval_mode(m)
+    y_q = m(x)
+    assert float(jnp.max(jnp.abs(y_q - y_float))) < 0.25
+    # fixed-point: layer weight scales are powers of two
+    qw = m.l1.quant_weight()
+    log2s = float(jnp.log2(qw.scale))
+    assert log2s == int(log2s)

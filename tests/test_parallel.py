@@ -1,0 +1,95 @@
+"""Parallelism tests on the 8-virtual-device CPU mesh — the tier the
+reference cannot have (single-device library, SURVEY §2.4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from flax import nnx
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import brevitas_tpu.nn as qnn
+from brevitas_tpu.parallel import make_mesh, shard_model_by_rules
+from brevitas_tpu.parallel.data import make_data_parallel_step, shard_batch
+from brevitas_tpu.parallel.rules import tensor_parallel_linear_rules
+from brevitas_tpu.quant import presets
+
+
+def test_make_mesh():
+    mesh = make_mesh([("data", 4), ("model", 2)])
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+
+
+def test_shard_model_rules_places_weights():
+    mesh = make_mesh([("data", 4), ("model", 2)])
+    layer = qnn.QuantLinear(16, 8, rngs=nnx.Rngs(0),
+                            weight_quant=presets.Int8WeightPerChannelFloat)
+    shard_model_by_rules(layer, mesh, tensor_parallel_linear_rules())
+    sharding = layer.weight[...].sharding
+    assert sharding.spec == P(None, "model")
+    # bias (8,) shards over model too
+    assert layer.bias[...].sharding.spec == P("model")
+
+
+def test_data_parallel_step_runs_and_reduces():
+    mesh = make_mesh([("data", 8)])
+    model = qnn.QuantLinear(
+        16, 4, rngs=nnx.Rngs(0),
+        weight_quant=presets.Int8WeightPerTensorFloat,
+        input_quant=presets.Int8ActPerTensorFloat.let(collect_stats_steps=2))
+    opt = nnx.Optimizer(model, optax.sgd(0.1), wrt=nnx.Param)
+
+    def loss_fn(m, batch):
+        x, y = batch
+        return jnp.mean((m(x) - y) ** 2)
+
+    step = make_data_parallel_step(loss_fn, mesh)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((32, 16)).astype(np.float32)
+    y = rng.standard_normal((32, 4)).astype(np.float32)
+    l0 = float(step(model, opt, (x, y)))
+    l1 = float(step(model, opt, (x, y)))
+    assert np.isfinite(l0) and l1 < l0
+
+
+def test_distributed_act_stats_agree_across_shards():
+    """Two-phase act scaling under shard_map with stats_reduce_mesh_axis:
+    every shard must land on the SAME scale despite different local data."""
+    from jax import shard_map
+
+    mesh = make_mesh([("data", 4)])
+    cfg = presets.Int8ActPerTensorFloat.let(
+        collect_stats_steps=1, scaling_stats_op="max",
+        stats_reduce_mesh_axis="data")
+    from brevitas_tpu.quant.quantizers import ActQuantizer
+
+    quant = ActQuantizer(cfg)
+    graphdef, state = nnx.split(quant)
+
+    # shards see very different magnitudes
+    x = jnp.concatenate([jnp.full((4, 64), float(i + 1)) for i in range(4)])
+
+    def per_shard(state, xs):
+        q = nnx.merge(graphdef, state)
+        out = q(xs)
+        _, new_state = nnx.split(q)
+        return out.value, out.scale, new_state
+
+    fn = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(), P("data", None)),
+        out_specs=(P("data", None), P(), P()),
+        check_vma=False)
+    _, scale, new_state = fn(state, x)
+    nnx.update(quant, new_state)
+    # global absmax is 4.0 → every shard's threshold must be 4.0
+    buf = float(quant.scaling.buffer[...])
+    np.testing.assert_allclose(buf, 4.0, rtol=1e-6)
+
+
+def test_shard_batch_layout():
+    mesh = make_mesh([("data", 8)])
+    x = np.ones((16, 3), np.float32)
+    xs = shard_batch(x, mesh)
+    assert xs.sharding.spec == P("data", None)
