@@ -25,6 +25,11 @@ from brevitas_tpu.graph.equalize import (
     equalize,
     sequential_regions,
 )
+from brevitas_tpu.graph.per_input import (
+    adaptive_avgpool_to_avgpool,
+    avgpool_to_depthwise_conv,
+    bn_to_quant_scale_bias,
+)
 from brevitas_tpu.graph.quantize import merge_batchnorms, quantize
 
 __all__ = [
@@ -34,5 +39,7 @@ __all__ = [
     "clip_float_weights",
     "equalize", "cross_layer_equalization", "sequential_regions",
     "quantize", "merge_batchnorms",
+    "adaptive_avgpool_to_avgpool", "avgpool_to_depthwise_conv",
+    "bn_to_quant_scale_bias",
     "convert_integer_inference", "Int8InferenceLinear", "Int8InferenceConv",
 ]

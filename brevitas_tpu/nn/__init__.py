@@ -3,6 +3,7 @@
 
 from brevitas_tpu.nn.activation import (
     QuantHardTanh,
+    QuantLeakyReLU,
     QuantIdentity,
     QuantNonLinearActLayer,
     QuantReLU,
@@ -49,6 +50,7 @@ __all__ = [
     "QuantConvTranspose2d",
     "QuantIdentity",
     "QuantReLU",
+    "QuantLeakyReLU",
     "QuantSigmoid",
     "QuantTanh",
     "QuantHardTanh",

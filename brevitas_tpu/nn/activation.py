@@ -76,6 +76,19 @@ class QuantTanh(QuantNonLinearActLayer):
         super().__init__(jnp.tanh, act_quant, return_quant_tensor, num_channels)
 
 
+class QuantLeakyReLU(QuantNonLinearActLayer):
+    """LeakyReLU + signed act quant (reference FlexMLQuantLeakyReLU,
+    nn/target/flexml.py:22, and the MelGAN activation helper)."""
+
+    def __init__(self, act_quant: Optional[QuantConfig] = Int8ActPerTensorFloat,
+                 negative_slope: float = 0.2,
+                 return_quant_tensor: bool = False, num_channels=None):
+        super().__init__(
+            lambda v: jax.nn.leaky_relu(v, negative_slope), act_quant,
+            return_quant_tensor, num_channels)
+        self.negative_slope = negative_slope
+
+
 class QuantHardTanh(QuantNonLinearActLayer):
     """Reference QuantHardTanh (nn/quant_activation.py:68): clipped identity
     with the clip range as the (usually learned) quant threshold."""

@@ -170,3 +170,60 @@ def test_clip_float_weights(rng):
     m.l1.weight[...] = m.l1.weight[...].at[0, 0].set(100.0)
     G.clip_float_weights(m, threshold=15.0)
     assert float(jnp.max(jnp.abs(m.l1.weight[...]))) <= 15.0
+
+
+# ---- per-input transforms ----------------------------------------------------
+
+
+def test_adaptive_avgpool_to_avgpool():
+    from brevitas_tpu.quant_tensor import QuantTensor
+
+    class M(nnx.Module):
+        def __init__(self):
+            self.pool = qnn.QuantAdaptiveAvgPool2d((2, 2))
+
+        def __call__(self, x):
+            return self.pool(x)
+
+    m = M()
+    n = G.adaptive_avgpool_to_avgpool(m, (8, 8))
+    assert n == 1 and isinstance(m.pool, qnn.QuantAvgPool2d)
+    assert m.pool.kernel_size == (4, 4)
+    out = m(jnp.ones((1, 8, 8, 3)))
+    assert out.shape == (1, 2, 2, 3)
+
+
+def test_avgpool_to_depthwise_conv(rng):
+    class M(nnx.Module):
+        def __init__(self):
+            self.pool = qnn.QuantAvgPool2d(2, trunc_quant=None)
+
+        def __call__(self, x):
+            return self.pool(x)
+
+    m = M()
+    x = jnp.asarray(rng.standard_normal((1, 4, 4, 3)).astype(np.float32))
+    y_pool = m(x)
+    G.avgpool_to_depthwise_conv(m, channels=3)
+    y_conv = m(x)
+    np.testing.assert_allclose(y_conv, y_pool, rtol=1e-5, atol=1e-6)
+
+
+def test_bn_to_quant_scale_bias(rng):
+    bn = nnx.BatchNorm(4, use_running_average=True, rngs=nnx.Rngs(0))
+    bn.mean[...] = jnp.asarray(rng.standard_normal(4).astype(np.float32))
+    bn.var[...] = jnp.abs(jnp.asarray(rng.standard_normal(4).astype(np.float32))) + 0.1
+    x = jnp.asarray(rng.standard_normal((2, 4)).astype(np.float32))
+    sb = G.bn_to_quant_scale_bias(bn, weight_quant=None)
+    np.testing.assert_allclose(sb(x), bn(x), rtol=1e-4, atol=1e-5)
+
+
+def test_quant_leaky_relu(rng):
+    act = qnn.QuantLeakyReLU(
+        presets.Int8ActPerTensorFloat.let(collect_stats_steps=1),
+        return_quant_tensor=True)
+    x = jnp.asarray(rng.standard_normal(64).astype(np.float32))
+    y = act(x)
+    assert y.is_valid()
+    neg = np.asarray(x) < 0
+    assert np.all(np.asarray(y.value)[neg] <= 0)
