@@ -85,6 +85,26 @@ def load_mnist(data_dir: str, split: str):
     raise FileNotFoundError(f"MNIST idx files not found under {data_dir}")
 
 
+def load_cifar10(data_dir: str, split: str):
+    """CIFAR-10 python-version batches (data_batch_1..5 / test_batch pickles)
+    from --data-dir, NHWC float32 in [0,1]."""
+    import pickle as pkl
+
+    files = ([f"data_batch_{i}" for i in range(1, 6)] if split == "train"
+             else ["test_batch"])
+    xs, ys = [], []
+    for name in files:
+        path = os.path.join(data_dir, name)
+        if not os.path.exists(path):
+            path = os.path.join(data_dir, "cifar-10-batches-py", name)
+        with open(path, "rb") as f:
+            d = pkl.load(f, encoding="bytes")
+        xs.append(np.asarray(d[b"data"], np.float32) / 255.0)
+        ys.append(np.asarray(d[b"labels"], np.int32))
+    x = np.concatenate(xs).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+    return np.ascontiguousarray(x), np.concatenate(ys)
+
+
 def load_digits_upscaled(split: str, image_size: int = 28):
     """sklearn 8x8 digits upscaled to MNIST geometry — the bundled
     no-egress stand-in for MNIST."""
@@ -205,6 +225,9 @@ def main(argv=None):
     if args.dataset == "mnist":
         x_train, y_train = load_mnist(args.data_dir, "train")
         x_test, y_test = load_mnist(args.data_dir, "test")
+    elif args.dataset == "cifar10":
+        x_train, y_train = load_cifar10(args.data_dir, "train")
+        x_test, y_test = load_cifar10(args.data_dir, "test")
     elif args.dataset == "digits":
         x_train, y_train = load_digits_upscaled("train")
         x_test, y_test = load_digits_upscaled("test")

@@ -118,6 +118,21 @@ def scalar_clamp_min_ste(x: Array, min_val: float) -> Array:
     return _clamp(x)
 
 
+def stochastic_round_ste(x: Array, key) -> Array:
+    """Stochastic rounding with straight-through gradient: rounds up with
+    probability equal to the fractional part (unbiased in expectation),
+    backward identity. The key closes over the custom_vjp so the gradient
+    signature stays unary (keys are not differentiable)."""
+    noise = jax.random.uniform(key, jnp.shape(x), jnp.float32)
+
+    @jax.custom_vjp
+    def _sr(x):
+        return jnp.floor(x + noise)
+
+    _sr.defvjp(lambda x: (jnp.floor(x + noise), None), lambda _, g: (g,))
+    return _sr(x)
+
+
 @jax.custom_vjp
 def abs_binary_sign_grad(x: Array) -> Array:
     """``abs`` whose subgradient at 0 is 1 instead of 0: backward multiplies

@@ -295,6 +295,30 @@ def _momentum_update(buf: Array, update: Array, momentum: Optional[float],
     return buf * (1 - momentum) + momentum * update
 
 
+class FloatToIntMixin:
+    """FloatToIntImpl resolution incl. STOCHASTIC_ROUND (reference
+    FloatToIntImplType.STOCHASTIC_ROUND): the rng stream lives on the module
+    (``self.rngs``) and is consumed per call so it lifts correctly through
+    nnx transforms (a closure over the Rngs object would pin the original
+    trace)."""
+
+    def _init_float_to_int(self, cfg: QuantConfig, rngs: Optional[nnx.Rngs]):
+        self._stochastic = (R.FloatToIntImpl(cfg.float_to_int)
+                            == R.FloatToIntImpl.STOCHASTIC_ROUND)
+        if self._stochastic:
+            self.rngs = rngs if rngs is not None else nnx.Rngs(stochastic_round=0)
+        else:
+            self.rngs = rngs
+            self._f2i_static = R.float_to_int_fn(cfg.float_to_int)
+
+    def _float_to_int(self, x):
+        if self._stochastic:
+            from brevitas_tpu.ops.ste import stochastic_round_ste
+
+            return stochastic_round_ste(x, self.rngs.stochastic_round())
+        return self._f2i_static(x)
+
+
 def build_scaling(cfg: QuantConfig, bshape: Tuple[int, ...],
                   init_stats_input: Optional[Array] = None,
                   fan_in: Optional[int] = None) -> nnx.Module:
@@ -434,7 +458,7 @@ class QuantDelay(nnx.Module):
 # full quantizers
 # ---------------------------------------------------------------------------
 
-class ParameterQuantizer(nnx.Module, TrainToggleMixin):
+class ParameterQuantizer(nnx.Module, TrainToggleMixin, FloatToIntMixin):
     """Weight-side quantizer (reference WeightQuantProxyFromInjector +
     WeightQuantSolver stack, proxy/parameter_quant.py:65,
     quant/solver/weight.py:91).
@@ -445,10 +469,11 @@ class ParameterQuantizer(nnx.Module, TrainToggleMixin):
     """
 
     def __init__(self, cfg: QuantConfig, weight_init: Array,
-                 channel_axis: int = 0):
+                 channel_axis: int = 0, rngs: Optional[nnx.Rngs] = None):
         self.cfg = cfg
         self.quant_type = QuantType(cfg.quant_type)
         self.disable_quant: bool = False  # calibration-mode bypass
+        self._init_float_to_int(cfg, rngs)
         self.channel_axis = channel_axis
         self.per_channel = cfg.scaling_per_output_channel
         self.bshape = scaling_broadcast_shape(
@@ -504,13 +529,13 @@ class ParameterQuantizer(nnx.Module, TrainToggleMixin):
             y = Qf.decoupled_int_quant(
                 w, pre_scale, jnp.zeros(()), scale, zp, bit_width,
                 signed=cfg.signed, narrow_range=cfg.narrow_range,
-                float_to_int=R.float_to_int_fn(cfg.float_to_int),
+                float_to_int=self._float_to_int,
                 clamp_fn=self._clamp_fn())
         else:
             y = Qf.int_quant(
                 w, scale, zp, bit_width, signed=cfg.signed,
                 narrow_range=cfg.narrow_range,
-                float_to_int=R.float_to_int_fn(cfg.float_to_int),
+                float_to_int=self._float_to_int,
                 clamp_fn=self._clamp_fn())
         return QuantTensor(self.delay(w, y), scale, zp, bit_width,
                            signed=cfg.signed)
@@ -520,15 +545,17 @@ class ParameterQuantizer(nnx.Module, TrainToggleMixin):
 WeightQuantizer = ParameterQuantizer
 
 
-class ActQuantizer(nnx.Module, TrainToggleMixin):
+class ActQuantizer(nnx.Module, TrainToggleMixin, FloatToIntMixin):
     """Activation-side quantizer (reference ActQuantProxyFromInjector +
     ActQuantSolver, proxy/runtime_quant.py:87, quant/solver/act.py:121)."""
 
-    def __init__(self, cfg: QuantConfig, num_channels: Optional[int] = None):
+    def __init__(self, cfg: QuantConfig, num_channels: Optional[int] = None,
+                 rngs: Optional[nnx.Rngs] = None):
         self.cfg = cfg
         self.quant_type = QuantType(cfg.quant_type)
         self.training: bool = True
         self.disable_quant: bool = False  # calibration-mode bypass
+        self._init_float_to_int(cfg, rngs)
         if self.quant_type == QuantType.NONE:
             return
         # per-channel activation scaling: channels-last, so the scale is a
@@ -584,7 +611,7 @@ class ActQuantizer(nnx.Module, TrainToggleMixin):
         y = Qf.int_quant(
             x, scale, zp, bit_width, signed=cfg.signed,
             narrow_range=cfg.narrow_range,
-            float_to_int=R.float_to_int_fn(cfg.float_to_int),
+            float_to_int=self._float_to_int,
             clamp_fn=tensor_clamp_ste if cfg.clamp_ste else tensor_clamp)
         return QuantTensor(self.delay(x, y), scale, zp, bit_width,
                            signed=cfg.signed, training=self.training)

@@ -228,3 +228,29 @@ def test_train_eval_recursive_toggle(rng):
     assert q.scaling.training is False
     q.train_mode()
     assert q.scaling.training is True
+
+
+def test_stochastic_round_weight_quant(rng):
+    from brevitas_tpu.core.restrict import FloatToIntImpl
+
+    w = jnp.full((4, 64), 0.305)  # 0.305/0.1 = 3.05 → rounds 3 or 4
+    cfg = presets.Int8WeightPerTensorFloat.let(
+        float_to_int=FloatToIntImpl.STOCHASTIC_ROUND,
+        scaling_impl="const", scaling_const=12.7)  # scale = 0.1
+    q = WeightQuantizer(cfg, w, rngs=nnx.Rngs(stochastic_round=0))
+    outs = [np.asarray(q(w).value) for _ in range(20)]
+    vals = np.unique(np.round(np.concatenate(outs) / 0.1))
+    assert set(vals.tolist()) == {3.0, 4.0}  # both round directions occur
+    # mean ≈ 3.05 * 0.1 (unbiased)
+    mean = np.mean(outs)
+    assert 0.295 < mean < 0.315
+    # straight-through gradient to the weights (functional form so the rng
+    # counter mutates inside the grad trace)
+    graphdef, state = nnx.split(q)
+
+    def loss(v):
+        m = nnx.merge(graphdef, state)
+        return jnp.sum(m(v).value)
+
+    g = jax.grad(loss)(w)
+    np.testing.assert_allclose(g, np.ones_like(g))
