@@ -244,13 +244,8 @@ def test_stochastic_round_weight_quant(rng):
     # mean ≈ 3.05 * 0.1 (unbiased)
     mean = np.mean(outs)
     assert 0.295 < mean < 0.315
-    # straight-through gradient to the weights (functional form so the rng
-    # counter mutates inside the grad trace)
-    graphdef, state = nnx.split(q)
-
-    def loss(v):
-        m = nnx.merge(graphdef, state)
-        return jnp.sum(m(v).value)
-
-    g = jax.grad(loss)(w)
+    # straight-through gradient to the weights via the supported nnx path
+    # (plain jax.grad over a stateful module is not supported for rng streams)
+    _, g = nnx.value_and_grad(lambda m, v: jnp.sum(m(v).value),
+                              argnums=1)(q, w)
     np.testing.assert_allclose(g, np.ones_like(g))
