@@ -10,6 +10,7 @@ from brevitas_tpu.nn.activation import (
     QuantSigmoid,
     QuantTanh,
 )
+from brevitas_tpu.nn.attention import QuantMultiheadAttention
 from brevitas_tpu.nn.conv import (
     QuantConv1d,
     QuantConv2d,
@@ -43,6 +44,7 @@ __all__ = [
     "QuantLayerMixin",
     "QuantLinear",
     "QuantLSTM",
+    "QuantMultiheadAttention",
     "QuantRNN",
     "QuantConv1d",
     "QuantConv2d",

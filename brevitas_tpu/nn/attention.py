@@ -1,0 +1,101 @@
+"""Quantized multi-head attention.
+
+Beyond reference parity: Brevitas has NO attention layer (SURVEY §2.4 — its
+only sequence model is QuantLSTM). This layer applies the same WBIOL
+quantization discipline to attention: quantized Q/K/V/O projections
+(QuantLinear), activation quantizers on Q/K/V entering the score matmul, on
+the post-softmax probabilities (unsigned — softmax output is [0,1]) and on
+the attention output — so at inference every matmul including QK^T and PV can
+run in the integer domain.
+
+Layout (B, T, D); optional causal masking; cross-attention via separate kv
+input.
+"""
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from brevitas_tpu.nn.linear import QuantLinear
+from brevitas_tpu.quant.config import QuantConfig
+from brevitas_tpu.quant.presets import (
+    Int8ActPerTensorFloat,
+    Int8WeightPerTensorFloat,
+    Uint8ActPerTensorFloat,
+)
+from brevitas_tpu.quant.quantizers import ActQuantizer, TrainToggleMixin
+from brevitas_tpu.quant_tensor import unpack
+
+Array = jnp.ndarray
+
+
+class QuantMultiheadAttention(nnx.Module, TrainToggleMixin):
+
+    def __init__(
+        self,
+        embed_dim: int,
+        num_heads: int,
+        *,
+        use_bias: bool = True,
+        weight_quant: Optional[QuantConfig] = Int8WeightPerTensorFloat,
+        in_proj_input_quant: Optional[QuantConfig] = Int8ActPerTensorFloat,
+        q_quant: Optional[QuantConfig] = Int8ActPerTensorFloat,
+        k_quant: Optional[QuantConfig] = Int8ActPerTensorFloat,
+        v_quant: Optional[QuantConfig] = Int8ActPerTensorFloat,
+        attn_probs_quant: Optional[QuantConfig] = Uint8ActPerTensorFloat,
+        out_proj_input_quant: Optional[QuantConfig] = Int8ActPerTensorFloat,
+        rngs: nnx.Rngs,
+    ):
+        assert embed_dim % num_heads == 0
+        self.embed_dim = embed_dim
+        self.num_heads = num_heads
+        self.head_dim = embed_dim // num_heads
+
+        def lin():
+            return QuantLinear(embed_dim, embed_dim, use_bias=use_bias,
+                               weight_quant=weight_quant,
+                               input_quant=in_proj_input_quant, rngs=rngs)
+
+        self.q_proj = lin()
+        self.k_proj = lin()
+        self.v_proj = lin()
+        self.out_proj = QuantLinear(embed_dim, embed_dim, use_bias=use_bias,
+                                    weight_quant=weight_quant,
+                                    input_quant=out_proj_input_quant,
+                                    rngs=rngs)
+        from brevitas_tpu.quant.presets import NoneActQuant
+
+        self.q_quant = ActQuantizer(q_quant or NoneActQuant)
+        self.k_quant = ActQuantizer(k_quant or NoneActQuant)
+        self.v_quant = ActQuantizer(v_quant or NoneActQuant)
+        self.probs_quant = ActQuantizer(attn_probs_quant or NoneActQuant)
+
+    def _split_heads(self, x: Array) -> Array:
+        b, t, _ = x.shape
+        return x.reshape(b, t, self.num_heads, self.head_dim)
+
+    def __call__(self, x: Array, kv: Optional[Array] = None,
+                 mask: Optional[Array] = None,
+                 causal: bool = False) -> Array:
+        kv = x if kv is None else kv
+        q = self._split_heads(unpack(self.q_quant(self.q_proj(x))))
+        k = self._split_heads(unpack(self.k_quant(self.k_proj(kv))))
+        v = self._split_heads(unpack(self.v_quant(self.v_proj(kv))))
+        scale = 1.0 / math.sqrt(self.head_dim)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        if causal:
+            tq, tk = scores.shape[-2], scores.shape[-1]
+            causal_mask = jnp.tril(jnp.ones((tq, tk), bool), tk - tq)
+            scores = jnp.where(causal_mask, scores, -jnp.inf)
+        if mask is not None:
+            scores = jnp.where(mask, scores, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = unpack(self.probs_quant(probs)).astype(v.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = out.reshape(*x.shape[:2], self.embed_dim)
+        return self.out_proj(out)

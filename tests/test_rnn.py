@@ -107,3 +107,59 @@ def test_rnn_shapes_and_grad(rng):
     y, h = rnn(x)
     assert y.shape == (2, 6, 12)
     assert h.shape == (2, 2, 12)
+
+
+# ---- attention (net-new vs reference) ---------------------------------------
+
+
+def test_quant_mha_shapes_and_validity(rng):
+    from brevitas_tpu.nn import QuantMultiheadAttention
+
+    mha = QuantMultiheadAttention(
+        32, 4, rngs=nnx.Rngs(0),
+        in_proj_input_quant=FAST_ACT, q_quant=FAST_ACT, k_quant=FAST_ACT,
+        v_quant=FAST_ACT, attn_probs_quant=FAST_UACT,
+        out_proj_input_quant=FAST_ACT)
+    x = jnp.asarray(rng.standard_normal((2, 10, 32)).astype(np.float32))
+    y = mha(x)
+    assert y.shape == (2, 10, 32)
+    # causal masking zeroes attention to the future
+    y_causal = mha(x, causal=True)
+    assert y_causal.shape == (2, 10, 32)
+    assert bool(jnp.any(y_causal != y))
+
+
+def test_quant_mha_grad_and_jit(rng):
+    from brevitas_tpu.nn import QuantMultiheadAttention
+
+    mha = QuantMultiheadAttention(16, 2, rngs=nnx.Rngs(0),
+                                  in_proj_input_quant=FAST_ACT,
+                                  q_quant=FAST_ACT, k_quant=FAST_ACT,
+                                  v_quant=FAST_ACT,
+                                  attn_probs_quant=FAST_UACT,
+                                  out_proj_input_quant=FAST_ACT)
+    x = jnp.asarray(rng.standard_normal((2, 6, 16)).astype(np.float32))
+
+    @nnx.jit
+    def step(m, x):
+        return nnx.value_and_grad(lambda mm, v: jnp.sum(mm(v) ** 2),
+                                  argnums=1)(m, x)
+
+    loss, g = step(mha, x)
+    assert np.isfinite(float(loss))
+    assert bool(jnp.any(g != 0))
+
+
+def test_quant_mha_cross_attention(rng):
+    from brevitas_tpu.nn import QuantMultiheadAttention
+
+    mha = QuantMultiheadAttention(16, 2, rngs=nnx.Rngs(0),
+                                  in_proj_input_quant=FAST_ACT,
+                                  q_quant=FAST_ACT, k_quant=FAST_ACT,
+                                  v_quant=FAST_ACT,
+                                  attn_probs_quant=FAST_UACT,
+                                  out_proj_input_quant=FAST_ACT)
+    x = jnp.asarray(rng.standard_normal((2, 4, 16)).astype(np.float32))
+    kv = jnp.asarray(rng.standard_normal((2, 9, 16)).astype(np.float32))
+    y = mha(x, kv=kv)
+    assert y.shape == (2, 4, 16)
