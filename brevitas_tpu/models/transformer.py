@@ -1,0 +1,94 @@
+"""Quantized transformer encoder (net-new vs reference — Brevitas has no
+attention-based model; this is the pod-scale serving shape the BASELINE
+north-star targets).
+
+Pre-norm blocks: LN → QuantMHA → residual, LN → QuantMLP → residual, with
+residual adds through shared scale-aligning quantizers (the same discipline
+as QuartzNet/ProxylessNAS residuals). Embedding + output head quantized.
+"""
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import nnx
+
+from brevitas_tpu.nn import (
+    QuantEmbedding,
+    QuantIdentity,
+    QuantLinear,
+    QuantMultiheadAttention,
+    QuantReLU,
+)
+from brevitas_tpu.quant.config import QuantConfig
+from brevitas_tpu.quant.presets import (
+    Int8ActPerTensorFloat,
+    Int8WeightPerTensorFloat,
+    Uint8ActPerTensorFloat,
+)
+from brevitas_tpu.quant.quantizers import TrainToggleMixin
+
+Array = jnp.ndarray
+
+
+class QuantTransformerBlock(nnx.Module):
+
+    def __init__(self, dim: int, num_heads: int, mlp_ratio: int = 4, *,
+                 weight_quant: QuantConfig, act_quant: QuantConfig,
+                 uact_quant: QuantConfig, rngs: nnx.Rngs):
+        self.ln1 = nnx.LayerNorm(dim, rngs=rngs)
+        self.attn = QuantMultiheadAttention(
+            dim, num_heads, weight_quant=weight_quant,
+            in_proj_input_quant=act_quant, q_quant=act_quant,
+            k_quant=act_quant, v_quant=act_quant,
+            attn_probs_quant=uact_quant, out_proj_input_quant=act_quant,
+            rngs=rngs)
+        self.res1 = QuantIdentity(act_quant)
+        self.ln2 = nnx.LayerNorm(dim, rngs=rngs)
+        self.fc1 = QuantLinear(dim, dim * mlp_ratio,
+                               weight_quant=weight_quant,
+                               input_quant=act_quant, rngs=rngs)
+        self.act = QuantReLU(uact_quant)
+        self.fc2 = QuantLinear(dim * mlp_ratio, dim,
+                               weight_quant=weight_quant,
+                               input_quant=act_quant, rngs=rngs)
+        self.res2 = QuantIdentity(act_quant)
+
+    def __call__(self, x: Array, causal: bool = False) -> Array:
+        h = self.attn(self.ln1(x), causal=causal)
+        x = self.res1(x) + self.res1(h)
+        h = self.fc2(self.act(self.fc1(self.ln2(x))))
+        return self.res2(x) + self.res2(h)
+
+
+class QuantTransformer(nnx.Module, TrainToggleMixin):
+
+    def __init__(self, *, vocab_size: int = 1000, dim: int = 256,
+                 depth: int = 4, num_heads: int = 4, max_len: int = 512,
+                 bit_width: int = 8, rngs: nnx.Rngs):
+        wq = Int8WeightPerTensorFloat.let(bit_width=float(bit_width))
+        aq = Int8ActPerTensorFloat.let(bit_width=float(bit_width))
+        uq = Uint8ActPerTensorFloat.let(bit_width=float(bit_width))
+        self.embed = QuantEmbedding(vocab_size, dim, weight_quant=wq,
+                                    rngs=rngs)
+        self.pos = nnx.Param(
+            0.02 * nnx.initializers.normal()(rngs.params(), (max_len, dim)))
+        self.blocks = nnx.List([
+            QuantTransformerBlock(dim, num_heads, weight_quant=wq,
+                                  act_quant=aq, uact_quant=uq, rngs=rngs)
+            for _ in range(depth)])
+        self.ln_f = nnx.LayerNorm(dim, rngs=rngs)
+        self.head = QuantLinear(dim, vocab_size, use_bias=False,
+                                weight_quant=wq, input_quant=aq, rngs=rngs)
+
+    def __call__(self, ids: Array, causal: bool = True) -> Array:
+        x = self.embed(ids) + self.pos[...][: ids.shape[1]]
+        for blk in self.blocks:
+            x = blk(x, causal=causal)
+        return self.head(self.ln_f(x))
+
+
+def quant_transformer_tiny(bit_width: int = 8, **kw) -> QuantTransformer:
+    kw.setdefault("dim", 128)
+    kw.setdefault("depth", 2)
+    kw.setdefault("num_heads", 4)
+    return QuantTransformer(bit_width=bit_width, **kw)

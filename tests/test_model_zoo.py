@@ -87,3 +87,30 @@ def test_flexml_pipeline(rng):
     qw = m.l1.quant_weight()
     log2s = float(jnp.log2(qw.scale))
     assert log2s == int(log2s)
+
+
+def test_quant_transformer_tiny(rng):
+    import optax
+
+    from brevitas_tpu.models import quant_transformer_tiny
+
+    m = quant_transformer_tiny(vocab_size=100, max_len=32, rngs=nnx.Rngs(0))
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 100, (2, 16)))
+    logits = m(ids)
+    assert logits.shape == (2, 16, 100)
+    # one LM train step decreases loss on a memorizable batch
+    opt = nnx.Optimizer(m, optax.adam(1e-3), wrt=nnx.Param)
+
+    @nnx.jit
+    def step(m, opt, ids):
+        def loss_fn(mm):
+            logits = mm(ids[:, :-1])
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, ids[:, 1:]).mean()
+
+        loss, grads = nnx.value_and_grad(loss_fn)(m)
+        opt.update(m, grads)
+        return loss
+
+    losses = [float(step(m, opt, ids)) for _ in range(8)]
+    assert losses[-1] < losses[0]
