@@ -52,15 +52,19 @@ class Int8InferenceLinear(nnx.Module):
         self.x_signed = qlinear.input_quant.cfg.signed
         bias = (qlinear.bias[...].astype(jnp.float32)
                 if qlinear.bias is not None else jnp.zeros((self.w_int.shape[1],)))
-        # fold the input-zero-point correction into the bias
+        # unsigned activations (uint8, e.g. post-ReLU) are re-centered into
+        # int8 by subtracting 128; together with the zero-point this folds
+        # into the bias via (x_q - zp) = (x_q - shift) + (shift - zp)
+        self.x_shift = 0.0 if self.x_signed else 128.0
         colsum = jnp.sum(self.w_int.astype(jnp.int32), axis=0).astype(jnp.float32)
-        self.bias = bias - self.x_zp * colsum * self.x_scale * self.w_scale
+        self.bias = bias + (self.x_shift - self.x_zp) * colsum \
+            * self.x_scale * self.w_scale
         self.act = act
 
     def __call__(self, x: Array) -> Array:
         lo, hi = (-128, 127) if self.x_signed else (0, 255)
         x_int = jnp.clip(jnp.round(x / self.x_scale + self.x_zp), lo, hi)
-        x_int = x_int.astype(jnp.int8)
+        x_int = (x_int - self.x_shift).astype(jnp.int8)
         flat = x_int.reshape(-1, x_int.shape[-1])
         y = int8_matmul(flat, self.w_int, self.x_scale, self.w_scale,
                         self.bias, act=self.act)
@@ -87,19 +91,29 @@ class Int8InferenceConv(nnx.Module):
         self.dn = qconv._dn()
         self.bias = (qconv.bias[...].astype(jnp.float32)
                      if qconv.bias is not None else None)
-        if float(self.x_zp) != 0.0:
-            raise NotImplementedError(
-                "int8 conv path currently requires symmetric input quant")
+        # unsigned inputs re-center by 128 (see Int8InferenceLinear); the
+        # spatially-varying border correction is an int8 conv of a constant,
+        # which XLA constant-folds at compile time
+        self.x_shift = 0.0 if self.x_signed else 128.0
 
-    def __call__(self, x: Array) -> Array:
-        lo, hi = (-128, 127) if self.x_signed else (0, 255)
-        x_int = jnp.clip(jnp.round(x / self.x_scale), lo, hi).astype(jnp.int8)
-        acc = jax.lax.conv_general_dilated(
+    def _conv(self, x_int: Array) -> Array:
+        return jax.lax.conv_general_dilated(
             x_int, self.w_int, window_strides=self.stride,
             padding=self.padding, rhs_dilation=self.dilation,
             dimension_numbers=self.dn, feature_group_count=self.groups,
             preferred_element_type=jnp.int32)
-        y = acc.astype(jnp.float32) * (self.x_scale * self.w_scale)
+
+    def __call__(self, x: Array) -> Array:
+        lo, hi = (-128, 127) if self.x_signed else (0, 255)
+        x_int = jnp.clip(jnp.round(x / self.x_scale + self.x_zp), lo, hi)
+        x_int = (x_int - self.x_shift).astype(jnp.int8)
+        acc = self._conv(x_int).astype(jnp.float32)
+        shift = self.x_shift - self.x_zp
+        # per-position kernel weight sums (handles borders); conv of a
+        # constant — XLA folds it at compile time
+        ksum = self._conv(jnp.ones(x.shape, jnp.int8)).astype(jnp.float32)
+        acc = acc + shift * ksum
+        y = acc * (self.x_scale * self.w_scale)
         if self.bias is not None:
             y = y + self.bias
         return y

@@ -56,10 +56,11 @@ class QuantAvgPool2d(nnx.Module, QuantLayerMixin):
                 jnp.log2(jnp.asarray(float(self._kernel_elems))))
             acc = QuantTensor(summed, qt.scale, qt.zero_point, acc_bw,
                               signed=qt.signed, training=qt.training)
+            # the truncation scale 2^(acc_bw - out_bw) IS the (power-of-two)
+            # division by the window size — the reference emits the truncated
+            # sum with the input scale unchanged (quant_avg_pool.py:55-67),
+            # exact mean for power-of-two windows
             out = self.trunc_quant(acc)
-            # fold the mean division into the scale
-            out = out.set(value=out.value / self._kernel_elems,
-                          scale=out.scale / self._kernel_elems)
             return self.pack_output(out)
         return self.pack_output(QuantTensor(summed / self._kernel_elems,
                                             training=qt.training))

@@ -522,7 +522,12 @@ class ParameterQuantizer(nnx.Module, TrainToggleMixin, FloatToIntMixin):
                                    po2_int_scale=cfg.po2_int_scale)
         zp = self.zero_point(view, scale, bit_width)
         if cfg.decoupled:
-            pre_threshold = _expand(self.pre_stats_fn(view), self.bshape)
+            # pre-scaling stats always view per output channel (reference
+            # fixes OverOutputChannelView for the pre-scale path,
+            # quant/base.py:219-279, even when the learned scale is
+            # per-tensor — AbsMaxL2 norms the per-channel maxima)
+            pre_view = stats_view(w, True, self.channel_axis)
+            pre_threshold = _expand(self.pre_stats_fn(pre_view), self.bshape)
             pre_scale = Qf.rescaling_scale(
                 pre_threshold, bit_width, signed=cfg.signed,
                 narrow_range=cfg.narrow_range, po2_int_scale=cfg.po2_int_scale)

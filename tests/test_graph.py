@@ -227,3 +227,79 @@ def test_quant_leaky_relu(rng):
     assert y.is_valid()
     neg = np.asarray(x) < 0
     assert np.all(np.asarray(y.value)[neg] <= 0)
+
+
+def test_int8_inference_linear_unsigned_input(rng):
+    """uint8 (post-ReLU) inputs must not wrap when recentered to int8."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    layer = qnn.QuantLinear(
+        16, 8, rngs=rngs(), use_bias=True,
+        weight_quant=presets.Int8WeightPerTensorFloat,
+        input_quant=presets.Uint8ActPerTensorFloat.let(collect_stats_steps=1))
+    x = jnp.abs(jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))) * 2
+    layer(x)
+    from brevitas_tpu.utils import eval_mode
+    eval_mode(layer)
+    y_fake = layer(x)
+
+    class Holder(nnx.Module):
+        def __init__(self, l):
+            self.l = l
+
+        def __call__(self, x):
+            return self.l(x)
+
+    m = Holder(layer)
+    G.convert_integer_inference(m)
+    assert isinstance(m.l, G.Int8InferenceLinear)
+    with pltpu.force_tpu_interpret_mode():
+        y_int = m(x)
+    np.testing.assert_allclose(y_int, y_fake, rtol=1e-3, atol=1e-3)
+
+
+def test_int8_inference_conv_unsigned_input(rng):
+    layer = qnn.QuantConv2d(
+        3, 8, 3, rngs=rngs(), padding="SAME", use_bias=True,
+        weight_quant=presets.Int8WeightPerChannelFloat,
+        input_quant=presets.Uint8ActPerTensorFloat.let(collect_stats_steps=1))
+    x = jnp.abs(jnp.asarray(rng.standard_normal((2, 6, 6, 3)).astype(np.float32)))
+    layer(x)
+    from brevitas_tpu.utils import eval_mode
+    eval_mode(layer)
+    y_fake = layer(x)
+
+    class Holder(nnx.Module):
+        def __init__(self, l):
+            self.l = l
+
+        def __call__(self, x):
+            return self.l(x)
+
+    m = Holder(layer)
+    G.convert_integer_inference(m)
+    assert isinstance(m.l, G.Int8InferenceConv)
+    y_int = jax.jit(lambda v: m(v))(x)
+    np.testing.assert_allclose(y_int, y_fake, rtol=1e-3, atol=1e-3)
+
+
+def test_avgpool_trunc_matches_reference_semantics(rng):
+    """Po2 window: truncated sum at unchanged scale equals the exact mean
+    (reference quant_avg_pool.py semantics, SAME scale out)."""
+    from brevitas_tpu.quant_tensor import QuantTensor
+
+    ints = jnp.asarray(rng.integers(-30, 30, (1, 4, 4, 2)).astype(np.float32))
+    qt = QuantTensor(ints * 0.1, jnp.asarray(0.1), jnp.asarray(0.0),
+                     jnp.asarray(8.0), signed=True)
+    pool = qnn.QuantAvgPool2d(2, return_quant_tensor=True)
+    out = pool(qt)
+    np.testing.assert_allclose(out.scale, 0.1)  # scale unchanged
+    # k=4 is a power of two → exact mean of the int grid
+    sums = np.asarray(ints).reshape(1, 2, 2, 2, 2, 2).transpose(0, 1, 3, 5, 2, 4)
+    # build sums via reduce for clarity
+    import jax as _jax
+
+    summed = _jax.lax.reduce_window(ints, 0.0, _jax.lax.add,
+                                    (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    expect = np.floor(np.asarray(summed) / 4.0) * 0.1
+    np.testing.assert_allclose(out.value, expect, atol=1e-6)
