@@ -162,6 +162,40 @@ def train_step(model, optimizer, x, y, loss_kind: str = "sqr_hinge"):
     return loss
 
 
+def make_scanned_epoch(model, optimizer, loss_kind: str = "sqr_hinge"):
+    """Whole-epoch lax.scan over batches inside one jit — ~4.5x over
+    per-step dispatch on the axon relay (PERF.md). Returns
+    ``epoch_fn(xs, ys) -> losses`` over stacked (steps, batch, ...) data."""
+    loss_fn = sqr_hinge_loss if loss_kind == "sqr_hinge" else cross_entropy_loss
+    graphdef, state = nnx.split((model, optimizer))
+    state_holder = {"state": state}
+
+    @jax.jit
+    def epoch(state, xs, ys):
+        def body(state, batch):
+            x, y = batch
+            m, opt = nnx.merge(graphdef, state)
+            loss, grads = nnx.value_and_grad(lambda mm: loss_fn(mm(x), y))(m)
+            opt.update(m, grads)
+            m.clip_weights(-1.0, 1.0)
+            _, state = nnx.split((m, opt))
+            return state, loss
+
+        return jax.lax.scan(body, state, (xs, ys))
+
+    def run(xs, ys):
+        state, losses = epoch(state_holder["state"], jnp.asarray(xs),
+                              jnp.asarray(ys))
+        state_holder["state"] = state
+        return losses
+
+    def sync():
+        nnx.update((model, optimizer), state_holder["state"])
+
+    run.sync = sync
+    return run
+
+
 @nnx.jit
 def eval_step(model, x, y):
     logits = model(x)
@@ -213,6 +247,8 @@ def main(argv=None):
     p.add_argument("--resume", default=None)
     p.add_argument("--ckpt-dir", default="./checkpoints")
     p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--scan", action="store_true",
+                   help="run each epoch as one jit (lax.scan over batches)")
     args = p.parse_args(argv)
 
     builder, kind, w_bits, a_bits = parse_network(args.network)
@@ -242,16 +278,25 @@ def main(argv=None):
 
     os.makedirs(args.ckpt_dir, exist_ok=True)
     model.train_mode()
+    scanned = make_scanned_epoch(model, optimizer, args.loss) if args.scan else None
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
-        losses = []
-        for bi, (xb, yb) in enumerate(
-                batches(x_train, y_train, args.batch_size, args.seed + epoch)):
-            loss = train_step(model, optimizer, jnp.asarray(xb),
-                              jnp.asarray(yb), loss_kind=args.loss)
-            losses.append(float(loss))
-            if bi % args.log_every == 0:
-                print(f"epoch {epoch} batch {bi}: loss {float(loss):.4f}")
+        if scanned is not None:
+            bs = list(batches(x_train, y_train, args.batch_size,
+                              args.seed + epoch))
+            xs = np.stack([b[0] for b in bs])
+            ys = np.stack([b[1] for b in bs])
+            losses = [float(l) for l in jax.device_get(scanned(xs, ys))]
+            scanned.sync()
+        else:
+            losses = []
+            for bi, (xb, yb) in enumerate(
+                    batches(x_train, y_train, args.batch_size, args.seed + epoch)):
+                loss = train_step(model, optimizer, jnp.asarray(xb),
+                                  jnp.asarray(yb), loss_kind=args.loss)
+                losses.append(float(loss))
+                if bi % args.log_every == 0:
+                    print(f"epoch {epoch} batch {bi}: loss {float(loss):.4f}")
         acc = evaluate(model, x_test, y_test)
         dt = time.time() - t0
         imgs_per_sec = len(losses) * args.batch_size / dt

@@ -99,3 +99,49 @@ def test_bit_width_losses(rng):
     assert float(acc_loss) > 8.0  # accumulators wider than operands
     widths = log_quantizer_bit_widths(m)
     assert any(v == 8.0 for v in widths.values())
+
+
+def test_mixed_precision_bit_width_learning(rng):
+    """Learned bit-widths move under a size-weighted objective — the
+    mixed-precision search capability (reference loss/weighted_bit_width.py
+    composed with BitWidthParameter)."""
+    import optax
+
+    import brevitas_tpu.nn as qnn
+    from brevitas_tpu.losses import weight_bit_width_weighted_by_size
+    from brevitas_tpu.quant import presets
+
+    class M(nnx.Module):
+        def __init__(self):
+            r = nnx.Rngs(0)
+            wq = presets.Int8WeightPerTensorFloatLearnedBitWidth
+            self.l1 = qnn.QuantLinear(16, 32, rngs=r, weight_quant=wq)
+            self.l2 = qnn.QuantLinear(32, 10, rngs=r, weight_quant=wq)
+
+        def __call__(self, x):
+            return self.l2(jax.nn.relu(self.l1(x)))
+
+    m = M()
+    opt = nnx.Optimizer(m, optax.adam(0.05), wrt=nnx.Param)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((32, 16)),
+                    jnp.float32)
+    y = jax.nn.one_hot(jnp.arange(32) % 10, 10)
+
+    @nnx.jit
+    def step(m, opt, x, y):
+        def loss_fn(mm):
+            task = jnp.mean((mm(x) - y) ** 2)
+            size = weight_bit_width_weighted_by_size(mm)
+            return task + 0.05 * size
+
+        loss, grads = nnx.value_and_grad(loss_fn)(m)
+        opt.update(m, grads)
+        return loss
+
+    bw0 = float(m.l1.weight_quant.bit_width_impl())
+    for _ in range(30):
+        step(m, opt, x, y)
+    bw1 = float(m.l1.weight_quant.bit_width_impl())
+    assert bw0 == 8.0
+    assert bw1 < bw0, f"bit-width did not shrink: {bw1}"
+    assert bw1 >= 2.0  # respects min_bit_width floor
