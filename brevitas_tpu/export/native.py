@@ -34,8 +34,14 @@ def export_native(model: nnx.Module, path: str) -> Dict:
         qw = mod.quant_weight()
         bw = float(np.asarray(qw.bit_width))
         key = mod_path.replace(".", "/")
-        arrays[f"{key}/w_int"] = np.asarray(
-            qw.int() if bw <= 8 else qw.int(float_datatype=True))
+        w_int = np.asarray(qw.int() if bw <= 8 else qw.int(float_datatype=True))
+        packed = False
+        if bw <= 4 and w_int.shape[-1] % 2 == 0:
+            from brevitas_tpu.kernels.int4 import pack_int4_np
+
+            w_int = pack_int4_np(w_int)  # halves int4 artifact size
+            packed = True
+        arrays[f"{key}/w_int"] = w_int
         arrays[f"{key}/w_scale"] = np.asarray(qw.scale)
         arrays[f"{key}/w_zero_point"] = np.asarray(qw.zero_point)
         if mod.bias is not None:
@@ -45,6 +51,7 @@ def export_native(model: nnx.Module, path: str) -> Dict:
             "kind": "linear" if isinstance(mod, QuantLinear) else "conv",
             "bit_width": bw,
             "signed": bool(qw.signed),
+            "int4_packed": packed,
         }
         if isinstance(mod, _QuantConvNd):
             entry.update(stride=list(mod.stride), groups=mod.groups,
@@ -64,9 +71,14 @@ def load_native(path: str) -> Dict:
     out = {}
     for entry in manifest:
         key = entry["path"].replace(".", "/")
+        w_int = data[f"{key}/w_int"]
+        if entry.get("int4_packed"):
+            from brevitas_tpu.kernels.int4 import unpack_int4_np
+
+            w_int = unpack_int4_np(w_int)
         out[entry["path"]] = {
             "meta": entry,
-            "w_int": data[f"{key}/w_int"],
+            "w_int": w_int,
             "w_scale": data[f"{key}/w_scale"],
             "w_zero_point": data[f"{key}/w_zero_point"],
             "bias": data.get(f"{key}/bias"),

@@ -25,6 +25,8 @@ Array = jnp.ndarray
 
 _BM = 256
 _BN = 256
+_BK = 1024         # K-slab for blocked accumulation
+_BK_SINGLE = 4096  # below this, one K pass fits VMEM comfortably
 
 
 def int8_matmul_reference(x_i8: Array, w_i8: Array, x_scale: Array,
@@ -51,6 +53,28 @@ def _kernel(x_ref, w_ref, xs_ref, ws_ref, b_ref, y_ref, *, act, out_dtype):
     if act == "relu":
         y = jnp.maximum(y, 0.0)
     y_ref[:] = y.astype(out_dtype)
+
+
+def _kernel_kblocked(x_ref, w_ref, xs_ref, ws_ref, b_ref, y_ref, acc_ref,
+                     *, act, out_dtype):
+    """Grid (M, N, K): int32 accumulation in VMEM scratch across K steps,
+    dequant epilogue on the last step (double-buffered K slabs stream from
+    HBM while the MXU works — the standard blocked-GEMM pattern)."""
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(x_ref[:], w_ref[:],
+                          preferred_element_type=jnp.int32)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        scale = xs_ref[0, 0] * ws_ref[0, :]
+        y = acc_ref[:].astype(jnp.float32) * scale[None, :]
+        y = y + b_ref[0, :][None, :]
+        if act == "relu":
+            y = jnp.maximum(y, 0.0)
+        y_ref[:] = y.astype(out_dtype)
 
 
 def _pad_to(x: Array, axis: int, mult: int) -> Array:
@@ -85,25 +109,57 @@ def int8_matmul(x_i8: Array, w_i8: Array, x_scale: Array, w_scale: Array,
     bp = _pad_to(b, 0, _BN).reshape(1, np_)
     xs = jnp.asarray(x_scale, jnp.float32).reshape(1, 1)
 
-    grid = (mp // _BM, np_ // _BN)
+    if kp <= _BK_SINGLE:
+        grid = (mp // _BM, np_ // _BN)
+        y = pl.pallas_call(
+            functools.partial(_kernel, act=act, out_dtype=out_dtype),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((_BM, kp), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((kp, _BN), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, _BN), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, _BN), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((_BM, _BN), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * mp * np_ * kp,
+                bytes_accessed=mp * kp + kp * np_ + mp * np_ * 4,
+                transcendentals=0),
+        )(xp, wp, xs, wsp, bp)
+        return y[:m, :n]
+
+    # large K: blocked accumulation so VMEM holds only (BM,BK)+(BK,BN) slabs
+    xp = _pad_to(xp, 1, _BK)
+    wp = _pad_to(wp, 0, _BK)
+    kp = xp.shape[1]
+    grid = (mp // _BM, np_ // _BN, kp // _BK)
     y = pl.pallas_call(
-        functools.partial(_kernel, act=act, out_dtype=out_dtype),
+        functools.partial(_kernel_kblocked, act=act, out_dtype=out_dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_BM, kp), lambda i, j: (i, 0),
+            pl.BlockSpec((_BM, _BK), lambda i, j, k: (i, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kp, _BN), lambda i, j: (0, j),
+            pl.BlockSpec((_BK, _BN), lambda i, j, k: (k, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+            pl.BlockSpec((1, 1), lambda i, j, k: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, _BN), lambda i, j: (0, j),
+            pl.BlockSpec((1, _BN), lambda i, j, k: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _BN), lambda i, j: (0, j),
+            pl.BlockSpec((1, _BN), lambda i, j, k: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_BM, _BN), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((_BM, _BN), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        scratch_shapes=[pltpu.VMEM((_BM, _BN), jnp.int32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * np_ * kp,
             bytes_accessed=mp * kp + kp * np_ + mp * np_ * 4,

@@ -81,3 +81,67 @@ def test_int8_matmul_no_bias_scalar_scale(rng):
     got = int8_matmul(x, w, jnp.asarray(0.1), jnp.asarray(0.5))
     want = int8_matmul_reference(x, w, jnp.asarray(0.1), jnp.asarray(0.5))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_int8_matmul_kblocked_large_k(rng):
+    """K > single-pass threshold exercises the blocked-accumulation path."""
+    import brevitas_tpu.kernels.int_matmul as im
+
+    old = im._BK_SINGLE, im._BK
+    im._BK_SINGLE, im._BK = 128, 128  # force K-blocking at test scale
+    try:
+        x = jnp.asarray(rng.integers(-128, 128, (64, 300)), jnp.int8)
+        w = jnp.asarray(rng.integers(-128, 128, (300, 48)), jnp.int8)
+        ws = jnp.asarray(rng.random(48).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.standard_normal(48).astype(np.float32))
+        got = int8_matmul(x, w, jnp.asarray(0.02), ws, b, act="relu")
+        want = int8_matmul_reference(x, w, jnp.asarray(0.02), ws, b, act="relu")
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    finally:
+        im._BK_SINGLE, im._BK = old
+
+
+def test_int4_pack_roundtrip(rng):
+    from brevitas_tpu.kernels.int4 import (
+        pack_int4,
+        pack_int4_np,
+        unpack_int4,
+        unpack_int4_np,
+    )
+
+    v = rng.integers(-8, 8, (6, 10)).astype(np.int8)
+    packed = pack_int4_np(v)
+    assert packed.shape == (6, 5)
+    np.testing.assert_array_equal(unpack_int4_np(packed), v)
+    # jnp twins agree
+    np.testing.assert_array_equal(np.asarray(unpack_int4(pack_int4(jnp.asarray(v)))), v)
+
+
+def test_native_export_int4_packing(tmp_path, rng):
+    from flax import nnx
+
+    import brevitas_tpu.nn as qnn
+    from brevitas_tpu.export import export_native, load_native
+    from brevitas_tpu.quant import presets
+
+    layer = qnn.QuantLinear(8, 6, rngs=nnx.Rngs(0),
+                            weight_quant=presets.Int4WeightPerTensorFloat)
+
+    class Holder(nnx.Module):
+        def __init__(self, l):
+            self.l = l
+
+        def __call__(self, x):
+            return self.l(x)
+
+    m = Holder(layer)
+    path = str(tmp_path / "m4.npz")
+    export_native(m, path)
+    loaded = load_native(path)
+    entry = loaded["l"]
+    assert entry["meta"]["int4_packed"]
+    assert entry["w_int"].shape == (8, 6)  # unpacked on load
+    qw = layer.quant_weight()
+    np.testing.assert_allclose(
+        entry["w_int"].astype(np.float32) * entry["w_scale"],
+        np.asarray(qw.value), rtol=1e-5, atol=1e-6)
