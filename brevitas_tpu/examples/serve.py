@@ -1,0 +1,124 @@
+"""Integer-domain serving demo: continuous batching over a device mesh.
+
+The BASELINE north-star's serving shape: a trained QAT model converted to
+int8 serving twins, requests accumulated into fixed-size batches (padding the
+tail), executed under one jit with the batch sharded over the mesh data axis.
+Reports per-batch latency and sustained throughput.
+
+Run: python -m brevitas_tpu.examples.serve --requests 512 --batch-size 128
+"""
+
+import argparse
+import json
+import time
+from collections import deque
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import brevitas_tpu.graph as G
+from brevitas_tpu.models import lfc
+from brevitas_tpu.parallel import make_mesh
+from brevitas_tpu.quant import presets
+from brevitas_tpu.utils import eval_mode
+
+
+class ContinuousBatcher:
+    """Accumulates requests into fixed-size device batches; flushes full
+    batches immediately and pads the final partial batch."""
+
+    def __init__(self, batch_size: int, feature_shape):
+        self.batch_size = batch_size
+        self.feature_shape = tuple(feature_shape)
+        self.queue: deque = deque()
+
+    def submit(self, request: np.ndarray) -> None:
+        self.queue.append(request)
+
+    def batches(self) -> Iterator[np.ndarray]:
+        while self.queue:
+            take = min(self.batch_size, len(self.queue))
+            items = [self.queue.popleft() for _ in range(take)]
+            batch = np.stack(items)
+            if take < self.batch_size:
+                pad = np.zeros((self.batch_size - take, *self.feature_shape),
+                               batch.dtype)
+                batch = np.concatenate([batch, pad])
+            yield batch, take
+
+
+def build_int8_model(rngs: nnx.Rngs):
+    """LFC INT8 with input quantizers so every layer converts to an int8
+    serving twin."""
+    act = presets.Int8ActPerTensorFloat.let(collect_stats_steps=1)
+    model = lfc(weight_bit_width=8, act_bit_width=8, in_bit_width=8,
+                dropout=0.0, rngs=rngs)
+    # give each linear an input quantizer for the integer path
+    from brevitas_tpu.nn import QuantLinear
+    from brevitas_tpu.quant.quantizers import ActQuantizer
+
+    for _, mod in G.named_modules(model):
+        if isinstance(mod, QuantLinear):
+            mod.input_quant = ActQuantizer(act)
+    model(jnp.zeros((2, 28, 28, 1)))  # settle stats
+    eval_mode(model)
+    return model
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("brevitas_tpu int8 serving demo")
+    p.add_argument("--requests", type=int, default=512)
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--data-axis-size", type=int, default=0,
+                   help="0 = all local devices")
+    p.add_argument("--integer", action="store_true", default=True)
+    args = p.parse_args(argv)
+
+    n_dev = args.data_axis_size or len(jax.devices())
+    mesh = make_mesh([("data", n_dev)])
+    model = build_int8_model(nnx.Rngs(0))
+    if args.integer:
+        G.convert_integer_inference(model)
+
+    graphdef, state = nnx.split(model)
+
+    @jax.jit
+    def infer(state, x):
+        m = nnx.merge(graphdef, state)
+        return m(x)
+
+    batcher = ContinuousBatcher(args.batch_size, (28, 28, 1))
+    rng = np.random.default_rng(0)
+    for _ in range(args.requests):
+        batcher.submit(rng.random((28, 28, 1), dtype=np.float32))
+
+    sharding = NamedSharding(mesh, P("data", None, None, None))
+    latencies = []
+    served = 0
+    t0 = time.time()
+    for batch, n_real in batcher.batches():
+        tb = time.perf_counter()
+        xb = jax.device_put(jnp.asarray(batch), sharding)
+        logits = jax.device_get(infer(state, xb))[:n_real]
+        latencies.append(time.perf_counter() - tb)
+        served += n_real
+    dt = time.time() - t0
+    out = {
+        "requests": served,
+        "batches": len(latencies),
+        "throughput_rps": served / dt,
+        "p50_batch_ms": float(np.percentile(latencies, 50) * 1e3),
+        "p99_batch_ms": float(np.percentile(latencies, 99) * 1e3),
+        "devices": n_dev,
+        "integer_path": args.integer,
+    }
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,7 @@ def named_modules(model: nnx.Module, prefix: str = "") -> Iterator[Tuple[str, nn
 
 def _children(module: nnx.Module) -> Iterator[Tuple[str, nnx.Module]]:
     for name, value in vars(module).items():
+        name = str(name)  # nnx.List stores children under integer keys
         if name.startswith("_"):
             continue
         if isinstance(value, nnx.Module):

@@ -62,12 +62,17 @@ class Int8InferenceLinear(nnx.Module):
         self.act = act
 
     def __call__(self, x: Array) -> Array:
+        from brevitas_tpu.kernels import int8_matmul_reference
+
         lo, hi = (-128, 127) if self.x_signed else (0, 255)
         x_int = jnp.clip(jnp.round(x / self.x_scale + self.x_zp), lo, hi)
         x_int = (x_int - self.x_shift).astype(jnp.int8)
         flat = x_int.reshape(-1, x_int.shape[-1])
-        y = int8_matmul(flat, self.w_int, self.x_scale, self.w_scale,
-                        self.bias, act=self.act)
+        # Pallas epilogue-fused GEMM on TPU; XLA int8 dot elsewhere
+        mm = int8_matmul if jax.default_backend() == "tpu" \
+            else int8_matmul_reference
+        y = mm(flat, self.w_int, self.x_scale, self.w_scale,
+               self.bias, act=self.act)
         return y.reshape(*x.shape[:-1], self.w_int.shape[1])
 
 

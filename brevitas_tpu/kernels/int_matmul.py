@@ -160,6 +160,8 @@ def int8_matmul(x_i8: Array, w_i8: Array, x_scale: Array, w_scale: Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
         scratch_shapes=[pltpu.VMEM((_BM, _BN), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * np_ * kp,
             bytes_accessed=mp * kp + kp * np_ + mp * np_ * 4,

@@ -89,3 +89,17 @@ def test_ctc_decoder_and_wer():
     assert greedy_ctc_decode(logits) == "ab"
     assert word_error_rate("the cat", "the cat") == 0.0
     assert word_error_rate("the bat", "the cat") == 0.5
+
+
+def test_serve_demo_continuous_batching():
+    from brevitas_tpu.examples.serve import ContinuousBatcher, main
+
+    b = ContinuousBatcher(4, (3,))
+    for i in range(10):
+        b.submit(np.full((3,), float(i), np.float32))
+    batches = list(b.batches())
+    assert [n for _, n in batches] == [4, 4, 2]
+    assert batches[-1][0].shape == (4, 3)  # padded tail
+
+    res = main(["--requests", "24", "--batch-size", "8"])
+    assert res["requests"] == 24 and res["batches"] == 3
