@@ -11,7 +11,9 @@ from brevitas_tpu.graph.base import (
 )
 from brevitas_tpu.graph.calibrate import (
     bias_correction_mode,
+    cache_inference_quant_weights,
     calibration_mode,
+    clear_inference_quant_weight_cache,
     clip_float_weights,
     finalize_collect_stats,
 )
@@ -37,6 +39,7 @@ __all__ = [
     "replace_modules_by_class",
     "calibration_mode", "bias_correction_mode", "finalize_collect_stats",
     "clip_float_weights",
+    "cache_inference_quant_weights", "clear_inference_quant_weight_cache",
     "equalize", "cross_layer_equalization", "sequential_regions",
     "quantize", "merge_batchnorms",
     "adaptive_avgpool_to_avgpool", "avgpool_to_depthwise_conv",

@@ -137,6 +137,21 @@ def bias_correction_mode(model: nnx.Module, enabled: bool = True):
                     layer.bias = nnx.Param(corr)
 
 
+def cache_inference_quant_weights(model: nnx.Module) -> int:
+    """Precompute fake-quant weights on every WBIOL layer for eval serving
+    (reference cache_inference_quant_weight). Returns the layer count."""
+    n = 0
+    for _, layer in find_modules(model, QuantWBIOL):
+        layer.cache_quant_weight()
+        n += 1
+    return n
+
+
+def clear_inference_quant_weight_cache(model: nnx.Module) -> None:
+    for _, layer in find_modules(model, QuantWBIOL):
+        layer.clear_quant_weight_cache()
+
+
 def clip_float_weights(model: nnx.Module, threshold: float = 15.0) -> None:
     """Clamp float weights before PTQ to kill extreme outliers (reference
     ClipFloatWeights, graph/calibrate.py:85)."""

@@ -92,7 +92,20 @@ class QuantWBIOL(nnx.Module, QuantLayerMixin):
         raise NotImplementedError
 
     def quant_weight(self) -> QuantTensor:
+        cached = getattr(self, "_cached_quant_weight", None)
+        if cached is not None:
+            return cached
         return self.weight_quant(self.weight[...])
+
+    def cache_quant_weight(self) -> None:
+        """Precompute the fake-quant weight for inference so eval forwards
+        skip the quant chain (reference cache_inference_quant_weight /
+        _CachedIO, nn/mixin/base.py:24). Cleared by clear_quant_weight_cache
+        or any further training."""
+        self._cached_quant_weight = self.weight_quant(self.weight[...])
+
+    def clear_quant_weight_cache(self) -> None:
+        self._cached_quant_weight = None
 
     def forward_quant(self, inp: TensorOrQuant, inner_forward) -> TensorOrQuant:
         """The WBIOL law (reference forward_impl, nn/quant_layer.py:302-365)."""

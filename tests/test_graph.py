@@ -303,3 +303,28 @@ def test_avgpool_trunc_matches_reference_semantics(rng):
                                     (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
     expect = np.floor(np.asarray(summed) / 4.0) * 0.1
     np.testing.assert_allclose(out.value, expect, atol=1e-6)
+
+
+def test_cache_inference_quant_weights(rng):
+    layer = qnn.QuantLinear(8, 4, rngs=rngs(),
+                            weight_quant=presets.Int8WeightPerTensorFloat)
+
+    class M(nnx.Module):
+        def __init__(self, l):
+            self.l = l
+
+        def __call__(self, x):
+            return self.l(x)
+
+    m = M(layer)
+    x = jnp.asarray(rng.standard_normal((2, 8)).astype(np.float32))
+    y0 = m(x)
+    n = G.cache_inference_quant_weights(m)
+    assert n == 1
+    # cached result identical; mutating the raw weight no longer changes
+    # the quantized weight until the cache is cleared
+    np.testing.assert_allclose(m(x), y0, rtol=1e-6)
+    layer.weight[...] = layer.weight[...] * 2.0
+    np.testing.assert_allclose(m(x), y0, rtol=1e-6)
+    G.clear_inference_quant_weight_cache(m)
+    assert bool(jnp.any(m(x) != y0))
