@@ -27,11 +27,21 @@ def _checkpointer():
     return ocp.StandardCheckpointer()
 
 
+def _strip_caches(tree):
+    """Drop transient inference caches from a state dict — they are
+    recomputable and would break restore into a fresh model."""
+    if isinstance(tree, dict):
+        return {k: _strip_caches(v) for k, v in tree.items()
+                if k != "_cached_quant_weight"}
+    return tree
+
+
 def save(path: str, model: nnx.Module, optimizer: Optional[Any] = None,
          step: int = 0) -> str:
     """Save model (+ optimizer) state with orbax."""
     path = os.path.abspath(path)
-    state = {"model": nnx.state(model).to_pure_dict(), "step": np.asarray(step)}
+    state = {"model": _strip_caches(nnx.state(model).to_pure_dict()),
+             "step": np.asarray(step)}
     if optimizer is not None:
         state["optimizer"] = nnx.state(optimizer).to_pure_dict()
     ckptr = _checkpointer()
@@ -58,6 +68,10 @@ def restore(path: str, model: nnx.Module, optimizer: Optional[Any] = None,
         nnx.update(model, saved_model)
     if optimizer is not None and "optimizer" in restored:
         nnx.update(optimizer, restored["optimizer"])
+    # restored weights invalidate any cached inference quant weights
+    from brevitas_tpu.quant.quantizers import _clear_quant_weight_caches
+
+    _clear_quant_weight_caches(model)
     return int(restored.get("step", 0))
 
 

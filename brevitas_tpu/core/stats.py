@@ -73,9 +73,11 @@ def abs_max_ave(x: Array, mesh_axis: Optional[str] = None) -> Array:
     """Mean over groups of per-group abs-max; returns a scalar-shaped (1,) stat.
 
     Reference AbsMaxAve reduces max over the stats dim then means over the
-    rest (stats_op.py:161)."""
-    out = jnp.mean(jnp.max(jnp.abs(x), axis=-1), keepdims=True)
-    return _maybe_all(jax.lax.pmean, out, mesh_axis)
+    rest (stats_op.py:161). Under sharding the per-group maxima combine with
+    pmax BEFORE the mean (mean-of-local-means would underestimate)."""
+    per_group = jnp.max(jnp.abs(x), axis=-1)
+    per_group = _maybe_all(jax.lax.pmax, per_group, mesh_axis)
+    return jnp.mean(per_group, keepdims=True)
 
 
 def abs_max_l2(x: Array, mesh_axis: Optional[str] = None) -> Array:
@@ -93,11 +95,13 @@ def mean_sigma_std(x: Array, sigma, epsilon: float = DEFAULT_STD_DEV_EPSILON,
     abs_val = jnp.abs(x)
     mean_val = _maybe_all(jax.lax.pmean, jnp.mean(abs_val, axis=-1), mesh_axis)
     if mesh_axis is None:
-        var = jnp.var(abs_val, axis=-1)
+        # unbiased (ddof=1), matching torch.var's default in the reference
+        var = jnp.var(abs_val, axis=-1, ddof=1)
     else:
-        # global variance via E[x^2] - E[x]^2 across shards
+        # global unbiased variance via E[x^2] - E[x]^2 with n/(n-1) correction
         mean_sq = jax.lax.pmean(jnp.mean(abs_val**2, axis=-1), axis_name=mesh_axis)
-        var = mean_sq - mean_val**2
+        n = abs_val.shape[-1] * jax.lax.axis_size(mesh_axis)
+        var = (mean_sq - mean_val**2) * (n / max(n - 1, 1))
     std_val = jnp.sqrt(var + epsilon)
     return mean_val + sigma * std_val
 
@@ -230,9 +234,13 @@ def stats_fn(op: StatsOp, *, sigma: Optional[float] = None,
         return abs_max_l2
     if op == StatsOp.MIN_MAX:
         return abs_min_max
-    if op in (StatsOp.MEAN_SIGMA_STD, StatsOp.MEAN_LEARN_SIGMA_STD):
+    if op == StatsOp.MEAN_SIGMA_STD:
         assert sigma is not None, f"{op} requires sigma"
         return partial(mean_sigma_std, sigma=sigma)
+    if op == StatsOp.MEAN_LEARN_SIGMA_STD:
+        # sigma supplied per call by the scaling module's learned Param
+        # (reference MeanLearnedSigmaStd, stats_op.py:246)
+        return mean_sigma_std
     if op == StatsOp.PERCENTILE:
         assert high_percentile_q is not None, "percentile requires high_percentile_q"
         return partial(abs_percentile, q=high_percentile_q)

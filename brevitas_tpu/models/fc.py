@@ -101,7 +101,7 @@ class FC(nnx.Module, TrainToggleMixin):
         return items
 
     def train_mode(self):
-        self.set_attributes(training=True, raise_if_not_found=False)
+        TrainToggleMixin.train_mode(self)  # also invalidates weight caches
         self.set_attributes(use_running_average=False, raise_if_not_found=False)
         return self
 

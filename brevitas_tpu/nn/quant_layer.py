@@ -91,21 +91,34 @@ class QuantWBIOL(nnx.Module, QuantLayerMixin):
         """Number of elements summed per output element (fan-in)."""
         raise NotImplementedError
 
+    # toggled recursively by set_attributes(training=...) from any parent
+    training: bool = True
+
     def quant_weight(self) -> QuantTensor:
         cached = getattr(self, "_cached_quant_weight", None)
-        if cached is not None:
+        if (cached is not None
+                and not self.weight_quant.disable_quant
+                and not self.training):
             return cached
         return self.weight_quant(self.weight[...])
 
     def cache_quant_weight(self) -> None:
-        """Precompute the fake-quant weight for inference so eval forwards
-        skip the quant chain (reference cache_inference_quant_weight /
-        _CachedIO, nn/mixin/base.py:24). Cleared by clear_quant_weight_cache
-        or any further training."""
-        self._cached_quant_weight = self.weight_quant(self.weight[...])
+        """Precompute the fake-quant weight for EVAL serving so forwards skip
+        the quant chain (reference cache_inference_quant_weight / _CachedIO,
+        nn/mixin/base.py:24). The cache is inert while training or while
+        quantization is bypassed (calibration/bias-correction float twins),
+        is cleared by train_mode()/clear_quant_weight_cache(), and is computed
+        under eval semantics so quant-delay counters don't advance."""
+        delay = getattr(self.weight_quant, "delay", None)
+        was_training = delay.training if delay is not None else None
+        self.weight_quant.eval_mode()
+        self._cached_quant_weight = nnx.data(self.weight_quant(self.weight[...]))
+        if was_training:
+            self.weight_quant.train_mode()
 
     def clear_quant_weight_cache(self) -> None:
-        self._cached_quant_weight = None
+        self._cached_quant_weight = nnx.data(None)
+
 
     def forward_quant(self, inp: TensorOrQuant, inner_forward) -> TensorOrQuant:
         """The WBIOL law (reference forward_impl, nn/quant_layer.py:302-365)."""

@@ -55,15 +55,26 @@ Array = jnp.ndarray
 class TrainToggleMixin:
     """Recursive train/eval switch over the ``training`` attribute —
     the analogue of torch Module.train()/eval() for the quantizer state
-    machines (EMA vs frozen stats, counter advancement)."""
+    machines (EMA vs frozen stats, counter advancement). Returning to
+    training invalidates any cached inference quant weights so QAT never
+    trains against a frozen weight."""
 
     def train_mode(self):
         self.set_attributes(training=True, raise_if_not_found=False)
+        _clear_quant_weight_caches(self)
         return self
 
     def eval_mode(self):
         self.set_attributes(training=False, raise_if_not_found=False)
         return self
+
+
+def _clear_quant_weight_caches(module) -> None:
+    from brevitas_tpu.graph.base import named_modules
+
+    for _, mod in named_modules(module):
+        if hasattr(mod, "clear_quant_weight_cache"):
+            mod.clear_quant_weight_cache()
 
 
 # ---------------------------------------------------------------------------
@@ -195,7 +206,7 @@ class StatsScaling(nnx.Module):
             self.affine_bias = nnx.Param(jnp.zeros(bshape))
 
     def __call__(self, stats_input: Array) -> Array:
-        stats = _expand(self.stats_fn(stats_input), self.bshape)
+        stats = _expand(_stats_call(self, stats_input), self.bshape)
         if self.affine:
             stats = stats * self.affine_weight[...] + self.affine_bias[...]
         return self.rc.forward(self.rc.preprocess_runtime(stats))
@@ -226,7 +237,7 @@ class RuntimeStatsScaling(nnx.Module):
 
     def __call__(self, stats_input: Optional[Array]) -> Array:
         if self.training:
-            stats = _expand(self.stats_fn(stats_input), self.bshape)
+            stats = _expand(_stats_call(self, stats_input), self.bshape)
             c = self.counter[...]
             new_buf = _momentum_update(self.buffer[...], stats, self.momentum, c)
             self.buffer[...] = jnp.where(c == 0, jax.lax.stop_gradient(stats), new_buf)
@@ -268,7 +279,7 @@ class ParameterFromRuntimeStatsScaling(nnx.Module):
             return abs_binary_sign_grad(
                 jnp.where(c <= self.steps, buf, self.rc.forward(self.value[...])))
 
-        stats = _expand(self.stats_fn(stats_input), self.bshape)
+        stats = _expand(_stats_call(self, stats_input), self.bshape)
         clamped = self.rc.clamp_only(stats)
         collecting = c < self.steps
         # EMA / running-mean update of the buffer while collecting
@@ -282,6 +293,21 @@ class ParameterFromRuntimeStatsScaling(nnx.Module):
             handoff, self.rc.preprocess_runtime(self.buffer[...]), self.value[...])
         self.counter[...] = jnp.where(c <= self.steps, c + 1, c)
         return jnp.where(collecting, abs_binary_sign_grad(clamped), self._from_param())
+
+
+# stats ops that aggregate per-channel maxima into one group (AbsMaxL2 /
+# AbsMaxAve) must ALWAYS see a per-channel view, whatever the scale shape
+# (reference fixes OverOutputChannelView for them, quant/base.py:219)
+GROUP_REDUCING_STATS_OPS = frozenset({S.StatsOp.MAX_L2, S.StatsOp.MAX_AVE})
+
+
+def _stats_call(mod, x: Array) -> Array:
+    """Invoke a scaling module's stats fn, supplying the learned sigma when
+    present (MEAN_LEARN_SIGMA_STD)."""
+    sigma = getattr(mod, "sigma", None)
+    if sigma is not None:
+        return mod.stats_fn(x, sigma=sigma[...])
+    return mod.stats_fn(x)
 
 
 def _momentum_update(buf: Array, update: Array, momentum: Optional[float],
@@ -325,13 +351,32 @@ def build_scaling(cfg: QuantConfig, bshape: Tuple[int, ...],
     """Resolve ScalingImplType → scaling module (replacement for
     SolveScalingImplFromEnum, quant/solver/weight.py + act.py)."""
     impl = ScalingImplType(cfg.scaling_impl)
+    if impl == ScalingImplType.AFFINE_STATS and not cfg.scaling_affine:
+        # AFFINE_STATS implies the learned affine on top of stats
+        # (reference _AffineRescaling, core/scaling/runtime.py:105)
+        cfg = cfg.let(scaling_affine=True)
+    op = S.StatsOp(cfg.scaling_stats_op)
+    learned_sigma = op == S.StatsOp.MEAN_LEARN_SIGMA_STD
     stats_fn = S.stats_fn(
-        cfg.scaling_stats_op, sigma=cfg.scaling_stats_sigma,
+        op, sigma=cfg.scaling_stats_sigma,
         high_percentile_q=cfg.high_percentile_q,
         low_percentile_q=cfg.low_percentile_q)
     if cfg.stats_reduce_mesh_axis is not None:
         base_fn, axis = stats_fn, cfg.stats_reduce_mesh_axis
-        stats_fn = lambda x: base_fn(x, mesh_axis=axis)  # noqa: E731
+        stats_fn = lambda x, **kw: base_fn(x, mesh_axis=axis, **kw)  # noqa: E731
+
+    def init_stats(x):
+        if learned_sigma:
+            assert cfg.scaling_stats_sigma is not None, \
+                "MEAN_LEARN_SIGMA_STD requires scaling_stats_sigma as init"
+            return stats_fn(x, sigma=cfg.scaling_stats_sigma)
+        return stats_fn(x)
+
+    def attach_sigma(module):
+        if learned_sigma:
+            module.sigma = nnx.Param(
+                jnp.asarray(float(cfg.scaling_stats_sigma)))
+        return module
     if impl == ScalingImplType.CONST:
         assert cfg.scaling_const is not None, "CONST scaling requires scaling_const"
         return ConstScaling(cfg, cfg.scaling_const, bshape)
@@ -342,7 +387,7 @@ def build_scaling(cfg: QuantConfig, bshape: Tuple[int, ...],
         if cfg.scaling_const is not None:
             init = jnp.full(bshape, cfg.scaling_const)
         elif init_stats_input is not None:
-            init = _expand(stats_fn(init_stats_input), bshape)
+            init = _expand(init_stats(init_stats_input), bshape)
         else:
             init = jnp.ones(bshape)
         return ParameterScaling(cfg, init, bshape)
@@ -350,13 +395,13 @@ def build_scaling(cfg: QuantConfig, bshape: Tuple[int, ...],
         if init_stats_input is not None:
             # parameter initialized from stats of the initial parameter value
             # (reference ParameterFromStatsScalingInit, quant/solver/parameter.py)
-            init = _expand(stats_fn(init_stats_input), bshape)
+            init = _expand(init_stats(init_stats_input), bshape)
             return ParameterScaling(cfg, init, bshape)
-        return ParameterFromRuntimeStatsScaling(cfg, stats_fn, bshape)
+        return attach_sigma(ParameterFromRuntimeStatsScaling(cfg, stats_fn, bshape))
     if impl in (ScalingImplType.STATS, ScalingImplType.AFFINE_STATS):
         if init_stats_input is not None:
-            return StatsScaling(cfg, stats_fn, bshape)
-        return RuntimeStatsScaling(cfg, stats_fn, bshape)
+            return attach_sigma(StatsScaling(cfg, stats_fn, bshape))
+        return attach_sigma(RuntimeStatsScaling(cfg, stats_fn, bshape))
     raise ValueError(f"unsupported scaling impl {impl}")
 
 
@@ -480,22 +525,37 @@ class ParameterQuantizer(nnx.Module, TrainToggleMixin, FloatToIntMixin):
             weight_init.shape, self.per_channel, channel_axis)
         if self.quant_type == QuantType.NONE:
             return
-        view = stats_view(weight_init, self.per_channel, channel_axis)
+        # group-reducing ops (AbsMaxL2/AbsMaxAve) aggregate per-channel maxima
+        # into ONE group: they always need the per-channel view and cannot
+        # produce per-channel scales
+        op = S.StatsOp(cfg.scaling_stats_op)
+        if op in GROUP_REDUCING_STATS_OPS and self.per_channel:
+            raise ValueError(f"{op} reduces channel groups to a single stat; "
+                             "it cannot drive per-channel scaling")
+        self.stats_per_channel = self.per_channel or op in GROUP_REDUCING_STATS_OPS
+        view = stats_view(weight_init, self.stats_per_channel, channel_axis)
         fan_in = view.shape[-1]
         self.bit_width_impl = BitWidth(cfg)
-        self.scaling = build_scaling(cfg, self.bshape, init_stats_input=view,
-                                     fan_in=fan_in)
-        self.zero_point = ZeroPoint(cfg, self.bshape, runtime=False)
-        self.delay = QuantDelay(cfg.quant_delay_steps)
         if cfg.decoupled:
-            pre_fn = S.stats_fn(cfg.pre_scaling_stats_op,
-                                high_percentile_q=cfg.high_percentile_q)
-            self.pre_stats_fn = pre_fn
             # learned scale initialized from pre-scaling stats of the weight
+            # (built once; the symmetric non-decoupled scaling is never used)
+            pre_op = S.StatsOp(cfg.pre_scaling_stats_op)
+            self.pre_stats_fn = S.stats_fn(
+                pre_op, high_percentile_q=cfg.high_percentile_q)
             pre_cfg = cfg.let(scaling_impl=ScalingImplType.PARAMETER,
                               scaling_stats_op=cfg.pre_scaling_stats_op)
+            pre_view = stats_view(
+                weight_init,
+                self.per_channel or pre_op in GROUP_REDUCING_STATS_OPS,
+                channel_axis)
             self.scaling = build_scaling(pre_cfg, self.bshape,
+                                         init_stats_input=pre_view,
+                                         fan_in=pre_view.shape[-1])
+        else:
+            self.scaling = build_scaling(cfg, self.bshape,
                                          init_stats_input=view, fan_in=fan_in)
+        self.zero_point = ZeroPoint(cfg, self.bshape, runtime=False)
+        self.delay = QuantDelay(cfg.quant_delay_steps)
 
     def _clamp_fn(self):
         return tensor_clamp_ste if self.cfg.clamp_ste else tensor_clamp
@@ -504,8 +564,7 @@ class ParameterQuantizer(nnx.Module, TrainToggleMixin, FloatToIntMixin):
         cfg = self.cfg
         if self.quant_type == QuantType.NONE or self.disable_quant:
             return QuantTensor(w)
-        view = stats_view(w, self.per_channel, self.channel_axis)
-        bit_width = self.bit_width_impl()
+        view = stats_view(w, self.stats_per_channel, self.channel_axis)
         if self.quant_type == QuantType.BINARY:
             scale = self.scaling(view)
             y, bit_width = Qf.binary_quant(w, scale)
@@ -516,6 +575,7 @@ class ParameterQuantizer(nnx.Module, TrainToggleMixin, FloatToIntMixin):
             y, bit_width = Qf.ternary_quant(w, scale, cfg.ternary_threshold)
             return QuantTensor(self.delay(w, y), scale, jnp.zeros(()), bit_width,
                                signed=True)
+        bit_width = self.bit_width_impl()
         threshold = self.scaling(view)
         scale = Qf.rescaling_scale(threshold, bit_width, signed=cfg.signed,
                                    narrow_range=cfg.narrow_range,
@@ -570,6 +630,11 @@ class ActQuantizer(nnx.Module, TrainToggleMixin, FloatToIntMixin):
         self.per_channel = bool(cfg.scaling_per_output_channel)
         if self.per_channel and num_channels is None:
             raise ValueError("per-channel act quant requires num_channels")
+        op = S.StatsOp(cfg.scaling_stats_op)
+        if op in GROUP_REDUCING_STATS_OPS and self.per_channel:
+            raise ValueError(f"{op} reduces channel groups to a single stat; "
+                             "it cannot drive per-channel scaling")
+        self.stats_per_channel = self.per_channel or op in GROUP_REDUCING_STATS_OPS
         bshape = (num_channels,) if self.per_channel else ()
         self.bit_width_impl = BitWidth(cfg)
         self.scaling = build_scaling(cfg, bshape)
@@ -584,7 +649,7 @@ class ActQuantizer(nnx.Module, TrainToggleMixin, FloatToIntMixin):
             # calibration mode: advance scaling/zero-point statistics state
             # but emit the float value unchanged (the reference achieves this
             # with post-forward hooks, graph/calibrate.py:112-133)
-            view = stats_view(x, self.per_channel, channel_axis=-1)
+            view = stats_view(x, self.stats_per_channel, channel_axis=-1)
             bit_width = self.bit_width_impl()
             if self.quant_type == QuantType.INT:
                 threshold = self.scaling(view)
@@ -596,7 +661,7 @@ class ActQuantizer(nnx.Module, TrainToggleMixin, FloatToIntMixin):
             else:
                 self.scaling(view)
             return QuantTensor(x, training=self.training)
-        view = stats_view(x, self.per_channel, channel_axis=-1)
+        view = stats_view(x, self.stats_per_channel, channel_axis=-1)
         bit_width = self.bit_width_impl()
         if self.quant_type == QuantType.BINARY:
             scale = self.scaling(view)

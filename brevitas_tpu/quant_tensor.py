@@ -19,6 +19,7 @@ Metadata algebra (matching the reference):
 
 from typing import Any, Optional, Sequence, Union
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -28,6 +29,13 @@ Array = jnp.ndarray
 
 IS_VALID_ATOL = 2e-1
 BFLOAT16_IS_VALID_ATOL = 0.5
+
+
+def _concrete(x):
+    """The value if ``x`` is a concrete array, else None (traced)."""
+    if x is None or isinstance(x, jax.core.Tracer):
+        return None
+    return x
 
 
 @struct.dataclass
@@ -103,15 +111,32 @@ class QuantTensor:
             return int_value.astype(jnp.uint8)
         return int_value.astype(jnp.int32)
 
-    # ---- consistency checks (traced-safe: skipped while training) ---------
+    # ---- consistency checks -----------------------------------------------
+    # value-level checks run only on concrete (non-traced) arrays; under
+    # tracing they degrade to shape checks, and scale/zp checks are skipped
+    # while training (reference check_scaling_factors_same, :204)
 
     def check_scaling_factors_same(self, other: "QuantTensor") -> None:
         if self.training or other.training:
             return
-        # under tracing we cannot compare values; only static shapes
         if (hasattr(self.scale, "shape") and hasattr(other.scale, "shape")
                 and jnp.shape(self.scale) != jnp.shape(other.scale)):
             raise ValueError("Scaling factor shapes differ")
+        a, b = _concrete(self.scale), _concrete(other.scale)
+        if a is not None and b is not None and not jnp.allclose(a, b):
+            raise ValueError("Scaling factors are different")
+
+    def check_zero_points_same(self, other: "QuantTensor") -> None:
+        if self.training or other.training:
+            return
+        a, b = _concrete(self.zero_point), _concrete(other.zero_point)
+        if a is not None and b is not None and not jnp.allclose(a, b):
+            raise ValueError("Zero points are different")
+
+    def check_bit_width_same(self, other: "QuantTensor") -> None:
+        a, b = _concrete(self.bit_width), _concrete(other.bit_width)
+        if a is not None and b is not None and not jnp.allclose(a, b):
+            raise ValueError("Bit widths are different")
 
     # ---- shape ops: metadata follows when it has matching rank ------------
 
@@ -178,6 +203,13 @@ class QuantTensor:
 
     def __mul__(self, other: Any) -> "QuantTensor":
         if isinstance(other, QuantTensor) and self.is_not_none and other.is_not_none:
+            # product metadata is only valid for zero zero-points
+            # (reference __mul__:347 raises otherwise)
+            for zp in (self.zero_point, other.zero_point):
+                z = _concrete(zp)
+                if z is not None and bool(jnp.any(z != 0)):
+                    raise ValueError(
+                        "Zero-points of mul operands are non-zero, not supported")
             return QuantTensor(
                 value=self.value * other.value,
                 scale=self.scale * other.scale,
@@ -215,6 +247,8 @@ def cat(tensors: Sequence[Union[QuantTensor, Array]], axis: int = 0) -> QuantTen
         first = tensors[0]
         for t in tensors[1:]:
             first.check_scaling_factors_same(t)
+            first.check_zero_points_same(t)
+            first.check_bit_width_same(t)
             if t.signed != first.signed:
                 raise ValueError("cat operands have mismatched signs")
         n = len(tensors)

@@ -5,10 +5,14 @@ from flax import nnx
 
 def train_mode(model: nnx.Module) -> nnx.Module:
     """Recursively enter training mode: quantizer stats advance, BN uses
-    batch statistics (works on any NNX module tree)."""
+    batch statistics, cached inference quant weights invalidate (works on
+    any NNX module tree)."""
+    from brevitas_tpu.quant.quantizers import _clear_quant_weight_caches
+
     model.set_attributes(training=True, raise_if_not_found=False)
     model.set_attributes(use_running_average=False, raise_if_not_found=False)
     model.set_attributes(deterministic=False, raise_if_not_found=False)
+    _clear_quant_weight_caches(model)
     return model
 
 

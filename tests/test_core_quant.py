@@ -181,7 +181,8 @@ def test_mean_sigma_std(rng):
     x_np = rng.standard_normal((1, 400)).astype(np.float32)
     got = S.mean_sigma_std(jnp.asarray(x_np), sigma=3.0)
     a = np.abs(x_np)
-    expect = a.mean(-1) + 3.0 * np.sqrt(a.var(-1) + 1e-8)
+    # unbiased variance (ddof=1) per torch.var's default in the reference
+    expect = a.mean(-1) + 3.0 * np.sqrt(a.var(-1, ddof=1) + 1e-8)
     np.testing.assert_allclose(got, expect, rtol=1e-5)
 
 

@@ -306,6 +306,8 @@ def test_avgpool_trunc_matches_reference_semantics(rng):
 
 
 def test_cache_inference_quant_weights(rng):
+    from brevitas_tpu.utils import eval_mode, train_mode
+
     layer = qnn.QuantLinear(8, 4, rngs=rngs(),
                             weight_quant=presets.Int8WeightPerTensorFloat)
 
@@ -317,14 +319,78 @@ def test_cache_inference_quant_weights(rng):
             return self.l(x)
 
     m = M(layer)
+    eval_mode(m)
     x = jnp.asarray(rng.standard_normal((2, 8)).astype(np.float32))
     y0 = m(x)
     n = G.cache_inference_quant_weights(m)
     assert n == 1
-    # cached result identical; mutating the raw weight no longer changes
-    # the quantized weight until the cache is cleared
+    # eval: cached result identical; raw-weight edits don't leak through
     np.testing.assert_allclose(m(x), y0, rtol=1e-6)
     layer.weight[...] = layer.weight[...] * 2.0
     np.testing.assert_allclose(m(x), y0, rtol=1e-6)
     G.clear_inference_quant_weight_cache(m)
     assert bool(jnp.any(m(x) != y0))
+
+
+def test_cache_is_inert_for_training_and_calibration(rng):
+    """Review findings: a stale cache must never freeze QAT gradients nor
+    defeat the disable_quant float twins in calibration/bias correction."""
+    from brevitas_tpu.utils import eval_mode, train_mode
+
+    layer = qnn.QuantLinear(8, 4, rngs=rngs(),
+                            weight_quant=presets.Int8WeightPerTensorFloat)
+
+    class M(nnx.Module):
+        def __init__(self, l):
+            self.l = l
+
+        def __call__(self, x):
+            return self.l(x)
+
+    m = M(layer)
+    eval_mode(m)
+    G.cache_inference_quant_weights(m)
+    x = jnp.asarray(rng.standard_normal((2, 8)).astype(np.float32))
+
+    # back to training: cache cleared AND weight grads flow
+    train_mode(m)
+    assert layer._cached_quant_weight is None
+    g = nnx.grad(lambda mm, v: jnp.sum(mm(v) ** 2), argnums=0)(m, x)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert any(bool(jnp.any(l != 0)) for l in leaves)
+
+    # even with a cache present, disable_quant (calibration float twin)
+    # bypasses it
+    eval_mode(m)
+    G.cache_inference_quant_weights(m)
+    with G.calibration_mode(m):
+        y_float = m(x)
+    expect = x @ layer.weight[...] + layer.bias[...]
+    np.testing.assert_allclose(y_float, expect, rtol=1e-5, atol=1e-6)
+
+
+def test_checkpoint_excludes_weight_cache(tmp_path, rng):
+    from brevitas_tpu import checkpoint as ckpt
+    from brevitas_tpu.utils import eval_mode
+
+    layer = qnn.QuantLinear(8, 4, rngs=rngs(),
+                            weight_quant=presets.Int8WeightPerTensorFloat)
+
+    class M(nnx.Module):
+        def __init__(self, l):
+            self.l = l
+
+        def __call__(self, x):
+            return self.l(x)
+
+    m = M(layer)
+    eval_mode(m)
+    G.cache_inference_quant_weights(m)
+    path = str(tmp_path / "c")
+    ckpt.save(path, m)
+    m2 = M(qnn.QuantLinear(8, 4, rngs=rngs(),
+                           weight_quant=presets.Int8WeightPerTensorFloat))
+    ckpt.restore(path, m2)  # must not fail on cache keys
+    x = jnp.asarray(rng.standard_normal((2, 8)).astype(np.float32))
+    eval_mode(m2)
+    np.testing.assert_allclose(m2(x), m(x), rtol=1e-6)

@@ -112,3 +112,35 @@ def test_pack_unpack():
     qt = pack(x)
     assert isinstance(qt, QuantTensor)
     assert unpack(qt) is x
+
+
+def test_cat_rejects_mismatched_bit_width():
+    a = make_qt([0.1], bw=4.0)
+    b = make_qt([0.2], bw=8.0)
+    with np.testing.assert_raises(ValueError):
+        cat([a, b], axis=0)
+
+
+def test_cat_rejects_mismatched_scale():
+    a = make_qt([0.1], scale=0.1)
+    b = make_qt([0.2], scale=0.2)
+    with np.testing.assert_raises(ValueError):
+        cat([a, b], axis=0)
+
+
+def test_mul_rejects_nonzero_zero_point():
+    a = make_qt([0.1], zp=3.0)
+    with np.testing.assert_raises(ValueError):
+        _ = a * a
+
+
+def test_checks_skipped_under_tracing():
+    a = make_qt([0.1], bw=8.0)
+    b = make_qt([0.2], bw=8.0)
+
+    @jax.jit
+    def f(x, y):
+        return cat([x, y], axis=0).value
+
+    out = f(a, b)  # traced metadata → checks degrade gracefully
+    assert out.shape == (2,)

@@ -249,3 +249,52 @@ def test_stochastic_round_weight_quant(rng):
     _, g = nnx.value_and_grad(lambda m, v: jnp.sum(m(v).value),
                               argnums=1)(q, w)
     np.testing.assert_allclose(g, np.ones_like(g))
+
+
+def test_max_l2_uses_per_channel_view_for_per_tensor_scale(rng):
+    """Review finding: AbsMaxL2 must norm PER-CHANNEL maxima even when the
+    scale is per-tensor (decoupled L2 presets)."""
+    w = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    q = WeightQuantizer(presets.Int4WeightPerTensorFloatDecoupled, w)
+    qt = q(w)
+    per_ch_max = np.max(np.abs(np.asarray(w)), axis=1)
+    expect_thr = np.linalg.norm(per_ch_max) / np.sqrt(4)
+    # learned scale initialized from the L2-of-per-channel-maxima stat
+    got_thr = float(q.scaling(None))
+    np.testing.assert_allclose(got_thr, expect_thr, rtol=1e-5)
+
+
+def test_max_l2_per_channel_scale_rejected(rng):
+    w = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    cfg = presets.Int8WeightPerChannelFloat.let(scaling_stats_op="max_l2")
+    with np.testing.assert_raises(ValueError):
+        WeightQuantizer(cfg, w)
+
+
+def test_affine_stats_creates_affine_params(rng):
+    from brevitas_tpu.quant.config import ScalingImplType
+    from brevitas_tpu.quant.quantizers import ActQuantizer, build_scaling
+
+    cfg = presets.Int8ActPerTensorFloat.let(
+        scaling_impl=ScalingImplType.AFFINE_STATS, collect_stats_steps=1)
+    q = ActQuantizer(cfg)
+    assert q.scaling.affine
+    assert hasattr(q.scaling, "affine_weight")
+    x = jnp.asarray(rng.standard_normal(64).astype(np.float32))
+    assert q(x).is_valid()
+
+
+def test_mean_learn_sigma_std_learns_sigma(rng):
+    cfg = presets.Int8ActPerTensorFloat.let(
+        scaling_stats_op="mean_learn_sigma_std", scaling_stats_sigma=3.0,
+        scaling_impl="stats")
+    q = ActQuantizer(cfg)
+    assert float(q.scaling.sigma[...]) == 3.0
+    x = jnp.asarray(rng.standard_normal(512).astype(np.float32))
+    q(x)
+    # sigma is a learnable Param with nonzero gradient
+    g = nnx.grad(lambda m, v: jnp.sum(m(v).value ** 2))(q, x)
+    flat = {jax.tree_util.keystr(k): v
+            for k, v in jax.tree_util.tree_leaves_with_path(g)}
+    sigma_grads = [v for k, v in flat.items() if "sigma" in k]
+    assert sigma_grads and bool(jnp.any(sigma_grads[0] != 0))
