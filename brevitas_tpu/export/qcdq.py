@@ -175,7 +175,6 @@ def _export_conv(b: GraphBuilder, layer, x: str) -> str:
                          jnp.asarray(scale if scale.size > 1 else scale.reshape(())),
                          qw.zero_point, qw.bit_width, qw.signed)
         # per-channel axis for OIHW weights is 0
-        saved = b.qdq
         w_name = _qdq_axis0(b, w_name, qt, layer.weight_quant.cfg.narrow_range)
     pads = _onnx_pads(layer)
     y = b.add("Conv", [x, w_name] + (
@@ -199,14 +198,20 @@ def _qdq_axis0(b: GraphBuilder, x_name: str, qt: QuantTensor, narrow: bool) -> s
         return b.qdq(x_name, qt, "weight", narrow)
     np_dt = np.int8 if qt.signed else np.uint8
     s_name = b.init_tensor("w_scale", scale if per_channel else scale.reshape(()))
-    zp = np.zeros_like(scale, np_dt) if per_channel else np.asarray(0, np_dt)
+    zp_f = np.asarray(np.round(np.asarray(qt.zero_point, np.float32)), np_dt)
+    zp = (np.broadcast_to(zp_f.reshape(-1), scale.shape).astype(np_dt)
+          if per_channel else zp_f.reshape(()))
     z_name = b.init_tensor("w_zp", zp)
     kw = {"axis": 0} if per_channel else {}
     q = b.add("QuantizeLinear", [x_name, s_name, z_name], **kw)
     bw = float(np.asarray(qt.bit_width))
     if bw < 8.0 or narrow:
-        lo = -(2 ** (bw - 1)) + (1 if narrow else 0)
-        hi = 2 ** (bw - 1) - 1
+        if qt.signed:
+            lo = -(2 ** (bw - 1)) + (1 if narrow else 0)
+            hi = 2 ** (bw - 1) - 1
+        else:
+            lo = 0
+            hi = 2 ** bw - 1 - (1 if narrow else 0)
         q = b.add("Clip", [q, b.init_tensor("lo", np.asarray(lo, np_dt)),
                            b.init_tensor("hi", np.asarray(hi, np_dt))])
     return b.add("DequantizeLinear", [q, s_name, z_name], **kw)
@@ -225,8 +230,6 @@ def _onnx_pads(layer) -> List[int]:
 
 @handles(QuantReLU, QuantSigmoid, QuantTanh, QuantIdentity, QuantHardTanh)
 def _export_act(b: GraphBuilder, layer: QuantNonLinearActLayer, x: str) -> str:
-    import jax
-
     fn_map = {QuantReLU: "Relu", QuantSigmoid: "Sigmoid", QuantTanh: "Tanh"}
     op = fn_map.get(type(layer))
     if op:
@@ -247,8 +250,20 @@ def _export_maxpool(b: GraphBuilder, layer, x: str) -> str:
 
 @handles(QuantAvgPool2d)
 def _export_avgpool(b: GraphBuilder, layer, x: str) -> str:
-    return b.add("AveragePool", [x], kernel_shape=list(layer.kernel_size),
-                 strides=list(layer.stride))
+    y = b.add("AveragePool", [x], kernel_shape=list(layer.kernel_size),
+              strides=list(layer.stride))
+    if layer.trunc_quant is not None:
+        # the layer emits trunc(sum / 2^ceil(log2 k)) at the input scale
+        # (nn/pool.py); AveragePool computes sum/k, so rescale by
+        # k / 2^ceil(log2 k) (the truncation floor is approximated)
+        import math as _math
+
+        k = layer._kernel_elems
+        factor = k / (2.0 ** _math.ceil(_math.log2(k)))
+        if factor != 1.0:
+            y = b.add("Mul", [y, b.init_tensor(
+                "trunc_rescale", np.asarray(factor, np.float32))])
+    return y
 
 
 @handles(nnx.BatchNorm)
@@ -330,10 +345,14 @@ def export_model(model, example_input, path: Optional[str] = None,
 
 
 def _onnx_input_shape(nhwc_shape, items) -> List[Optional[int]]:
-    """NHWC example input → NCHW ONNX input shape (batch dim dynamic)."""
+    """Channels-last example input → channels-first ONNX input shape
+    (batch dim dynamic)."""
     if len(nhwc_shape) == 4:
         n, h, w, c = nhwc_shape
         return [None, c, h, w]
+    if len(nhwc_shape) == 3:
+        n, w, c = nhwc_shape
+        return [None, c, w]
     return [None] + list(nhwc_shape[1:])
 
 

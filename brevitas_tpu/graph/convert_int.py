@@ -7,7 +7,10 @@ the epilogue (:mod:`brevitas_tpu.kernels.int_matmul`).
 
 Asymmetric inputs use the standard QGEMM identity: with x_q = x/s_x + zp_x,
     y = s_x s_w ( x_q @ w_q - zp_x * colsum(w_q) )
-so the zp correction folds into the bias.
+so the zp correction folds into the bias. Input clip bounds come from the
+FROZEN input quantizer (its bit width / signedness / narrow range), not a
+hardcoded 8-bit range; trained output quantizers are re-applied as a frozen
+affine requant on the serving output.
 """
 
 from typing import Optional
@@ -20,18 +23,42 @@ from brevitas_tpu.graph.base import named_modules, set_module
 from brevitas_tpu.kernels import int8_matmul
 from brevitas_tpu.nn.conv import _QuantConvNd
 from brevitas_tpu.nn.linear import QuantLinear
+from brevitas_tpu.ops import max_int, min_int
 from brevitas_tpu.quant.config import QuantType
 
 Array = jnp.ndarray
 
 
 def _freeze_act_quant(act_quantizer):
-    """Extract (scale, zero_point, bit_width) from a trained activation
+    """Extract (scale, zero_point, lo, hi) from a trained INT activation
     quantizer — post-training these no longer depend on the input."""
+    if act_quantizer.quant_type != QuantType.INT:
+        raise ValueError(
+            f"integer serving supports INT input quantizers, got "
+            f"{act_quantizer.quant_type}")
     act_quantizer.eval_mode()
     probe = jnp.zeros((1, 1), jnp.float32)
     qt = act_quantizer(probe)
-    return qt.scale, qt.zero_point, qt.bit_width
+    cfg = act_quantizer.cfg
+    lo = float(min_int(cfg.signed, cfg.narrow_range, qt.bit_width))
+    hi = float(max_int(cfg.signed, cfg.narrow_range, qt.bit_width))
+    return qt.scale, qt.zero_point, lo, hi
+
+
+def _freeze_output_quant(act_quantizer):
+    """Frozen output requant params, or None when no output quant is set."""
+    if act_quantizer is None or act_quantizer.quant_type == QuantType.NONE:
+        return None
+    s, zp, lo, hi = _freeze_act_quant(act_quantizer)
+    return (jnp.asarray(s), jnp.asarray(zp), lo, hi)
+
+
+def _apply_output_quant(y: Array, frozen) -> Array:
+    if frozen is None:
+        return y
+    s, zp, lo, hi = frozen
+    q = jnp.clip(jnp.round(y / s + zp), lo, hi)
+    return (q - zp) * s
 
 
 class Int8InferenceLinear(nnx.Module):
@@ -46,9 +73,10 @@ class Int8InferenceLinear(nnx.Module):
         if qlinear.input_quant.quant_type == QuantType.NONE:
             raise ValueError(
                 "integer inference needs an input quantizer for the input scale")
-        x_scale, x_zp, _ = _freeze_act_quant(qlinear.input_quant)
+        x_scale, x_zp, self.x_lo, self.x_hi = _freeze_act_quant(
+            qlinear.input_quant)
         self.x_scale = jnp.asarray(x_scale).reshape(())
-        self.x_zp = jnp.asarray(x_zp).reshape(())
+        self.x_zp = float(jnp.asarray(x_zp).reshape(()))
         self.x_signed = qlinear.input_quant.cfg.signed
         bias = (qlinear.bias[...].astype(jnp.float32)
                 if qlinear.bias is not None else jnp.zeros((self.w_int.shape[1],)))
@@ -60,12 +88,14 @@ class Int8InferenceLinear(nnx.Module):
         self.bias = bias + (self.x_shift - self.x_zp) * colsum \
             * self.x_scale * self.w_scale
         self.act = act
+        self.output_quant = _freeze_output_quant(
+            getattr(qlinear, "output_quant", None))
 
     def __call__(self, x: Array) -> Array:
         from brevitas_tpu.kernels import int8_matmul_reference
 
-        lo, hi = (-128, 127) if self.x_signed else (0, 255)
-        x_int = jnp.clip(jnp.round(x / self.x_scale + self.x_zp), lo, hi)
+        x_int = jnp.clip(jnp.round(x / self.x_scale + self.x_zp),
+                         self.x_lo, self.x_hi)
         x_int = (x_int - self.x_shift).astype(jnp.int8)
         flat = x_int.reshape(-1, x_int.shape[-1])
         # Pallas epilogue-fused GEMM on TPU; XLA int8 dot elsewhere
@@ -73,7 +103,8 @@ class Int8InferenceLinear(nnx.Module):
             else int8_matmul_reference
         y = mm(flat, self.w_int, self.x_scale, self.w_scale,
                self.bias, act=self.act)
-        return y.reshape(*x.shape[:-1], self.w_int.shape[1])
+        y = y.reshape(*x.shape[:-1], self.w_int.shape[1])
+        return _apply_output_quant(y, self.output_quant)
 
 
 class Int8InferenceConv(nnx.Module):
@@ -85,9 +116,10 @@ class Int8InferenceConv(nnx.Module):
         assert float(jnp.max(qw.bit_width)) <= 8.0
         self.w_int = jax.lax.stop_gradient(qw.int())  # HWIO int8
         self.w_scale = jnp.asarray(qw.scale).reshape(-1)
-        x_scale, x_zp, _ = _freeze_act_quant(qconv.input_quant)
+        x_scale, x_zp, self.x_lo, self.x_hi = _freeze_act_quant(
+            qconv.input_quant)
         self.x_scale = jnp.asarray(x_scale).reshape(())
-        self.x_zp = jnp.asarray(x_zp).reshape(())
+        self.x_zp = float(jnp.asarray(x_zp).reshape(()))
         self.x_signed = qconv.input_quant.cfg.signed
         self.stride = qconv.stride
         self.padding = qconv.padding
@@ -97,9 +129,11 @@ class Int8InferenceConv(nnx.Module):
         self.bias = (qconv.bias[...].astype(jnp.float32)
                      if qconv.bias is not None else None)
         # unsigned inputs re-center by 128 (see Int8InferenceLinear); the
-        # spatially-varying border correction is an int8 conv of a constant,
-        # which XLA constant-folds at compile time
+        # x_zp/x_shift are static floats so the common symmetric-signed case
+        # statically skips the border-correction conv below
         self.x_shift = 0.0 if self.x_signed else 128.0
+        self.output_quant = _freeze_output_quant(
+            getattr(qconv, "output_quant", None))
 
     def _conv(self, x_int: Array) -> Array:
         return jax.lax.conv_general_dilated(
@@ -109,25 +143,25 @@ class Int8InferenceConv(nnx.Module):
             preferred_element_type=jnp.int32)
 
     def __call__(self, x: Array) -> Array:
-        lo, hi = (-128, 127) if self.x_signed else (0, 255)
-        x_int = jnp.clip(jnp.round(x / self.x_scale + self.x_zp), lo, hi)
+        x_int = jnp.clip(jnp.round(x / self.x_scale + self.x_zp),
+                         self.x_lo, self.x_hi)
         x_int = (x_int - self.x_shift).astype(jnp.int8)
         acc = self._conv(x_int).astype(jnp.float32)
-        shift = self.x_shift - self.x_zp
-        # per-position kernel weight sums (handles borders); conv of a
-        # constant — XLA folds it at compile time
-        ksum = self._conv(jnp.ones(x.shape, jnp.int8)).astype(jnp.float32)
-        acc = acc + shift * ksum
+        shift = self.x_shift - self.x_zp  # static python float
+        if shift != 0.0:
+            # per-position kernel weight sums handle zero-padding borders
+            ksum = self._conv(jnp.ones(x.shape, jnp.int8)).astype(jnp.float32)
+            acc = acc + shift * ksum
         y = acc * (self.x_scale * self.w_scale)
         if self.bias is not None:
             y = y + self.bias
-        return y
+        return _apply_output_quant(y, self.output_quant)
 
 
 def convert_integer_inference(model: nnx.Module) -> nnx.Module:
     """Swap every eligible trained quant layer for its integer serving twin
-    in place. Layers without an input quantizer (no input scale available)
-    are left on the fake-quant path."""
+    in place. Layers without an INT input quantizer (no input scale/grid
+    available) are left on the fake-quant path."""
     for path, mod in list(named_modules(model)):
         try:
             if isinstance(mod, QuantLinear) \

@@ -69,15 +69,18 @@ def _bwd_kernel(x_ref, s_ref, z_ref, g_ref, dx_ref, ds_ref, dz_ref,
     q = jnp.round(x_ref[:] * inv + zp)
     in_range = (q >= lo) & (q <= hi)
     g = g_ref[:]
+    qc = jnp.clip(q, lo, hi)
     if ste_clamp:
+        # clamp passes gradients: dy/ds = (qc-zp) - x/s everywhere, dy/dzp = 0
         dx_ref[:] = g
+        dscale_elem = g * ((qc - zp) - x_ref[:] * inv)
+        dzp_elem = jnp.zeros_like(g)
     else:
         dx_ref[:] = jnp.where(in_range, g, 0.0)
-    qc = jnp.clip(q, lo, hi)
-    # d y / d scale = (qc - zp) - in_range * x / scale
-    dscale_elem = g * ((qc - zp) - jnp.where(in_range, x_ref[:] * inv, 0.0))
-    # d y / d zp = scale * (in_range * 1 - 1) = -scale where clamped
-    dzp_elem = jnp.where(in_range, 0.0, -g * scale)
+        # d y / d scale = (qc - zp) - in_range * x / scale
+        dscale_elem = g * ((qc - zp) - jnp.where(in_range, x_ref[:] * inv, 0.0))
+        # d y / d zp = scale * (in_range * 1 - 1) = -scale where clamped
+        dzp_elem = jnp.where(in_range, 0.0, -g * scale)
     # accumulate across grid steps
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -89,13 +92,16 @@ def _bwd_kernel(x_ref, s_ref, z_ref, g_ref, dx_ref, ds_ref, dz_ref,
 
 
 def _pad_2d(x: Array) -> Tuple[Array, Tuple[int, ...], int]:
-    """Flatten to (rows, 128) padded to a sublane multiple."""
+    """Flatten to (rows, 128), zero-padded so every grid block is fully
+    in-bounds (multi-step grids pad to a _BLOCK_ROWS multiple — reading a
+    ragged tail block would fold undefined VMEM into the dscale/dzp sums)."""
     orig_shape = x.shape
     flat = x.reshape(-1)
     n = flat.shape[0]
     cols = _LANES
     rows = -(-n // cols)
-    rows_pad = -(-rows // _SUBLANES) * _SUBLANES
+    mult = _SUBLANES if rows <= _BLOCK_ROWS else _BLOCK_ROWS
+    rows_pad = -(-rows // mult) * mult
     padded = jnp.zeros((rows_pad * cols,), x.dtype).at[:n].set(flat)
     return padded.reshape(rows_pad, cols), orig_shape, n
 

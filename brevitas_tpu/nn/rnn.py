@@ -83,6 +83,14 @@ class _QuantLSTMLayer(nnx.Module, TrainToggleMixin):
         self.w_ih = nnx.Param(u(rngs.params(), shape_ih, dtype) - k)
         self.w_hh = nnx.Param(u(rngs.params(), shape_hh, dtype) - k)
         self.bias = nnx.Param(jnp.zeros((4 * hidden_size,), dtype)) if use_bias else None
+        from brevitas_tpu.quant.quantizers import BiasQuantizer
+        from brevitas_tpu.quant.presets import NoneBiasQuant
+
+        # gate-bias quantization (internal-scaling configs only: no single
+        # accumulator scale exists for the packed 4-gate bias)
+        self.bias_quant = BiasQuantizer(
+            bias_quant if bias_quant is not None else NoneBiasQuant,
+            self.bias[...] if use_bias else jnp.zeros((4 * hidden_size,)))
         self.w_ih_quant = ParameterQuantizer(
             _wcfg(weight_quant), self.w_ih[...], channel_axis=1)
         self.w_hh_quant = ParameterQuantizer(
@@ -108,7 +116,7 @@ class _QuantLSTMLayer(nnx.Module, TrainToggleMixin):
         qw_hh = unpack(self.w_hh_quant(self.w_hh[...]))
         x_proj = jnp.einsum("bti,ih->bth", x, qw_ih)
         if self.bias is not None:
-            x_proj = x_proj + self.bias[...]
+            x_proj = x_proj + unpack(self.bias_quant(self.bias[...]))
         if self.reverse:
             x_proj = jnp.flip(x_proj, axis=1)
 
@@ -225,17 +233,25 @@ class QuantLSTM(nnx.Module, TrainToggleMixin):
 
     def __call__(self, x: Array, h0: Optional[Array] = None,
                  c0: Optional[Array] = None):
+        """h0/c0: (num_layers * num_directions, B, H) initial states, torch
+        layout — sliced per layer/direction for stateful decoding."""
         step = 2 if self.bidirectional else 1
         finals = []
+        idx = 0
         for i in range(0, len(self.layers), step):
+            h_f = h0[idx] if h0 is not None else None
+            c_f = c0[idx] if c0 is not None else None
             if self.bidirectional:
-                y_f, s_f = self.layers[i](x)
-                y_b, s_b = self.layers[i + 1](x)
+                h_b = h0[idx + 1] if h0 is not None else None
+                c_b = c0[idx + 1] if c0 is not None else None
+                y_f, s_f = self.layers[i](x, h_f, c_f)
+                y_b, s_b = self.layers[i + 1](x, h_b, c_b)
                 x = jnp.concatenate([y_f, y_b], axis=-1)
                 finals.extend([s_f, s_b])
             else:
-                x, s = self.layers[i](x)
+                x, s = self.layers[i](x, h_f, c_f)
                 finals.append(s)
+            idx += step
         h_n = jnp.stack([s[0] for s in finals])
         c_n = jnp.stack([s[1] for s in finals])
         return x, (h_n, c_n)
@@ -266,15 +282,20 @@ class QuantRNN(nnx.Module, TrainToggleMixin):
         self.layers = nnx.List(layers)
 
     def __call__(self, x: Array, h0: Optional[Array] = None):
+        """h0: (num_layers * num_directions, B, H) initial hidden states."""
         step = 2 if self.bidirectional else 1
         finals = []
+        idx = 0
         for i in range(0, len(self.layers), step):
+            hf = h0[idx] if h0 is not None else None
             if self.bidirectional:
-                y_f, h_f = self.layers[i](x)
-                y_b, h_b = self.layers[i + 1](x)
+                hb = h0[idx + 1] if h0 is not None else None
+                y_f, h_f = self.layers[i](x, hf)
+                y_b, h_b = self.layers[i + 1](x, hb)
                 x = jnp.concatenate([y_f, y_b], axis=-1)
                 finals.extend([h_f, h_b])
             else:
-                x, h = self.layers[i](x)
+                x, h = self.layers[i](x, hf)
                 finals.append(h)
+            idx += step
         return x, jnp.stack(finals)

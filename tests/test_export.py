@@ -155,3 +155,31 @@ def test_native_export_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(
         entry["w_int"].astype(np.float32) * entry["w_scale"],
         np.asarray(qw.value), rtol=1e-5, atol=1e-6)
+
+
+def test_export_avgpool_trunc_rescale(rng):
+    """3x3 avgpool exports with the k/2^ceil(log2 k) truncation rescale."""
+    from brevitas_tpu.quant_tensor import QuantTensor
+
+    class Net(nnx.Module):
+        def __init__(self):
+            act = presets.Int8ActPerTensorFloat.let(collect_stats_steps=1)
+            self.inp = qnn.QuantIdentity(act, return_quant_tensor=True)
+            self.pool = qnn.QuantAvgPool2d(3, return_quant_tensor=False)
+
+        def export_layers(self):
+            return [self.inp, self.pool]
+
+        def __call__(self, x):
+            return self.pool(self.inp(x))
+
+    m = Net()
+    x = jnp.asarray(rng.standard_normal((1, 6, 6, 2)).astype(np.float32))
+    m(x)
+    eval_mode(m)
+    y_model = np.asarray(m(x))  # NHWC
+    blob = export_onnx_qcdq(m, x)
+    (y_onnx,) = run_onnx(blob, {"input": np.asarray(x).transpose(0, 3, 1, 2)})
+    # trunc floor is approximated; scale factor must match (atol ~ scale)
+    np.testing.assert_allclose(y_onnx, y_model.transpose(0, 3, 1, 2),
+                               atol=float(m.inp.act_quant(x).scale) * 1.1)

@@ -394,3 +394,60 @@ def test_checkpoint_excludes_weight_cache(tmp_path, rng):
     x = jnp.asarray(rng.standard_normal((2, 8)).astype(np.float32))
     eval_mode(m2)
     np.testing.assert_allclose(m2(x), m(x), rtol=1e-6)
+
+
+def test_int8_inference_4bit_clip_bounds(rng):
+    """Review finding: serving clip bounds come from the frozen input
+    quantizer bit-width, not a hardcoded 8-bit range."""
+    from brevitas_tpu.utils import eval_mode
+
+    layer = qnn.QuantLinear(
+        16, 8, rngs=rngs(), use_bias=False,
+        weight_quant=presets.Int8WeightPerTensorFloat,
+        input_quant=presets.Int8ActPerTensorFloat.let(
+            collect_stats_steps=1, bit_width=4.0))
+    # wide-tailed input so clipping actually engages at 4 bits
+    x = jnp.asarray(rng.standard_normal((8, 16)).astype(np.float32) * 3)
+    layer(x)
+    eval_mode(layer)
+    y_fake = layer(x)
+
+    class Holder(nnx.Module):
+        def __init__(self, l):
+            self.l = l
+
+        def __call__(self, x):
+            return self.l(x)
+
+    m = Holder(layer)
+    G.convert_integer_inference(m)
+    assert m.l.x_lo == -8.0 and m.l.x_hi == 7.0
+    y_int = m(x)
+    np.testing.assert_allclose(y_int, y_fake, rtol=1e-3, atol=1e-3)
+
+
+def test_int8_inference_applies_output_quant(rng):
+    from brevitas_tpu.utils import eval_mode
+
+    layer = qnn.QuantLinear(
+        16, 8, rngs=rngs(), use_bias=False,
+        weight_quant=presets.Int8WeightPerTensorFloat,
+        input_quant=presets.Int8ActPerTensorFloat.let(collect_stats_steps=1),
+        output_quant=presets.Int8ActPerTensorFloat.let(collect_stats_steps=1))
+    x = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    layer(x)
+    eval_mode(layer)
+    y_fake = layer(x)
+
+    class Holder(nnx.Module):
+        def __init__(self, l):
+            self.l = l
+
+        def __call__(self, x):
+            return self.l(x)
+
+    m = Holder(layer)
+    G.convert_integer_inference(m)
+    assert m.l.output_quant is not None
+    y_int = m(x)
+    np.testing.assert_allclose(y_int, y_fake, rtol=1e-3, atol=1e-3)

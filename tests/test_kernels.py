@@ -145,3 +145,32 @@ def test_native_export_int4_packing(tmp_path, rng):
     np.testing.assert_allclose(
         entry["w_int"].astype(np.float32) * entry["w_scale"],
         np.asarray(qw.value), rtol=1e-5, atol=1e-6)
+
+
+def test_fake_quant_multiblock_grads(rng):
+    """Ragged multi-block grids must not fold padding into dscale/dzp."""
+    n = 1000 * 128  # rows=1000: >1 block of 512 and not a block multiple
+    x = jnp.asarray(rng.standard_normal(n).astype(np.float32) * 4)
+    s, z = jnp.asarray(0.05), jnp.asarray(1.0)
+    gk = jax.grad(lambda *a: jnp.sum(fake_quant(*a, -8.0, 7.0) ** 2),
+                  argnums=(0, 1, 2))(x, s, z)
+    gr = jax.grad(lambda *a: jnp.sum(
+        fake_quant_reference(*a, lo=-8.0, hi=7.0) ** 2),
+        argnums=(0, 1, 2))(x, s, z)
+    for a, b, name in zip(gk, gr, "x s z".split()):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3,
+                                   err_msg=f"grad {name}")
+
+
+def test_fake_quant_ste_clamp_scale_zp_grads(rng):
+    """ste_clamp=True must match the reference's STE-clamp scale/zp grads."""
+    x = jnp.asarray(rng.standard_normal(512).astype(np.float32) * 8)
+    s, z = jnp.asarray(0.05), jnp.asarray(0.5)
+    gk = jax.grad(lambda *a: jnp.sum(fake_quant(*a, -8.0, 7.0, True)),
+                  argnums=(0, 1, 2))(x, s, z)
+    gr = jax.grad(lambda *a: jnp.sum(
+        fake_quant_reference(*a, lo=-8.0, hi=7.0, ste_clamp=True)),
+        argnums=(0, 1, 2))(x, s, z)
+    for a, b, name in zip(gk, gr, "x s z".split()):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4,
+                                   err_msg=f"grad {name}")

@@ -163,3 +163,37 @@ def test_quant_mha_cross_attention(rng):
     kv = jnp.asarray(rng.standard_normal((2, 9, 16)).astype(np.float32))
     y = mha(x, kv=kv)
     assert y.shape == (2, 4, 16)
+
+
+def test_lstm_initial_state_threading(rng):
+    """h0/c0 must actually seed the recurrence (stateful decoding)."""
+    lstm = make_lstm()
+    x = jnp.asarray(rng.standard_normal((2, 4, 8)).astype(np.float32))
+    y_zero, (h1, c1) = lstm(x)
+    # feeding the final state back must differ from the zero-state run
+    y_warm, _ = lstm(x, h0=h1, c0=c1)
+    assert bool(jnp.any(jnp.abs(y_warm - y_zero) > 1e-6))
+    # and segment-wise processing with carried state equals one long run
+    lstm2 = QuantLSTM(8, 16, weight_quant=None, io_quant=None,
+                      gate_acc_quant=None, sigmoid_quant=None,
+                      tanh_quant=None, cell_state_quant=None,
+                      rngs=nnx.Rngs(3))
+    xa, xb = x[:, :2], x[:, 2:]
+    y_full, _ = lstm2(x)
+    ya, (h, c) = lstm2(xa)
+    yb, _ = lstm2(xb, h0=h, c0=c)
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(ya), np.asarray(yb)], axis=1),
+        np.asarray(y_full), rtol=1e-5, atol=1e-6)
+
+
+def test_lstm_bias_quant_applied(rng):
+    lstm = QuantLSTM(4, 8, bias_quant=presets.Int8BiasPerTensorFloatInternalScaling,
+                     weight_quant=None, io_quant=None, gate_acc_quant=None,
+                     sigmoid_quant=None, tanh_quant=None,
+                     cell_state_quant=None, rngs=nnx.Rngs(0))
+    layer = lstm.layers[0]
+    layer.bias[...] = jnp.asarray(rng.standard_normal(32).astype(np.float32))
+    qb = layer.bias_quant(layer.bias[...])
+    assert qb.scale is not None
+    assert qb.is_valid()
