@@ -50,16 +50,36 @@ def _set_disable_quant(model: nnx.Module, value: bool) -> None:
             mod.disable_quant = value
 
 
+_MODE_ATTRS = ("training", "use_running_average", "deterministic")
+
+
+def _snapshot_modes(model: nnx.Module):
+    snap = []
+    for path, mod in named_modules(model):
+        for attr in _MODE_ATTRS:
+            if attr in vars(mod):
+                snap.append((mod, attr, getattr(mod, attr)))
+    return snap
+
+
+def _restore_modes(snap) -> None:
+    for mod, attr, val in snap:
+        setattr(mod, attr, val)
+
+
 @contextmanager
 def calibration_mode(model: nnx.Module, enabled: bool = True):
     """Feed calibration batches inside this context: quantization is
     bypassed (FP forward) while activation quantizers collect statistics;
-    on exit stats are finalized into parameters and quant re-enabled."""
+    on exit stats are finalized into parameters, quant is re-enabled, and the
+    previous train/eval state is restored (reference calibration_mode saves
+    previous_training_state, graph/calibrate.py:55)."""
     if not enabled:
         yield model
         return
     from brevitas_tpu.utils import train_mode
 
+    snap = _snapshot_modes(model)
     _set_disable_quant(model, True)
     train_mode(model)
     try:
@@ -67,6 +87,7 @@ def calibration_mode(model: nnx.Module, enabled: bool = True):
     finally:
         finalize_collect_stats(model)
         _set_disable_quant(model, False)
+        _restore_modes(snap)
 
 
 @contextmanager
@@ -110,21 +131,17 @@ def bias_correction_mode(model: nnx.Module, enabled: bool = True):
 
         return hook
 
-    # capture the layer input so the hook can rerun the float twin
-    orig_forward_quant = QuantWBIOL.forward_quant
-
-    def capturing_forward_quant(self, inp, inner_forward):
-        self._bc_last_input = inp
-        return orig_forward_quant(self, inp, inner_forward)
-
-    QuantWBIOL.forward_quant = capturing_forward_quant
+    # per-instance input capture (forward_quant stores the input when the
+    # flag is set) — no class-level patching, so concurrent models and other
+    # QuantWBIOL instances are unaffected
     for path, layer in layers:
+        layer._capture_input = True
         layer._pre_output_hook = make_hook(path)
     try:
         yield model
     finally:
-        QuantWBIOL.forward_quant = orig_forward_quant
         for path, layer in layers:
+            layer._capture_input = False
             layer._pre_output_hook = None
             if hasattr(layer, "_bc_last_input"):
                 del layer._bc_last_input

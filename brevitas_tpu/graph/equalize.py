@@ -27,10 +27,17 @@ def _axes(module) -> Tuple[int, int]:
     """(input_axis, output_axis) of the module's kernel.
 
     Channels-last layouts: Linear kernels are (in, out); conv kernels are
-    (*spatial, I, O)."""
+    (*spatial, I, O). Grouped convolutions are rejected like the reference
+    (_get_input_axis, graph/equalize.py:87-104)."""
     if isinstance(module, (QuantLinear, nnx.Linear)):
         return 0, 1
     if isinstance(module, (_QuantConvNd, nnx.Conv)):
+        groups = getattr(module, "groups", None)
+        if groups is None:
+            groups = getattr(module, "feature_group_count", 1)
+        if groups != 1:
+            raise ValueError("grouped/depthwise convolutions are not "
+                             "supported for cross-layer equalization")
         w = module.weight[...] if hasattr(module, "weight") else module.kernel[...]
         return w.ndim - 2, w.ndim - 1
     raise ValueError(f"unsupported module for equalization: {type(module)}")
@@ -45,7 +52,10 @@ def _channel_view(w: jnp.ndarray, axis: int) -> jnp.ndarray:
 
 
 def _channel_range(x2d: jnp.ndarray) -> jnp.ndarray:
-    return jnp.max(x2d, axis=1) - jnp.min(x2d, axis=1)
+    out = jnp.max(x2d, axis=1) - jnp.min(x2d, axis=1)
+    # constant channels get the mean range so s stays finite and the channel
+    # is left ~unscaled (reference _channel_range zero guard, equalize.py:73)
+    return jnp.where(out == 0.0, jnp.mean(out), out)
 
 
 def cross_layer_equalization(srcs: Sequence, sinks: Sequence) -> jnp.ndarray:

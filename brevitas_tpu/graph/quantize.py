@@ -37,42 +37,49 @@ def quantize(
     and the bias quantizer receives input_scale * weight_scale)."""
     rngs = rngs or nnx.Rngs(0)
 
-    for path, mod in list(named_modules(model)):
-        if isinstance(mod, nnx.Linear) and type(mod) is nnx.Linear:
-            kernel = mod.kernel[...]
-            new = QuantLinear(
-                kernel.shape[0], kernel.shape[1],
-                use_bias=mod.bias is not None,
-                weight_quant=weight_quant, bias_quant=bias_quant,
-                input_quant=act_quant, return_quant_tensor=False, rngs=rngs)
-            new.weight[...] = kernel
-            if mod.bias is not None:
-                new.bias[...] = mod.bias[...]
+    from brevitas_tpu.graph.base import replace_modules_by_class
+    from brevitas_tpu.quant.quantizers import ParameterQuantizer
+
+    def _finish(new, kernel, bias):
+        new.weight[...] = kernel
+        if bias is not None:
+            new.bias[...] = bias[...]
+        if weight_quant is not None:
             # rebuild the weight quantizer against the real weights so
             # stats-initialized scaling sees them
-            from brevitas_tpu.quant.quantizers import ParameterQuantizer
-            new.weight_quant = ParameterQuantizer(weight_quant, kernel,
-                                                  channel_axis=1)
-            set_module(model, path, new)
-        elif isinstance(mod, nnx.Conv) and type(mod) is nnx.Conv:
-            kernel = mod.kernel[...]
-            spatial = kernel.ndim - 2
-            cls = QuantConv1d if spatial == 1 else QuantConv2d
-            in_ch = kernel.shape[-2] * mod.feature_group_count
-            new = cls(
-                in_ch, kernel.shape[-1], kernel.shape[:spatial],
-                stride=mod.strides, padding=mod.padding,
-                groups=mod.feature_group_count,
-                use_bias=mod.bias is not None,
-                weight_quant=weight_quant, bias_quant=bias_quant,
-                input_quant=act_quant, return_quant_tensor=False, rngs=rngs)
-            new.weight[...] = kernel
-            if mod.bias is not None:
-                new.bias[...] = mod.bias[...]
-            from brevitas_tpu.quant.quantizers import ParameterQuantizer
             new.weight_quant = ParameterQuantizer(weight_quant, kernel,
                                                   channel_axis=kernel.ndim - 1)
-            set_module(model, path, new)
+        return new
+
+    def linear_factory(path, mod):
+        kernel = mod.kernel[...]
+        new = QuantLinear(
+            kernel.shape[0], kernel.shape[1], use_bias=mod.bias is not None,
+            weight_quant=weight_quant, bias_quant=bias_quant,
+            input_quant=act_quant, return_quant_tensor=False, rngs=rngs)
+        return _finish(new, kernel, mod.bias)
+
+    def conv_factory(path, mod):
+        kernel = mod.kernel[...]
+        spatial = kernel.ndim - 2
+        idil = mod.input_dilation
+        if idil is not None and any(
+                d != 1 for d in ([idil] if isinstance(idil, int) else idil)):
+            raise NotImplementedError(
+                f"{path}: input_dilation is not supported by quantize()")
+        cls = QuantConv1d if spatial == 1 else QuantConv2d
+        in_ch = kernel.shape[-2] * mod.feature_group_count
+        new = cls(
+            in_ch, kernel.shape[-1], kernel.shape[:spatial],
+            stride=mod.strides, padding=mod.padding,
+            dilation=mod.kernel_dilation,
+            groups=mod.feature_group_count, use_bias=mod.bias is not None,
+            weight_quant=weight_quant, bias_quant=bias_quant,
+            input_quant=act_quant, return_quant_tensor=False, rngs=rngs)
+        return _finish(new, kernel, mod.bias)
+
+    replace_modules_by_class(model, nnx.Linear, linear_factory)
+    replace_modules_by_class(model, nnx.Conv, conv_factory)
     return model
 
 
@@ -90,9 +97,10 @@ def merge_batchnorms(model: nnx.Module, pairs) -> nnx.Module:
                  bn_scale=bn.scale[...] if bn.scale is not None else jnp.ones(bn.num_features),
                  bn_bias=bn.bias[...] if bn.bias is not None else jnp.zeros(bn.num_features),
                  bn_mean=bn.mean[...], bn_var=bn.var[...], eps=bn.epsilon)
-        # neutralize the BN in place
+        # neutralize the BN in place (var = 1 - eps so sqrt(var + eps) == 1
+        # exactly; plain var=1 would leave a 1/sqrt(1+eps) residual scale)
         bn.mean[...] = jnp.zeros_like(bn.mean[...])
-        bn.var[...] = jnp.ones_like(bn.var[...])
+        bn.var[...] = jnp.full_like(bn.var[...], 1.0 - bn.epsilon)
         if bn.scale is not None:
             bn.scale[...] = jnp.ones_like(bn.scale[...])
         if bn.bias is not None:

@@ -122,6 +122,8 @@ class QuantWBIOL(nnx.Module, QuantLayerMixin):
 
     def forward_quant(self, inp: TensorOrQuant, inner_forward) -> TensorOrQuant:
         """The WBIOL law (reference forward_impl, nn/quant_layer.py:302-365)."""
+        if getattr(self, "_capture_input", False):
+            self._bc_last_input = inp  # bias-correction float-twin input
         qt_in = self.unpack_input(inp)
         if self.input_quant.quant_type != QuantType.NONE:
             quant_input = self.input_quant(qt_in.value)

@@ -54,7 +54,13 @@ def host_eval_batches(x: np.ndarray, y: np.ndarray, global_batch: int,
     assembles the global array (single-host: yields full batches)."""
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
+    if global_batch % pc != 0:
+        raise ValueError(
+            f"global_batch {global_batch} must divide evenly across "
+            f"{pc} processes (a remainder would silently drop examples)")
     per_host = global_batch // pc
+    # the dataset tail beyond the last full global batch is dropped — pad the
+    # dataset or pick a dividing batch size to evaluate every example
     n = (len(x) // global_batch) * global_batch
     for i in range(0, n, global_batch):
         lo = i + pi * per_host

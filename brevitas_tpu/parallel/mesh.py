@@ -35,15 +35,18 @@ def shard_model_by_rules(model: nnx.Module, mesh: Mesh,
     new_flat = []
     for path, leaf in flat:
         path_str = "/".join(str(p) for p in path)
-        spec = P()
-        for pattern, candidate in rules:
-            if re.search(pattern, path_str):
-                spec = candidate
-                break
         value = leaf.get_value() if hasattr(leaf, "get_value") else leaf
         if hasattr(value, "shape"):
-            # drop specs that don't fit the rank or don't divide the dims
-            spec = _fit_spec(spec, value.shape, mesh)
+            # first matching rule whose spec FITS this leaf wins (a rank-2
+            # linear rule matching a rank-4 conv kernel falls through to the
+            # next rule instead of forcing replication)
+            spec = P()
+            for pattern, candidate in rules:
+                if re.search(pattern, path_str):
+                    fitted = _fit_spec(candidate, value.shape, mesh)
+                    if fitted != P() or candidate == P():
+                        spec = fitted
+                        break
             value = jax.device_put(value, NamedSharding(mesh, spec))
         if hasattr(leaf, "replace"):
             leaf = leaf.replace(value)
@@ -52,15 +55,22 @@ def shard_model_by_rules(model: nnx.Module, mesh: Mesh,
 
 
 def _fit_spec(spec: P, shape, mesh: Mesh) -> P:
-    if len(spec) > len(shape):
+    """Keep a spec only when it names exactly the leaf's rank, every referenced
+    mesh axis exists, and each sharded dim divides evenly; otherwise replicate.
+    The exact-rank rule stops e.g. a rank-2 linear-kernel rule from grabbing
+    the leading spatial axes of a rank-4 conv kernel."""
+    if len(spec) != len(shape):
         return P()
     out = []
     for i, axis in enumerate(spec):
         if axis is None:
             out.append(None)
             continue
-        size = mesh.shape[axis] if isinstance(axis, str) else int(
-            np.prod([mesh.shape[a] for a in axis]))
+        axes = (axis,) if isinstance(axis, str) else tuple(axis)
+        if any(a not in mesh.shape for a in axes):
+            out.append(None)
+            continue
+        size = int(np.prod([mesh.shape[a] for a in axes]))
         out.append(axis if shape[i] % size == 0 else None)
     return P(*out)
 

@@ -451,3 +451,57 @@ def test_int8_inference_applies_output_quant(rng):
     assert m.l.output_quant is not None
     y_int = m(x)
     np.testing.assert_allclose(y_int, y_fake, rtol=1e-3, atol=1e-3)
+
+
+def test_calibration_mode_restores_eval_state(rng):
+    """Review finding: calibration must restore the pre-context train/eval
+    state (reference saves previous_training_state)."""
+    m = FloatMLP(rngs())
+    G.quantize(m, act_quant=presets.Int8ActPerTensorFloat.let(
+        collect_stats_steps=1))
+    eval_mode(m)
+    assert m.l1.input_quant.training is False
+    with G.calibration_mode(m):
+        m(jnp.ones((2, 16)))
+        assert m.l1.input_quant.training is True
+    # restored to eval
+    assert m.l1.input_quant.training is False
+    assert m.l1.training is False
+
+
+def test_quantize_preserves_dilation(rng):
+    class Net(nnx.Module):
+        def __init__(self):
+            self.conv = nnx.Conv(3, 4, (3, 3), kernel_dilation=(2, 2),
+                                 padding="SAME", rngs=nnx.Rngs(0))
+
+        def __call__(self, x):
+            return self.conv(x)
+
+    m = Net()
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 3)).astype(np.float32))
+    y_float = m(x)
+    G.quantize(m, weight_quant=None, act_quant=None, bias_quant=None)
+    assert m.conv.dilation == (2, 2)
+    np.testing.assert_allclose(m(x), y_float, rtol=1e-5, atol=1e-5)
+
+
+def test_equalize_rejects_depthwise(rng):
+    conv = qnn.QuantConv2d(4, 4, 3, groups=4, padding="SAME",
+                           weight_quant=None, rngs=rngs())
+    lin = qnn.QuantLinear(4, 4, weight_quant=None, rngs=rngs())
+    with np.testing.assert_raises(ValueError):
+        G.cross_layer_equalization([lin], [conv])
+
+
+def test_equalize_constant_channel_guard(rng):
+    m = FloatMLP(rngs())
+    # one constant output channel in l1
+    m.l1.kernel[...] = m.l1.kernel[...].at[:, 0].set(0.5)
+    m.l1.bias[...] = m.l1.bias[...].at[0].set(0.0)
+    x = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    y_before = m(x)
+    G.equalize(m, [(["l1"], ["l2"])], iterations=3)
+    y_after = m(x)
+    assert bool(jnp.all(jnp.isfinite(m.l1.kernel[...])))
+    np.testing.assert_allclose(y_after, y_before, rtol=1e-3, atol=1e-4)

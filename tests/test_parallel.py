@@ -12,7 +12,10 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 import brevitas_tpu.nn as qnn
 from brevitas_tpu.parallel import make_mesh, shard_model_by_rules
 from brevitas_tpu.parallel.data import make_data_parallel_step, shard_batch
-from brevitas_tpu.parallel.rules import tensor_parallel_linear_rules
+from brevitas_tpu.parallel.rules import (
+    tensor_parallel_conv_rules,
+    tensor_parallel_linear_rules,
+)
 from brevitas_tpu.quant import presets
 
 
@@ -93,3 +96,47 @@ def test_shard_batch_layout():
     x = np.ones((16, 3), np.float32)
     xs = shard_batch(x, mesh)
     assert xs.sharding.spec == P("data", None)
+
+
+def test_combined_tp_rules_leave_conv_kernels_alone():
+    """Review finding: rank-2 linear rules must not grab rank-4 conv kernels."""
+    from brevitas_tpu.parallel.rules import (
+        tensor_parallel_conv_rules,
+        tensor_parallel_linear_rules,
+    )
+
+    mesh = make_mesh([("data", 4), ("model", 2)])
+
+    class M(nnx.Module):
+        def __init__(self):
+            r = nnx.Rngs(0)
+            self.lin = qnn.QuantLinear(16, 8, weight_quant=None, rngs=r)
+            self.conv = qnn.QuantConv2d(4, 8, 2, weight_quant=None, rngs=r)
+
+        def __call__(self, x):
+            return x
+
+    m = M()
+    shard_model_by_rules(
+        m, mesh,
+        tensor_parallel_linear_rules() + tensor_parallel_conv_rules())
+    assert m.lin.weight[...].sharding.spec == P(None, "model")
+    # conv kernel (2,2,4,8): model axis on OUTPUT channels only
+    assert m.conv.weight[...].sharding.spec == P(None, None, None, "model")
+
+
+def test_rules_with_missing_axis_replicate():
+    mesh = make_mesh([("data", 8)])  # no "model" axis
+    layer = qnn.QuantLinear(16, 8, weight_quant=None, rngs=nnx.Rngs(0))
+    shard_model_by_rules(layer, mesh, tensor_parallel_linear_rules())
+    assert layer.weight[...].sharding.spec in (P(), P(None, None))
+
+
+def test_host_eval_batches_rejects_indivisible():
+    from brevitas_tpu.parallel.data import host_eval_batches
+
+    x = np.ones((100, 3), np.float32)
+    y = np.ones((100,), np.int32)
+    with np.testing.assert_raises(ValueError):
+        list(host_eval_batches(x, y, global_batch=10, process_index=0,
+                               process_count=3))
