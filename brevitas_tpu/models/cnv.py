@@ -84,15 +84,7 @@ class CNV(nnx.Module, TrainToggleMixin):
             x = lyr(x)
         return self.norm(x)
 
-    def train_mode(self):
-        TrainToggleMixin.train_mode(self)  # also invalidates weight caches
-        self.set_attributes(use_running_average=False, raise_if_not_found=False)
-        return self
 
-    def eval_mode(self):
-        self.set_attributes(training=False, raise_if_not_found=False)
-        self.set_attributes(use_running_average=True, raise_if_not_found=False)
-        return self
 
 
 def cnv(weight_bit_width=1, act_bit_width=1, in_bit_width=8, **kw) -> CNV:

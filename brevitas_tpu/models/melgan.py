@@ -29,17 +29,25 @@ from brevitas_tpu.quant_tensor import unpack
 MAX_WAV_VALUE = 32768.0
 
 
-def _leaky_act(bit_width: int) -> QuantConfig:
-    return common_int_act_quant(bit_width)
+def _hardtanh_act(bit_width: int) -> QuantConfig:
+    """Const [-1, 1] hardtanh-style act quant (reference
+    make_hardtanh_activation: ScalingImplType.CONST, ACT_MAX_VAL=1,
+    melgan/common.py:41-111)."""
+    from brevitas_tpu.quant.config import ScalingImplType
+
+    return QuantConfig(bit_width=float(bit_width), signed=True,
+                       narrow_range=False,
+                       scaling_impl=ScalingImplType.CONST, scaling_const=1.0)
 
 
 class QuantLeakyReLU(nnx.Module):
-    """LeakyReLU(0.2) + signed act quant (reference make_leakyRelu_activation,
-    melgan/common.py)."""
+    """LeakyReLU (torch default slope 0.01) + const hardtanh act quant
+    (reference make_leakyRelu_activation, melgan/common.py:128: nn.LeakyReLU()
+    followed by the hardtanh quant)."""
 
-    def __init__(self, bit_width: int, negative_slope: float = 0.2):
+    def __init__(self, bit_width: int, negative_slope: float = 0.01):
         self.negative_slope = negative_slope
-        self.quant = ActQuantizer(_leaky_act(bit_width))
+        self.quant = ActQuantizer(_hardtanh_act(bit_width))
 
     def __call__(self, x):
         return unpack(self.quant(jax.nn.leaky_relu(x, self.negative_slope)))
@@ -52,7 +60,7 @@ class ResStack(nnx.Module):
 
     def __init__(self, channels: int, bit_width: int, *, rngs: nnx.Rngs):
         wq = common_int_weight_per_channel_quant(bit_width)
-        self.scale_norm = QuantIdentity(common_int_act_quant(bit_width))
+        self.scale_norm = QuantIdentity(_hardtanh_act(bit_width))
         units = []
         for i in range(3):
             d = 3 ** i
@@ -98,7 +106,7 @@ class MelGANGenerator(nnx.Module, TrainToggleMixin):
         self.tail_act = QuantLeakyReLU(bit_width)
         self.tail = QuantConv1d(32, 1, 7, padding=[(3, 3)], weight_quant=wq,
                                 rngs=rngs)
-        self.out_quant = QuantTanh(common_int_act_quant(last_layer_bit_width))
+        self.out_quant = QuantTanh(_hardtanh_act(last_layer_bit_width))
 
     def __call__(self, mel):
         """mel: (B, T, mel_channels) → waveform (B, T*256, 1)."""

@@ -70,8 +70,9 @@ class ConvBlock(nnx.Module):
                  weight_bit_width: int, act_bit_width: int, *, stride=1,
                  padding=0, groups=1, bn_eps=1e-5,
                  act_scaling_per_channel=False, rngs: nnx.Rngs):
-        pad = "SAME" if padding and kernel_size // 2 == padding else (
-            [(padding, padding)] * 2 if padding else "VALID")
+        # explicit symmetric padding (torch parity): JAX "SAME" pads (0,1)
+        # asymmetrically for stride-2 convs, shifting the receptive field
+        pad = [(padding, padding)] * 2 if padding else "VALID"
         self.conv = QuantConv2d(
             in_ch, out_ch, kernel_size, stride=stride, padding=pad,
             groups=groups, use_bias=False,
@@ -83,7 +84,8 @@ class ConvBlock(nnx.Module):
             common_uint_act_quant(act_bit_width,
                                   per_channel=act_scaling_per_channel),
             num_channels=out_ch if act_scaling_per_channel else None,
-            return_quant_tensor=True)
+            return_quant_tensor=True)  # QuantTensor reaches the next conv
+                                       # and the final trunc avg-pool
 
     def __call__(self, x):
         return self.activation(self.bn(self.conv(x)))

@@ -52,7 +52,8 @@ class ConvBlock(nnx.Module):
 
     def __init__(self, in_ch, out_ch, kernel, stride, padding, groups,
                  weight_bit_width, act_bit_width,
-                 act_scaling_per_channel=False, bn_eps=1e-3, *, rngs):
+                 act_scaling_per_channel=False, bn_eps=1e-3, *, rngs,
+                 shared_act=None):
         pad = [(padding, padding)] * 2 if padding else "VALID"
         self.conv = QuantConv2d(
             in_ch, out_ch, kernel, stride=stride, padding=pad, groups=groups,
@@ -61,11 +62,16 @@ class ConvBlock(nnx.Module):
             rngs=rngs)
         self.bn = nnx.BatchNorm(out_ch, epsilon=bn_eps,
                                 use_running_average=False, rngs=rngs)
-        if act_bit_width is not None:
+        if shared_act is not None:
+            # the stage's shared scale-aligning quantizer caps this block
+            # (reference ConvBlock(shared_act=...), proxylessnas.py:60)
+            self.activation = shared_act
+        elif act_bit_width is not None:
             self.activation = QuantReLU(
                 common_uint_act_quant(act_bit_width,
                                       per_channel=act_scaling_per_channel),
-                num_channels=out_ch if act_scaling_per_channel else None)
+                num_channels=out_ch if act_scaling_per_channel else None,
+                return_quant_tensor=True)
         else:
             self.activation = None
 
@@ -79,7 +85,7 @@ class ProxylessBlock(nnx.Module):
     proxylessnas.py:80)."""
 
     def __init__(self, in_ch, out_ch, kernel, stride, expansion, bit_width,
-                 depthwise_bit_width, *, rngs):
+                 depthwise_bit_width, shared_act, *, rngs):
         self.use_bc = expansion > 1
         mid = in_ch * expansion
         if self.use_bc:
@@ -90,7 +96,8 @@ class ProxylessBlock(nnx.Module):
         self.dw_conv = ConvBlock(mid, mid, kernel, stride, pad, mid,
                                  depthwise_bit_width, bit_width, rngs=rngs)
         self.pw_conv = ConvBlock(mid, out_ch, 1, 1, 0, 1, bit_width,
-                                 act_bit_width=None, rngs=rngs)
+                                 act_bit_width=None, shared_act=shared_act,
+                                 rngs=rngs)
 
     def __call__(self, x):
         if self.use_bc:
@@ -110,13 +117,17 @@ class ProxylessUnit(nnx.Module):
         if self.residual:
             self.body = ProxylessBlock(in_ch, out_ch, kernel, stride,
                                        expansion, bit_width,
-                                       depthwise_bit_width, rngs=rngs)
+                                       depthwise_bit_width, shared_act,
+                                       rngs=rngs)
 
     def __call__(self, x):
         if not self.residual:
             return x
+        # the body's pw_conv already ends in shared_act, so both residual
+        # operands share one scale before the add (reference ProxylessUnit:
+        # identity + shared-act'd body, then shared_act again)
         if not self.shortcut:
-            return self.shared_act(self.body(x))
+            return self.body(x)
         return self.shared_act(x + self.body(x))
 
 
@@ -133,11 +144,17 @@ class ProxylessNAS(nnx.Module, TrainToggleMixin):
                             first_layer_weight_bit_width, bit_width, rngs=rngs)]
         in_ch = INIT_CHANNELS
         shared_acts = []
+        shared_act = None
         for i in range(len(CHANNELS)):
-            shared_act = QuantIdentity(common_int_act_quant(bit_width))
-            shared_acts.append(shared_act)
             for j, out_ch in enumerate(CHANNELS[i]):
                 stride = 2 if (j == 0) and (i != 0) else 1
+                if not SHORTCUTS[i][j] or shared_act is None:
+                    # each non-shortcut unit starts a fresh residual group
+                    # with its own shared quantizer (reference creates a new
+                    # shared QuantIdentity per group)
+                    shared_act = QuantIdentity(common_int_act_quant(bit_width),
+                                               return_quant_tensor=True)
+                    shared_acts.append(shared_act)
                 blocks.append(ProxylessUnit(
                     in_ch, out_ch, KERNELS[i][j], stride, EXPANSIONS[i][j],
                     RESIDUALS[i][j], SHORTCUTS[i][j], bit_width,

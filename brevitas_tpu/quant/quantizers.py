@@ -53,19 +53,25 @@ Array = jnp.ndarray
 
 
 class TrainToggleMixin:
-    """Recursive train/eval switch over the ``training`` attribute —
-    the analogue of torch Module.train()/eval() for the quantizer state
-    machines (EMA vs frozen stats, counter advancement). Returning to
-    training invalidates any cached inference quant weights so QAT never
-    trains against a frozen weight."""
+    """Recursive train/eval switch — the analogue of torch
+    Module.train()/eval(). Toggles the quantizer state machines
+    (``training``: EMA vs frozen stats, counter advancement), BatchNorm
+    (``use_running_average``) and dropout (``deterministic``) in one place so
+    every model gets correct eval semantics. Returning to training
+    invalidates any cached inference quant weights so QAT never trains
+    against a frozen weight."""
 
     def train_mode(self):
         self.set_attributes(training=True, raise_if_not_found=False)
+        self.set_attributes(use_running_average=False, raise_if_not_found=False)
+        self.set_attributes(deterministic=False, raise_if_not_found=False)
         _clear_quant_weight_caches(self)
         return self
 
     def eval_mode(self):
         self.set_attributes(training=False, raise_if_not_found=False)
+        self.set_attributes(use_running_average=True, raise_if_not_found=False)
+        self.set_attributes(deterministic=True, raise_if_not_found=False)
         return self
 
 

@@ -145,3 +145,42 @@ def test_mixed_precision_bit_width_learning(rng):
     assert bw0 == 8.0
     assert bw1 < bw0, f"bit-width did not shrink: {bw1}"
     assert bw1 >= 2.0  # respects min_bit_width floor
+
+
+def test_eval_mode_freezes_batchnorm_everywhere():
+    """Review finding: eval_mode via the shared mixin must switch BN to
+    running averages in every model (batch-size-1 inference sanity)."""
+    m = quant_mobilenet_v1(bit_width=4, width_scale=0.125, num_classes=10,
+                           rngs=nnx.Rngs(0))
+    x = jnp.asarray(np.random.default_rng(0).random((4, 32, 32, 3),
+                                                    dtype=np.float32))
+    m.final_pool.kernel_size = (1, 1)
+    m.final_pool.stride = (1, 1)
+    m(x)  # populate running stats
+    m.eval_mode()
+    bn = m.features[0].bn
+    assert bn.use_running_average is True
+    # single-sample inference equals the same sample inside a batch
+    y_batch = m(x)
+    y_single = m(x[:1])
+    np.testing.assert_allclose(y_single, y_batch[:1], rtol=1e-4, atol=1e-5)
+
+
+def test_proxyless_residual_operands_share_scale():
+    from brevitas_tpu.models.proxylessnas import ProxylessUnit
+
+    # construct a tiny unit directly (avoid the full 224 build)
+    from brevitas_tpu.models.mobilenetv1 import common_int_act_quant
+    import brevitas_tpu.nn as qnn2
+
+    shared = qnn2.QuantIdentity(common_int_act_quant(4),
+                                return_quant_tensor=True)
+    unit = ProxylessUnit(8, 8, 3, 1, 3, residual=1, shortcut=1, bit_width=4,
+                         depthwise_bit_width=4, shared_act=shared,
+                         rngs=nnx.Rngs(0))
+    # body's projection conv ends in the SAME shared quantizer instance
+    assert unit.body.pw_conv.activation is shared
+    x = shared(jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 8, 8, 8)).astype(np.float32)))
+    y = unit(x)
+    assert y.value.shape == (1, 8, 8, 8)
