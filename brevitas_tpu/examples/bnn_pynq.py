@@ -143,6 +143,9 @@ def batches(x: np.ndarray, y: np.ndarray, batch_size: int, seed: int,
     for i in range(n_full):
         sel = idx[i * batch_size:(i + 1) * batch_size]
         yield x[sel], y[sel]
+    if not drop_last and len(x) % batch_size:
+        sel = idx[n_full * batch_size:]
+        yield x[sel], y[sel]
 
 
 # ---------------------------------------------------------------------------
@@ -203,14 +206,15 @@ def eval_step(model, x, y):
 
 
 def evaluate(model, x, y, batch_size=256):
+    """Top-1 accuracy over the FULL set (the tail batch is evaluated too —
+    it compiles one extra shape)."""
     model.eval_mode()
     correct = 0
-    n = (len(x) // batch_size) * batch_size
-    for i in range(0, n, batch_size):
-        correct += int(eval_step(model, jnp.asarray(x[i:i + batch_size]),
-                                 jnp.asarray(y[i:i + batch_size])))
+    for i in range(0, len(x), batch_size):
+        xb, yb = x[i:i + batch_size], y[i:i + batch_size]
+        correct += int(eval_step(model, jnp.asarray(xb), jnp.asarray(yb)))
     model.train_mode()
-    return correct / max(n, 1)
+    return correct / max(len(x), 1)
 
 
 def save_checkpoint(path, model, optimizer, epoch, best_acc):
@@ -218,9 +222,10 @@ def save_checkpoint(path, model, optimizer, epoch, best_acc):
     state = nnx.state(model)
     opt_state = nnx.state(optimizer)
     with open(path, "wb") as f:
+        # store the NEXT epoch to run so --resume doesn't replay this one
         pickle.dump({"state": jax.device_get(state),
                      "opt_state": jax.device_get(opt_state),
-                     "epoch": epoch, "best_val_acc": best_acc}, f)
+                     "epoch": epoch + 1, "best_val_acc": best_acc}, f)
 
 
 def load_checkpoint(path, model, optimizer=None):
@@ -255,7 +260,9 @@ def main(argv=None):
     rngs = nnx.Rngs(args.seed)
     model_kw = dict(weight_bit_width=w_bits, act_bit_width=a_bits, rngs=rngs)
     if kind == "fc":
-        model_kw["in_bit_width"] = w_bits
+        # reference cfgs set IN_BIT_WIDTH equal to the ACT bit width
+        # (e.g. tfc_1w2a.ini: WEIGHT 1, ACT 2, IN 2)
+        model_kw["in_bit_width"] = a_bits
     model = builder(**model_kw)
 
     if args.dataset == "mnist":

@@ -96,12 +96,15 @@ class QuantHardTanh(QuantNonLinearActLayer):
     def __init__(self, act_quant: Optional[QuantConfig] = None,
                  max_val: float = 1.0, min_val: float = -1.0,
                  return_quant_tensor: bool = False):
+        # the symmetric threshold must cover BOTH clip bounds (reference
+        # builds the act range from max(|min_val|, max_val))
+        threshold = max(abs(min_val), abs(max_val))
         if act_quant is None:
             act_quant = Int8ActPerTensorFloat.let(
                 scaling_impl=ScalingImplType.PARAMETER,
-                scaling_const=max_val, narrow_range=True)
+                scaling_const=threshold, narrow_range=True)
         elif act_quant.scaling_impl in (ScalingImplType.CONST,
                                         ScalingImplType.PARAMETER) \
                 and act_quant.scaling_const is None:
-            act_quant = act_quant.let(scaling_const=max_val)
+            act_quant = act_quant.let(scaling_const=threshold)
         super().__init__(None, act_quant, return_quant_tensor)

@@ -57,6 +57,10 @@ class _QuantConvNd(QuantWBIOL):
         self.dilation = _tuple(dilation, spatial_dims)
         self.groups = groups
         self.transposed = transposed
+        if transposed and groups != 1:
+            raise ValueError("grouped transposed convolutions are not "
+                             "supported (jax.lax.conv_transpose has no "
+                             "feature_group_count)")
         if isinstance(padding, str):
             self.padding = padding.upper()
         else:
@@ -91,11 +95,28 @@ class _QuantConvNd(QuantWBIOL):
             (1,) * (self.spatial_dims + 2), (1,) * (self.spatial_dims + 2),
             (lhs, rhs, lhs))
 
+    def _transpose_padding(self):
+        """Torch ConvTranspose padding semantics: padding p REMOVES p from
+        both ends of the output; jax.lax.conv_transpose padding ADDS. The
+        equivalence is jax_pad = dilation*(k-1) - p per side."""
+        if isinstance(self.padding, str):
+            return self.padding
+        out = []
+        for (lo, hi), k, d in zip(self.padding, self.kernel_size,
+                                  self.dilation):
+            eff = d * (k - 1)
+            out.append((eff - lo, eff - hi))
+        return out
+
     def __call__(self, x):
         def inner(xv, wv, bv):
             if self.transposed:
+                # torch ConvTranspose parity: the kernel correlates spatially
+                # flipped relative to jax.lax.conv_transpose's convention
+                wv = jnp.flip(wv, axis=tuple(range(self.spatial_dims)))
                 y = jax.lax.conv_transpose(
-                    xv, wv, strides=self.stride, padding=self.padding,
+                    xv, wv, strides=self.stride,
+                    padding=self._transpose_padding(),
                     rhs_dilation=self.dilation, dimension_numbers=self._dn(),
                     preferred_element_type=jnp.float32)
             else:

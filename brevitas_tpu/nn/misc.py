@@ -67,6 +67,8 @@ class QuantDropout(nnx.Module, QuantLayerMixin):
     def __init__(self, rate: float = 0.5, return_quant_tensor: bool = False,
                  rngs: Optional[nnx.Rngs] = None):
         self.rate = rate
+        if rate > 0 and rngs is None:
+            raise ValueError("QuantDropout with rate > 0 requires rngs")
         self.rngs = rngs
         self.training = True
         self.return_quant_tensor = return_quant_tensor

@@ -51,7 +51,8 @@ class QuantAvgPool2d(nnx.Module, QuantLayerMixin):
         strides = (1, *self.stride, 1)
         summed = jax.lax.reduce_window(
             qt.value, 0.0, jax.lax.add, window, strides, "VALID")
-        if qt.scale is not None and self.trunc_quant is not None:
+        if (qt.scale is not None and qt.bit_width is not None
+                and self.trunc_quant is not None):
             acc_bw = qt.bit_width + ceil_ste(
                 jnp.log2(jnp.asarray(float(self._kernel_elems))))
             acc = QuantTensor(summed, qt.scale, qt.zero_point, acc_bw,
@@ -97,7 +98,14 @@ class _QuantMaxPoolNd(nnx.Module, QuantLayerMixin):
         self.kernel_size = tuple(kernel_size) if isinstance(kernel_size, (tuple, list)) else (kernel_size,) * n
         self.stride = (tuple(stride) if isinstance(stride, (tuple, list))
                        else (stride,) * n) if stride is not None else self.kernel_size
-        self.padding = padding
+        if isinstance(padding, str):
+            self.padding = padding.upper()
+        else:
+            p = tuple(padding) if isinstance(padding, (tuple, list)) else (padding,) * n
+            # normalize to per-spatial-dim (lo, hi) pairs; N/C dims unpadded
+            self.padding = [(0, 0)] + [
+                (int(v[0]), int(v[1])) if isinstance(v, (tuple, list))
+                else (int(v), int(v)) for v in p] + [(0, 0)]
         self.return_quant_tensor = return_quant_tensor
 
     def __call__(self, x):

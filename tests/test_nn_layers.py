@@ -243,3 +243,50 @@ def test_train_eval_propagates_to_quantizers(rng):
     layer.eval_mode()
     assert layer.input_quant.training is False
     assert layer.input_quant.scaling.training is False
+
+
+def test_conv_transpose_torch_padding_semantics(rng):
+    """torch ConvTranspose parity: out = (L-1)*s - 2p + k."""
+    layer = qnn.QuantConvTranspose1d(4, 4, 4, stride=2, padding=[(1, 1)],
+                                     weight_quant=None, rngs=rngs())
+    x = jnp.asarray(rng.standard_normal((1, 10, 4)).astype(np.float32))
+    y = layer(x)
+    assert y.shape == (1, (10 - 1) * 2 - 2 + 4, 4)  # 20
+
+    import torch
+
+    tconv = torch.nn.ConvTranspose1d(4, 4, 4, stride=2, padding=1, bias=True)
+    # copy weights: jax kernel (k, I, O) → torch (in, out, k)
+    w = np.asarray(layer.weight[...])
+    tconv.weight.data = torch.from_numpy(
+        np.ascontiguousarray(w.transpose(1, 2, 0)))
+    tconv.bias.data = torch.from_numpy(np.asarray(layer.bias[...]))
+    y_torch = tconv(torch.from_numpy(
+        np.asarray(x).transpose(0, 2, 1))).detach().numpy().transpose(0, 2, 1)
+    np.testing.assert_allclose(y, y_torch, rtol=1e-4, atol=1e-5)
+
+
+def test_conv_transpose_grouped_rejected():
+    with np.testing.assert_raises(ValueError):
+        qnn.QuantConvTranspose1d(8, 8, 4, stride=2, groups=4,
+                                 weight_quant=None, rngs=rngs())
+
+
+def test_maxpool_explicit_padding(rng):
+    pool = qnn.QuantMaxPool2d(2, padding=1)
+    x = jnp.asarray(rng.standard_normal((1, 4, 4, 2)).astype(np.float32))
+    y = pool(x)
+    assert y.shape == (1, 3, 3, 2)  # (4+2-2)/2+1
+
+
+def test_hardtanh_asymmetric_min_val(rng):
+    act = qnn.QuantHardTanh(max_val=1.0, min_val=-2.0, return_quant_tensor=True)
+    x = jnp.asarray([-1.8, -0.5, 0.9])
+    y = act(x)
+    # threshold covers |min_val| = 2: the -1.8 input survives
+    np.testing.assert_allclose(np.asarray(y.value)[0], -1.8, atol=0.02)
+
+
+def test_quant_dropout_requires_rngs():
+    with np.testing.assert_raises(ValueError):
+        qnn.QuantDropout(0.5)
