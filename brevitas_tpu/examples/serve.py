@@ -64,7 +64,12 @@ def build_int8_model(rngs: nnx.Rngs):
     for _, mod in G.named_modules(model):
         if isinstance(mod, QuantLinear):
             mod.input_quant = ActQuantizer(act)
-    model(jnp.zeros((2, 28, 28, 1)))  # settle stats
+    # calibrate on representative inputs (zeros would eps-floor the scales
+    # and saturate the int8 path at serving time)
+    import numpy as _np
+
+    calib = _np.random.default_rng(1).random((64, 28, 28, 1), dtype=_np.float32)
+    model(jnp.asarray(calib))
     eval_mode(model)
     return model
 
@@ -75,7 +80,8 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=128)
     p.add_argument("--data-axis-size", type=int, default=0,
                    help="0 = all local devices")
-    p.add_argument("--integer", action="store_true", default=True)
+    p.add_argument("--float", dest="integer", action="store_false",
+                   help="serve the fake-quant path instead of int8 twins")
     args = p.parse_args(argv)
 
     n_dev = args.data_axis_size or len(jax.devices())
@@ -97,6 +103,9 @@ def main(argv=None):
         batcher.submit(rng.random((28, 28, 1), dtype=np.float32))
 
     sharding = NamedSharding(mesh, P("data", None, None, None))
+    # warmup: compile outside the timed loop
+    warm = jax.device_put(jnp.zeros((args.batch_size, 28, 28, 1)), sharding)
+    jax.device_get(infer(state, warm))
     latencies = []
     served = 0
     t0 = time.time()

@@ -75,7 +75,7 @@ def load_native(path: str) -> Dict:
         if entry.get("int4_packed"):
             from brevitas_tpu.kernels.int4 import unpack_int4_np
 
-            w_int = unpack_int4_np(w_int)
+            w_int = unpack_int4_np(w_int, signed=entry["signed"])
         out[entry["path"]] = {
             "meta": entry,
             "w_int": w_int,

@@ -51,16 +51,6 @@ def f_float(field: int, value: float) -> bytes:
     return _tag(field, 5) + struct.pack("<f", value)
 
 
-def f_packed_floats(field: int, values) -> bytes:
-    payload = b"".join(struct.pack("<f", float(v)) for v in values)
-    return f_bytes(field, payload)
-
-
-def f_packed_varints(field: int, values) -> bytes:
-    payload = b"".join(_varint(int(v)) for v in values)
-    return f_bytes(field, payload)
-
-
 # ---------------------------------------------------------------------------
 # ONNX data types (onnx.proto TensorProto.DataType)
 # ---------------------------------------------------------------------------
@@ -250,7 +240,8 @@ def parse_attribute(buf: bytes):
         elif field == 2 and atype == ATTR_FLOAT:
             value = val
         elif field == 3 and atype == ATTR_INT:
-            value = val
+            # sign-extend 64-bit two's-complement varints
+            value = val - (1 << 64) if val >= (1 << 63) else val
         elif field == 4 and atype == ATTR_STRING:
             value = val.decode()
         elif field == 5 and atype == ATTR_TENSOR:

@@ -195,6 +195,10 @@ def _qdq_axis0(b: GraphBuilder, x_name: str, qt: QuantTensor, narrow: bool) -> s
     scale = np.asarray(qt.scale, np.float32).reshape(-1)
     per_channel = scale.size > 1
     if b.style == "qonnx":
+        if per_channel:
+            # OIHW weights: scale must broadcast over axis 0 in the Quant op
+            qt = qt.set(scale=jnp.asarray(
+                scale.reshape((-1,) + (1,) * (np.asarray(qt.value).ndim - 1))))
         return b.qdq(x_name, qt, "weight", narrow)
     np_dt = np.int8 if qt.signed else np.uint8
     s_name = b.init_tensor("w_scale", scale if per_channel else scale.reshape(()))

@@ -23,11 +23,16 @@ def pack_int4(values: Array) -> Array:
     return (lo | hi).astype(jnp.int8)
 
 
-def unpack_int4(packed: Array) -> Array:
-    """Inverse of pack_int4 — sign-extends both nibbles back to int8."""
+def unpack_int4(packed: Array, signed: bool = True) -> Array:
+    """Inverse of pack_int4 — sign-extends nibbles when ``signed`` (int4 in
+    [-8,7]); zero-extends for uint4 values in [0,15]."""
     p = jnp.asarray(packed, jnp.int8)
-    lo = (p << 4) >> 4           # arithmetic shifts sign-extend the nibble
-    hi = p >> 4
+    if signed:
+        lo = (p << 4) >> 4       # arithmetic shifts sign-extend the nibble
+        hi = p >> 4
+    else:
+        lo = p & 0x0F
+        hi = (p >> 4) & 0x0F
     out = jnp.stack([lo, hi], axis=-1)
     return out.reshape(*p.shape[:-1], p.shape[-1] * 2)
 
@@ -39,9 +44,13 @@ def pack_int4_np(values: np.ndarray) -> np.ndarray:
     return (lo | hi).astype(np.int8)
 
 
-def unpack_int4_np(packed: np.ndarray) -> np.ndarray:
+def unpack_int4_np(packed: np.ndarray, signed: bool = True) -> np.ndarray:
     p = packed.astype(np.int8)
-    lo = ((p << 4).astype(np.int8) >> 4)
-    hi = p >> 4
+    if signed:
+        lo = ((p << 4).astype(np.int8) >> 4)
+        hi = p >> 4
+    else:
+        lo = p & 0x0F
+        hi = (p >> 4) & 0x0F
     out = np.stack([lo, hi], axis=-1)
     return out.reshape(*p.shape[:-1], p.shape[-1] * 2)

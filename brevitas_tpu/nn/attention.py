@@ -87,12 +87,15 @@ class QuantMultiheadAttention(nnx.Module, TrainToggleMixin):
         scale = 1.0 / math.sqrt(self.head_dim)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32) * scale
+        # large-but-finite mask fill: an all-masked row softmaxes to uniform
+        # instead of NaN (which would poison act-quant running stats)
+        neg = jnp.finfo(scores.dtype).min / 2
         if causal:
             tq, tk = scores.shape[-2], scores.shape[-1]
             causal_mask = jnp.tril(jnp.ones((tq, tk), bool), tk - tq)
-            scores = jnp.where(causal_mask, scores, -jnp.inf)
+            scores = jnp.where(causal_mask, scores, neg)
         if mask is not None:
-            scores = jnp.where(mask, scores, -jnp.inf)
+            scores = jnp.where(mask, scores, neg)
         probs = jax.nn.softmax(scores, axis=-1)
         probs = unpack(self.probs_quant(probs)).astype(v.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,

@@ -68,7 +68,7 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     epoch, best = load_checkpoint(path, model2, optimizer2)
     model2.eval_mode()
     np.testing.assert_allclose(model2(x), y_before, rtol=1e-6)
-    assert epoch == 3 and best == 0.5
+    assert epoch == 4 and best == 0.5  # stored epoch+1: resume starts AFTER
 
 
 def test_graft_entry_compiles():
