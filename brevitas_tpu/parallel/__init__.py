@@ -13,5 +13,7 @@ from brevitas_tpu.parallel.mesh import (
     replicate_model,
     shard_model_by_rules,
 )
+from brevitas_tpu.parallel.pipeline import pipeline_apply, stack_stage_params
 
-__all__ = ["make_mesh", "shard_model_by_rules", "replicate_model"]
+__all__ = ["make_mesh", "shard_model_by_rules", "replicate_model",
+           "pipeline_apply", "stack_stage_params"]

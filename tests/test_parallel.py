@@ -140,3 +140,41 @@ def test_host_eval_batches_rejects_indivisible():
     with np.testing.assert_raises(ValueError):
         list(host_eval_batches(x, y, global_batch=10, process_index=0,
                                process_count=3))
+
+
+def test_pipeline_parallel_matches_sequential(rng):
+    """4-stage quantized MLP pipeline over the mesh equals sequential
+    application (closes the PP row absent from the reference)."""
+    import jax.numpy as jnp2
+
+    from brevitas_tpu.core import quant as Q
+    from brevitas_tpu.parallel.pipeline import pipeline_apply, stack_stage_params
+
+    mesh = make_mesh([("stage", 4)])
+    d = 16
+
+    def stage_fn(params, x):
+        w, b = params["w"], params["b"]
+        # int8 fake-quant weights inside the stage
+        scale = jnp2.max(jnp2.abs(w)) / 127.0
+        wq = Q.int_quant(w, scale, jnp2.asarray(0.0), jnp2.asarray(8.0),
+                         signed=True, narrow_range=True)
+        return jnp2.tanh(x @ wq + b)
+
+    params_list = [
+        {"w": jnp.asarray(rng.standard_normal((d, d)).astype(np.float32)) * 0.5,
+         "b": jnp.asarray(rng.standard_normal(d).astype(np.float32)) * 0.1}
+        for _ in range(4)]
+    x = jnp.asarray(rng.standard_normal((8, d)).astype(np.float32))
+
+    y_seq = x
+    for p_i in params_list:
+        y_seq = stage_fn(p_i, y_seq)
+
+    stacked = stack_stage_params(params_list)
+    from jax.sharding import NamedSharding
+
+    stacked = jax.tree_util.tree_map(
+        lambda p: jax.device_put(p, NamedSharding(mesh, P("stage"))), stacked)
+    y_pipe = pipeline_apply(stage_fn, stacked, x, n_micro=4, mesh=mesh)
+    np.testing.assert_allclose(y_pipe, y_seq, rtol=1e-5, atol=1e-5)
