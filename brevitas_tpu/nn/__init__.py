@@ -37,6 +37,7 @@ from brevitas_tpu.nn.pool import (
     QuantMaxPool2d,
 )
 from brevitas_tpu.nn.quant_layer import QuantLayerMixin, QuantWBIOL
+from brevitas_tpu.nn.moe import QuantMoE
 from brevitas_tpu.nn.rnn import QuantLSTM, QuantRNN
 
 __all__ = [
@@ -72,4 +73,5 @@ __all__ = [
     "ClampQuantAccumulator",
     "HadamardClassifier",
     "merge_bn",
+    "QuantMoE",
 ]

@@ -14,6 +14,8 @@ from brevitas_tpu.parallel.mesh import (
     shard_model_by_rules,
 )
 from brevitas_tpu.parallel.pipeline import pipeline_apply, stack_stage_params
+from brevitas_tpu.parallel.sequence import sequence_sharding, shard_sequence
 
 __all__ = ["make_mesh", "shard_model_by_rules", "replicate_model",
-           "pipeline_apply", "stack_stage_params"]
+           "pipeline_apply", "stack_stage_params",
+           "sequence_sharding", "shard_sequence"]

@@ -23,16 +23,18 @@ def make_mesh(axis_sizes: Sequence[Tuple[str, int]],
 
 
 def shard_model_by_rules(model: nnx.Module, mesh: Mesh,
-                         rules: Sequence[Tuple[str, P]]) -> None:
+                         rules: Sequence[Tuple[str, P]]):
     """Apply NamedShardings to model state in place.
 
     ``rules`` is an ordered list of (path_regex, PartitionSpec); the first
     match wins; unmatched leaves replicate. Paths look like
-    ``hidden/0/weight`` (nnx state paths joined with '/')."""
+    ``hidden/0/weight`` (nnx state paths joined with '/'). Returns the list
+    of paths that received a non-replicated spec, for coverage checks."""
 
     state = nnx.state(model)
     flat = nnx.to_flat_state(state)
     new_flat = []
+    sharded_paths = []
     for path, leaf in flat:
         path_str = "/".join(str(p) for p in path)
         value = leaf.get_value() if hasattr(leaf, "get_value") else leaf
@@ -47,11 +49,14 @@ def shard_model_by_rules(model: nnx.Module, mesh: Mesh,
                     if fitted != P() or candidate == P():
                         spec = fitted
                         break
+            if spec != P():
+                sharded_paths.append(path_str)
             value = jax.device_put(value, NamedSharding(mesh, spec))
         if hasattr(leaf, "replace"):
             leaf = leaf.replace(value)
         new_flat.append((path, leaf))
     nnx.update(model, nnx.from_flat_state(new_flat))
+    return sharded_paths
 
 
 def _fit_spec(spec: P, shape, mesh: Mesh) -> P:

@@ -39,3 +39,21 @@ def tensor_parallel_conv_rules(model_axis: str = "model",
         (rf"{p}.*weight_quant/scaling/value", P(None, None, None, model_axis)),
         (rf"{p}.*conv.*weight$", P(None, None, None, model_axis)),
     ]
+
+
+def expert_parallel_rules(expert_axis: str = "expert",
+                          prefix: str = "") -> List[Tuple[str, P]]:
+    """QuantMoE expert parallelism: the stacked expert weights (E, D, H) /
+    (E, H, D), their per-(expert, channel) scale folds (1, E*B) — whose
+    blocks are expert-major, so sharding the fold's last axis over
+    ``expert_axis`` keeps each expert's scales with its weights — and the
+    stacked biases all shard over the expert axis. The router replicates."""
+    p = prefix
+    return [
+        (rf"{p}.*w1_quant/scaling/value", P(None, expert_axis)),
+        (rf"{p}.*w2_quant/scaling/value", P(None, expert_axis)),
+        (rf"{p}(^|.*/)w1$", P(expert_axis, None, None)),
+        (rf"{p}(^|.*/)w2$", P(expert_axis, None, None)),
+        (rf"{p}(^|.*/)b1$", P(expert_axis, None, None)),
+        (rf"{p}(^|.*/)b2$", P(expert_axis, None, None)),
+    ]

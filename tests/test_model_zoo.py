@@ -114,3 +114,40 @@ def test_quant_transformer_tiny(rng):
 
     losses = [float(step(m, opt, ids)) for _ in range(8)]
     assert losses[-1] < losses[0]
+
+
+def test_tutorial_scripts_run():
+    import subprocess
+    import sys
+
+    for script in ["notebooks/01_qat_quickstart.py",
+                   "notebooks/02_ptq_pipeline.py"]:
+        r = subprocess.run([sys.executable, script], capture_output=True,
+                           text=True, timeout=300,
+                           env={**__import__("os").environ,
+                                "JAX_PLATFORMS": "cpu"})
+        assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_mha_converts_to_int8_serving(rng):
+    import brevitas_tpu.graph as G
+    from brevitas_tpu.nn import QuantMultiheadAttention
+    from brevitas_tpu.quant import presets
+    from brevitas_tpu.utils import eval_mode
+
+    fast = presets.Int8ActPerTensorFloat.let(collect_stats_steps=1)
+    mha = QuantMultiheadAttention(
+        16, 2, rngs=nnx.Rngs(0), in_proj_input_quant=fast, q_quant=fast,
+        k_quant=fast, v_quant=fast,
+        attn_probs_quant=presets.Uint8ActPerTensorFloat.let(
+            collect_stats_steps=1),
+        out_proj_input_quant=fast)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 6, 16)).astype(np.float32))
+    mha(x)
+    eval_mode(mha)
+    y_fake = mha(x)
+    G.convert_integer_inference(mha)
+    assert type(mha.q_proj).__name__ == "Int8InferenceLinear"
+    y_int = mha(x)
+    np.testing.assert_allclose(y_int, y_fake, rtol=2e-2, atol=2e-2)
