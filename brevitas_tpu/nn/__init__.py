@@ -25,6 +25,8 @@ from brevitas_tpu.nn.misc import (
     QuantDropout,
     QuantEmbedding,
     QuantScaleBias,
+    batch_norm_to_quant_scale_bias,
+    mul_add_from_bn,
     QuantUpsamplingBilinear2d,
     QuantUpsamplingNearest2d,
     TruncQuantAccumulator,
@@ -73,5 +75,7 @@ __all__ = [
     "ClampQuantAccumulator",
     "HadamardClassifier",
     "merge_bn",
+    "mul_add_from_bn",
+    "batch_norm_to_quant_scale_bias",
     "QuantMoE",
 ]

@@ -148,6 +148,38 @@ class QuantScaleBias(QuantWBIOL):
         return self.forward_quant(x, inner)
 
 
+def mul_add_from_bn(bn_scale: Array, bn_bias: Array, bn_mean: Array,
+                    bn_var: Array, eps: float = 1e-5):
+    """BN statistics -> equivalent (mul, add) affine pair (reference
+    mul_add_from_bn, nn/utils.py:11)."""
+    mul = bn_scale / jnp.sqrt(bn_var + eps)
+    add = -bn_mean * mul + bn_bias
+    return mul, add
+
+
+def batch_norm_to_quant_scale_bias(bn: "nnx.BatchNorm",
+                                   **scale_bias_kwargs) -> "QuantScaleBias":
+    """Convert a trained nnx.BatchNorm into an equivalent QuantScaleBias
+    (reference BatchNorm1d/2dToQuantScaleBias, nn/quant_bn.py:48,73 — there
+    the fold happens on state-dict load; here it is an explicit factory).
+
+    Channels-last makes one adapter cover 1d and 2d: the (C,) weight/bias
+    broadcast over any (..., C) input.
+    """
+    mean = bn.mean.get_value()
+    var = bn.var.get_value()
+    scale = (bn.scale.get_value().reshape(-1) if bn.use_scale
+             else jnp.ones_like(mean).reshape(-1))
+    bias = (bn.bias.get_value().reshape(-1) if bn.use_bias
+            else jnp.zeros_like(mean).reshape(-1))
+    mul, add = mul_add_from_bn(scale, bias, mean.reshape(-1), var.reshape(-1),
+                               bn.epsilon)
+    layer = QuantScaleBias(mul.shape[0], **scale_bias_kwargs)
+    layer.weight[...] = mul
+    layer.bias[...] = add
+    return layer
+
+
 def merge_bn(layer, bn_scale: Array, bn_bias: Array, bn_mean: Array,
              bn_var: Array, eps: float = 1e-5) -> None:
     """Fold BatchNorm statistics into the preceding layer's weight/bias

@@ -290,3 +290,27 @@ def test_hardtanh_asymmetric_min_val(rng):
 def test_quant_dropout_requires_rngs():
     with np.testing.assert_raises(ValueError):
         qnn.QuantDropout(0.5)
+
+
+def test_batch_norm_to_quant_scale_bias_matches_eval_bn():
+    from brevitas_tpu.nn import batch_norm_to_quant_scale_bias
+
+    rng = np.random.default_rng(0)
+    bn = nnx.BatchNorm(6, rngs=nnx.Rngs(0))
+    # train BN so running stats and affine params are non-trivial
+    bn.train()
+    for _ in range(5):
+        bn(jnp.asarray(rng.standard_normal((16, 6)).astype(np.float32) * 3 + 1))
+    bn.scale[...] = jnp.asarray(rng.uniform(0.5, 2.0, 6).astype(np.float32))
+    bn.bias[...] = jnp.asarray(rng.standard_normal(6).astype(np.float32))
+    bn.eval()
+    x = jnp.asarray(rng.standard_normal((8, 6)).astype(np.float32))
+    y_bn = bn(x)
+    sb = batch_norm_to_quant_scale_bias(bn, weight_quant=None)
+    y_sb = sb(x)
+    np.testing.assert_allclose(np.asarray(y_sb), np.asarray(y_bn),
+                               rtol=1e-5, atol=1e-5)
+    # with int8 weight quant the affine is approximated, not exact
+    sb8 = batch_norm_to_quant_scale_bias(bn)
+    err = float(jnp.max(jnp.abs(sb8(x) - y_bn)))
+    assert 0 < err < 0.2
