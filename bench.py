@@ -135,12 +135,15 @@ def main():
     fp_budget = int(os.environ.get("BENCH_FP_TIMEOUT_S", "360"))
     fp_ips = _with_timeout(lambda: time_steps_scanned(None), fp_budget)
     vs = qat_ips / fp_ips if fp_ips else _FALLBACK_VS_BASELINE
-    print(json.dumps({
+    record = {
         "metric": "lfc_int4_qat_images_per_sec_per_chip",
         "value": round(qat_ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs, 4),
-    }), flush=True)
+    }
+    if fp_ips is None:
+        record["vs_baseline_is_fallback"] = True
+    print(json.dumps(record), flush=True)
     if fp_ips is None:
         # an abandoned measurement thread may hold a relay RPC; don't let
         # interpreter teardown wait on it

@@ -124,14 +124,21 @@ class QuantScaleBias(QuantWBIOL):
                  bias_quant: Optional[QuantConfig] = None,
                  input_quant: Optional[QuantConfig] = None,
                  output_quant: Optional[QuantConfig] = None,
-                 return_quant_tensor: bool = False, dtype=jnp.float32):
+                 return_quant_tensor: bool = False, dtype=jnp.float32,
+                 weight_init: Optional[Array] = None,
+                 bias_init: Optional[Array] = None):
         self.num_features = num_features
-        w = jnp.ones((num_features,), dtype)
+        w = (jnp.asarray(weight_init, dtype) if weight_init is not None
+             else jnp.ones((num_features,), dtype))
+        b = (jnp.asarray(bias_init, dtype) if bias_init is not None
+             else jnp.zeros((num_features,), dtype))
         self.weight = nnx.Param(w)
-        self.bias = nnx.Param(jnp.zeros((num_features,), dtype))
+        self.bias = nnx.Param(b)
+        # stats-initialized weight scaling must see the REAL initial weights
+        # (pass weight_init when folding e.g. BN multipliers in), otherwise a
+        # PARAMETER_FROM_STATS scale freezes on the all-ones placeholder
         self.init_quant(weight_quant, bias_quant, input_quant, output_quant,
-                        weight_init=w, channel_axis=0,
-                        bias_init=jnp.zeros((num_features,), dtype),
+                        weight_init=w, channel_axis=0, bias_init=b,
                         return_quant_tensor=return_quant_tensor)
 
     @property
@@ -174,10 +181,8 @@ def batch_norm_to_quant_scale_bias(bn: "nnx.BatchNorm",
             else jnp.zeros_like(mean).reshape(-1))
     mul, add = mul_add_from_bn(scale, bias, mean.reshape(-1), var.reshape(-1),
                                bn.epsilon)
-    layer = QuantScaleBias(mul.shape[0], **scale_bias_kwargs)
-    layer.weight[...] = mul
-    layer.bias[...] = add
-    return layer
+    return QuantScaleBias(mul.shape[0], weight_init=mul, bias_init=add,
+                          **scale_bias_kwargs)
 
 
 def merge_bn(layer, bn_scale: Array, bn_bias: Array, bn_mean: Array,
@@ -187,8 +192,7 @@ def merge_bn(layer, bn_scale: Array, bn_bias: Array, bn_mean: Array,
 
     ``layer`` must expose ``.weight`` (output channel LAST) and ``.bias``.
     """
-    mul = bn_scale / jnp.sqrt(bn_var + eps)
-    add = -bn_mean * mul + bn_bias
+    mul, add = mul_add_from_bn(bn_scale, bn_bias, bn_mean, bn_var, eps)
     w = layer.weight[...]
     layer.weight[...] = w * mul  # broadcast over trailing output-channel axis
     if layer.bias is not None:

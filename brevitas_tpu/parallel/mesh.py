@@ -49,7 +49,7 @@ def shard_model_by_rules(model: nnx.Module, mesh: Mesh,
                     if fitted != P() or candidate == P():
                         spec = fitted
                         break
-            if spec != P():
+            if any(axis is not None for axis in spec):
                 sharded_paths.append(path_str)
             value = jax.device_put(value, NamedSharding(mesh, spec))
         if hasattr(leaf, "replace"):

@@ -52,8 +52,8 @@ def expert_parallel_rules(expert_axis: str = "expert",
     return [
         (rf"{p}.*w1_quant/scaling/value", P(None, expert_axis)),
         (rf"{p}.*w2_quant/scaling/value", P(None, expert_axis)),
-        (rf"{p}(^|.*/)w1$", P(expert_axis, None, None)),
-        (rf"{p}(^|.*/)w2$", P(expert_axis, None, None)),
-        (rf"{p}(^|.*/)b1$", P(expert_axis, None, None)),
-        (rf"{p}(^|.*/)b2$", P(expert_axis, None, None)),
+        (rf"{p}.*\bw1$", P(expert_axis, None, None)),
+        (rf"{p}.*\bw2$", P(expert_axis, None, None)),
+        (rf"{p}.*\bb1$", P(expert_axis, None, None)),
+        (rf"{p}.*\bb2$", P(expert_axis, None, None)),
     ]

@@ -39,7 +39,7 @@ def shard_sequence(x: Array, mesh: Mesh, seq_axis: str = "seq",
 
     Insert at layer boundaries inside a jitted forward; XLA propagates the
     layout through token-local ops and gathers only at token-mixing ones.
-    The sequence length must divide the mesh axis size.
+    The mesh axis size must divide the sequence length.
     """
     return jax.lax.with_sharding_constraint(
         x, sequence_sharding(mesh, seq_axis, batch_axis))

@@ -726,8 +726,11 @@ class BiasQuantizer(nnx.Module, TrainToggleMixin):
                 "bias quantizer requires the accumulator scale "
                 "(input_scale * weight_scale)")
             scale = input_scale
-            # bias scale has the accumulator's shape; flatten to per-channel
-            scale = scale.reshape(-1) if scale.ndim > 1 else scale
+            # a 1-D bias takes the accumulator scale flattened to per-channel;
+            # higher-rank biases (e.g. stacked MoE experts (E, 1, B)) already
+            # broadcast against the accumulator scale's own shape
+            if b.ndim == 1 and scale.ndim > 1:
+                scale = scale.reshape(-1)
         else:
             threshold = self.scaling(stats_view(b, per_channel=False))
             scale = Qf.rescaling_scale(threshold, bit_width, signed=cfg.signed,

@@ -30,11 +30,6 @@ class FloatNet(nnx.Module):
     def __call__(self, x):
         return self.l2(jax.nn.relu(self.l1(x)))
 
-    def export_layers(self):
-        from brevitas_tpu.nn import QuantReLU
-
-        return [self.l1, self._relu_export, self.l2]
-
 
 model = FloatNet(nnx.Rngs(0))
 rng = np.random.default_rng(0)

@@ -169,3 +169,40 @@ def test_sequence_parallel_forward_matches_unsharded():
 def test_moe_top_k_validation():
     with pytest.raises(ValueError):
         QuantMoE(8, 16, 4, top_k=5, weight_quant=W8, rngs=nnx.Rngs(0))
+
+
+def test_moe_integer_bias_quant():
+    """Regression: (E,1,B) accumulator scale must not be flattened inside
+    BiasQuantizer (broke every requires_input_scale bias config)."""
+    moe = make_moe(input_quant=A8, hidden_act_quant=U8,
+                   bias_quant=presets.Int32Bias)
+    moe.b1[...] = jnp.asarray(np.random.default_rng(0).standard_normal(
+        moe.b1.shape).astype(np.float32))
+    x = jnp.asarray(np.random.default_rng(6).standard_normal(
+        (8, 16)).astype(np.float32))
+    y = moe(x)
+    assert y.shape == (8, 16)
+    assert bool(np.isfinite(np.asarray(y)).all())
+
+
+def test_expert_rules_with_prefix():
+    """Regression: a scoped prefix ('blocks/0/moe/') must still match the
+    top-of-module w1/w2/b1/b2 leaves."""
+    import re
+
+    rules = expert_parallel_rules("expert", prefix="blocks/0/moe/")
+    pats = [r[0] for r in rules]
+    assert any(re.search(p, "blocks/0/moe/w1") for p in pats)
+    assert any(re.search(p, "blocks/0/moe/b2") for p in pats)
+    # no substring false positives
+    plain = [r[0] for r in expert_parallel_rules("expert")]
+    assert not any(re.search(p, "raw1") for p in plain)
+
+
+def test_sharded_paths_excludes_degraded_specs():
+    """Regression: a rule that degrades to full replication (axis size does
+    not divide the dim) must not be reported as sharded."""
+    mesh = make_mesh((("expert", 3),))  # 4 experts % 3 != 0
+    moe = make_moe()
+    used = shard_model_by_rules(moe, mesh, expert_parallel_rules("expert"))
+    assert "w1" not in used and "w2" not in used

@@ -314,3 +314,24 @@ def test_batch_norm_to_quant_scale_bias_matches_eval_bn():
     sb8 = batch_norm_to_quant_scale_bias(bn)
     err = float(jnp.max(jnp.abs(sb8(x) - y_bn)))
     assert 0 < err < 0.2
+
+
+def test_batch_norm_to_quant_scale_bias_parameter_from_stats():
+    """Regression: the weight quantizer must be initialized from the folded
+    BN multipliers, not the all-ones placeholder."""
+    from brevitas_tpu.nn import batch_norm_to_quant_scale_bias
+    from brevitas_tpu.quant.config import ScalingImplType
+    from brevitas_tpu.quant.presets import Int8WeightPerTensorFloat
+
+    bn = nnx.BatchNorm(4, rngs=nnx.Rngs(0))
+    bn.scale[...] = jnp.asarray([5.0, 4.0, 6.0, 5.5])
+    bn.var[...] = jnp.ones(4)
+    bn.eval()
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (8, 4)).astype(np.float32))
+    y_bn = bn(x)
+    sb = batch_norm_to_quant_scale_bias(
+        bn, weight_quant=Int8WeightPerTensorFloat.let(
+            scaling_impl=ScalingImplType.PARAMETER_FROM_STATS))
+    err = float(jnp.max(jnp.abs(sb(x) - y_bn)))
+    assert err < 0.2, err
