@@ -103,3 +103,13 @@ def test_serve_demo_continuous_batching():
 
     res = main(["--requests", "24", "--batch-size", "8"])
     assert res["requests"] == 24 and res["batches"] == 3
+
+
+def test_lm_trainer_learns():
+    from brevitas_tpu.examples.lm import train
+
+    logs = []
+    model, losses = train(steps=60, batch=16, seq_len=32, dim=64, depth=1,
+                          heads=2, bit_width=8, log=logs.append)
+    assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])
+    assert logs and "bits/char" in logs[0]
