@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
+from brevitas_tpu import config
 from brevitas_tpu.graph.base import named_modules, set_module
 from brevitas_tpu.kernels import int8_matmul
 from brevitas_tpu.nn.conv import _QuantConvNd
@@ -27,6 +28,19 @@ from brevitas_tpu.ops import max_int, min_int
 from brevitas_tpu.quant.config import QuantType
 
 Array = jnp.ndarray
+
+
+def _prefer_pallas_gemm(m: int, k: int, n: int) -> bool:
+    """Whether the Pallas epilogue-fused GEMM should beat XLA's int8
+    dot_general for an (m, k) x (k, n) serving matmul.
+
+    XLA's int8 path reaches ~94% of MXU peak and fuses the quantize
+    prologue/dequant epilogue itself; the hand-written kernel pads every
+    operand to its 256/1024 blocks, which measured 332k vs 579k img/s on
+    batch-1024 LFC serving. Only large block-aligned problems avoid the
+    padding tax."""
+    return (m % 256 == 0 and k % 1024 == 0 and n % 1024 == 0
+            and min(m, k, n) >= 2048)
 
 
 def _freeze_act_quant(act_quantizer):
@@ -98,9 +112,11 @@ class Int8InferenceLinear(nnx.Module):
                          self.x_lo, self.x_hi)
         x_int = (x_int - self.x_shift).astype(jnp.int8)
         flat = x_int.reshape(-1, x_int.shape[-1])
-        # Pallas epilogue-fused GEMM on TPU; XLA int8 dot elsewhere
-        mm = int8_matmul if jax.default_backend() == "tpu" \
-            else int8_matmul_reference
+        use_pallas = (jax.default_backend() == "tpu"
+                      and config.USE_PALLAS_KERNELS
+                      and _prefer_pallas_gemm(flat.shape[0],
+                                              *self.w_int.shape))
+        mm = int8_matmul if use_pallas else int8_matmul_reference
         y = mm(flat, self.w_int, self.x_scale, self.w_scale,
                self.bias, act=self.act)
         y = y.reshape(*x.shape[:-1], self.w_int.shape[1])

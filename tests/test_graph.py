@@ -505,3 +505,16 @@ def test_equalize_constant_channel_guard(rng):
     y_after = m(x)
     assert bool(jnp.all(jnp.isfinite(m.l1.kernel[...])))
     np.testing.assert_allclose(y_after, y_before, rtol=1e-3, atol=1e-4)
+
+
+def test_prefer_pallas_gemm_thresholds():
+    from brevitas_tpu.graph.convert_int import _prefer_pallas_gemm
+
+    # LFC serving shapes: XLA path (padding tax dominates)
+    assert not _prefer_pallas_gemm(1024, 784, 1024)
+    assert not _prefer_pallas_gemm(1024, 1024, 1024)
+    # large aligned GEMMs: Pallas epilogue fusion pays off
+    assert _prefer_pallas_gemm(2048, 2048, 2048)
+    assert _prefer_pallas_gemm(4096, 8192, 4096)
+    # misaligned large shapes still go to XLA
+    assert not _prefer_pallas_gemm(2048, 2050, 2048)
