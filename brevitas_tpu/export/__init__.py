@@ -26,9 +26,18 @@ def export_qonnx(model, example_input, path=None, **kw) -> bytes:
     return export_model(model, example_input, path, style="qonnx", **kw)
 
 
+def export_onnx_qop(model, example_input, path=None, **kw) -> bytes:
+    """QOperator-dialect export: WBIOL layers become integer
+    QLinearConv/QLinearMatMul nodes with int32 bias (reference
+    StdQOpONNXManager, export/onnx/standard/qoperator/manager.py:32);
+    non-compute layers keep QCDQ form."""
+    return export_model(model, example_input, path, style="qop", **kw)
+
+
 # FINN consumes the QONNX dialect (reference FINNManager runs a QONNX→FINN
 # conversion downstream, export/onnx/finn/manager.py:75)
 export_finn_onnx = export_qonnx
 
-__all__ = ["export_onnx_qcdq", "export_qonnx", "export_finn_onnx",
-           "export_native", "load_native", "run_onnx", "export_model"]
+__all__ = ["export_onnx_qcdq", "export_onnx_qop", "export_qonnx",
+           "export_finn_onnx", "export_native", "load_native", "run_onnx",
+           "export_model"]

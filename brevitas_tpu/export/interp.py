@@ -46,7 +46,7 @@ def _conv(x, w, b, strides, pads, dilations, group):
     osh = [
         (xp.shape[2 + i] - dilations[i] * (ksh[i] - 1) - 1) // strides[i] + 1
         for i in range(spatial)]
-    out = np.zeros((n, cout, *osh), np.float32)
+    out = np.zeros((n, cout, *osh), np.result_type(x.dtype, w.dtype, np.float32))
     cig = cin // group
     cog = cout // group
     for g in range(group):
@@ -78,6 +78,21 @@ def _pool(x, kernel, strides, op):
             win = x[:, :, i * sh:i * sh + kh, j * sw:j * sw + kw]
             out[:, :, i, j] = win.max((2, 3)) if op == "max" else win.mean((2, 3))
     return out
+
+
+def _qlinear_out(acc, x_s, w_s, y_s, y_zp, channel_axis: int):
+    """Requantize an integer accumulator: acc * (x_s*w_s) / y_s + y_zp,
+    rounded half-to-even and saturated to the zero-point dtype."""
+    w_s = np.asarray(w_s, np.float64).reshape(-1)
+    if w_s.size > 1:
+        shape = [1] * acc.ndim
+        shape[channel_axis] = w_s.size
+        w_s = w_s.reshape(shape)
+    scale = np.asarray(x_s, np.float64).reshape(()) * w_s / \
+        np.asarray(y_s, np.float64).reshape(())
+    y = np.round(acc * scale) + np.asarray(y_zp, np.float64).reshape(())
+    info = np.iinfo(y_zp.dtype)
+    return np.clip(y, info.min, info.max).astype(y_zp.dtype)
 
 
 def run_onnx(model_bytes: bytes, inputs: Dict[str, np.ndarray]) -> List[np.ndarray]:
@@ -133,11 +148,42 @@ def run_onnx(model_bytes: bytes, inputs: Dict[str, np.ndarray]) -> List[np.ndarr
                    * scale.reshape(shape) + bias.reshape(shape))
         elif n.op_type == "Flatten":
             out = i[0].reshape(i[0].shape[0], -1)
+        elif n.op_type == "Reshape":
+            out = i[0].reshape([i[0].shape[d] if s == 0 else s
+                                for d, s in enumerate(i[1].tolist())])
+        elif n.op_type == "QLinearConv":
+            x_q, x_s, x_z, w_q, w_s, w_z, y_s, y_z = i[:8]
+            bias = i[8] if len(i) > 8 else None
+            x_c = x_q.astype(np.int64) - np.asarray(x_z, np.int64).reshape(())
+            w_c = w_q.astype(np.int64) - (
+                np.asarray(w_z, np.int64).reshape(-1).reshape(
+                    (-1,) + (1,) * (w_q.ndim - 1))
+                if np.asarray(w_z).size > 1
+                else np.asarray(w_z, np.int64).reshape(()))
+            spatial = x_q.ndim - 2
+            acc = _conv(x_c.astype(np.float64), w_c.astype(np.float64), None,
+                        a.get("strides", [1] * spatial),
+                        a.get("pads", [0] * (2 * spatial)),
+                        a.get("dilations", [1] * spatial), a.get("group", 1))
+            if bias is not None:
+                acc = acc + bias.astype(np.float64).reshape(
+                    (1, -1) + (1,) * spatial)
+            out = _qlinear_out(acc, x_s, w_s, y_s, y_z, channel_axis=1)
+        elif n.op_type == "QLinearMatMul":
+            x_q, x_s, x_z, w_q, w_s, w_z, y_s, y_z = i
+            x_c = x_q.astype(np.int64) - np.asarray(x_z, np.int64).reshape(())
+            w_c = w_q.astype(np.int64) - (
+                np.asarray(w_z, np.int64).reshape(1, -1)
+                if np.asarray(w_z).size > 1
+                else np.asarray(w_z, np.int64).reshape(()))
+            out = _qlinear_out(x_c @ w_c, x_s, w_s, y_s, y_z,
+                               channel_axis=x_q.ndim - 1)
         elif n.op_type == "Identity":
             out = i[0]
         else:
             raise NotImplementedError(f"op {n.op_type}")
         env[n.outputs[0]] = np.asarray(out, dtype=np.float32) \
-            if n.op_type not in ("QuantizeLinear", "Clip") else out
+            if n.op_type not in ("QuantizeLinear", "Clip", "Reshape",
+                                 "QLinearConv", "QLinearMatMul") else out
 
     return [env[name] for name in g.outputs]

@@ -40,7 +40,7 @@ from brevitas_tpu.quant_tensor import QuantTensor
 
 class GraphBuilder:
     def __init__(self, style: str):
-        assert style in ("qcdq", "qonnx")
+        assert style in ("qcdq", "qonnx", "qop")
         self.style = style
         self.nodes: List[bytes] = []
         self.initializers: List[bytes] = []
@@ -126,8 +126,146 @@ def handles(*classes):
     return deco
 
 
+# -- QOp (QLinearConv / QLinearMatMul) emission ------------------------------
+# Reference: StdQOpONNXManager (export/onnx/standard/qoperator/manager.py:32,
+# handler/parameter.py). Each WBIOL layer becomes
+# QuantizeLinear → QLinear{Conv,MatMul} (int8 compute, int32 bias) →
+# DequantizeLinear; non-WBIOL layers reuse the QCDQ handlers. The reference
+# exports QuantLinear as a kernel-1 QLinearConv because QLinearMatMul carries
+# no bias (handler/parameter.py:138 "Convert linear to conv1d to handle
+# bias"); this exporter does the same only when a bias exists.
+
+
+def _qop_validate(layer, name: str) -> None:
+    if layer.input_quant.quant_type != QuantType.INT or \
+            layer.output_quant.quant_type != QuantType.INT:
+        raise ValueError(
+            f"QOp export of {name} requires INT input and output quantizers "
+            "(reference StdQOpONNXQuantWBIOLHandler.validate)")
+    if layer.weight_quant.quant_type != QuantType.INT:
+        raise ValueError(f"QOp export of {name} requires INT weight quant")
+    for q, what in ((layer.input_quant, "input"), (layer.output_quant, "output")):
+        if q.cfg.narrow_range:
+            raise ValueError(f"narrow {what} quant not supported by QOp export")
+
+
+def _qop_quantize_io(b: GraphBuilder, x: str, qt: QuantTensor, hint: str):
+    """QuantizeLinear (+Clip for sub-8-bit) on an fp tensor; returns the
+    quantized name plus (scale, zp) initializer names for reuse."""
+    np_dt = np.int8 if qt.signed else np.uint8
+    scale = np.asarray(qt.scale, np.float32).reshape(())
+    s_name = b.init_tensor(hint + "_scale", scale)
+    z_name = b.init_tensor(
+        hint + "_zp", np.asarray(np.round(np.asarray(qt.zero_point, np.float32)),
+                                 np_dt).reshape(()))
+    q = b.add("QuantizeLinear", [x, s_name, z_name])
+    bw = float(np.asarray(qt.bit_width))
+    if bw < 8.0:
+        lo = float(-(2 ** (bw - 1))) if qt.signed else 0.0
+        hi = float(2 ** (bw - 1) - 1) if qt.signed else float(2 ** bw - 1)
+        q = b.add("Clip", [q, b.init_tensor(hint + "_lo", np.asarray(lo, np_dt)),
+                           b.init_tensor(hint + "_hi", np.asarray(hi, np_dt))])
+    return q, s_name, z_name
+
+
+def _qop_weight_inits(b: GraphBuilder, qw: QuantTensor, w_int: np.ndarray):
+    """Initializers for integer weight + per-tensor/per-channel scale/zp.
+    ``w_int`` must already be laid out with the output channel on axis 0."""
+    np_dt = np.int8 if qw.signed else np.uint8
+    w_name = b.init_tensor("w_int", w_int.astype(np_dt))
+    scale = np.asarray(qw.scale, np.float32).reshape(-1)
+    per_channel = scale.size > 1
+    s_name = b.init_tensor("w_scale", scale if per_channel else scale.reshape(()))
+    zp = np.asarray(np.round(np.asarray(qw.zero_point, np.float32)), np_dt)
+    zp = (np.broadcast_to(zp.reshape(-1), scale.shape).astype(np_dt)
+          if per_channel else zp.reshape(()))
+    z_name = b.init_tensor("w_zp", zp)
+    return w_name, s_name, z_name, scale
+
+
+def _qop_int_bias(b: GraphBuilder, bias: np.ndarray, in_scale: np.ndarray,
+                  w_scale: np.ndarray) -> str:
+    """int32 bias at scale input_scale * weight_scale (ONNX QLinearConv B)."""
+    bias_scale = np.asarray(in_scale, np.float64).reshape(()) * \
+        np.asarray(w_scale, np.float64).reshape(-1)
+    return b.init_tensor(
+        "b_int", np.round(np.asarray(bias, np.float64) / bias_scale).astype(np.int32))
+
+
+def _qop_finish(b: GraphBuilder, y_q: str, out_qt: QuantTensor,
+                y_s: str, y_z: str) -> str:
+    bw = float(np.asarray(out_qt.bit_width))
+    if bw < 8.0:
+        np_dt = np.int8 if out_qt.signed else np.uint8
+        lo = float(-(2 ** (bw - 1))) if out_qt.signed else 0.0
+        hi = float(2 ** (bw - 1) - 1) if out_qt.signed else float(2 ** bw - 1)
+        y_q = b.add("Clip", [y_q, b.init_tensor("y_lo", np.asarray(lo, np_dt)),
+                             b.init_tensor("y_hi", np.asarray(hi, np_dt))])
+    return b.add("DequantizeLinear", [y_q, y_s, y_z])
+
+
+def _qop_linear(b: GraphBuilder, layer: QuantLinear, x: str) -> str:
+    _qop_validate(layer, "QuantLinear")
+    in_qt = layer.input_quant(jnp.zeros((1, layer.in_features), jnp.float32))
+    out_qt = layer.output_quant(jnp.zeros((1, layer.out_features), jnp.float32))
+    qw = layer.quant_weight()
+    w_int = np.asarray(qw.int()).T  # (in, out) → (out, in)
+    y_s = b.init_tensor("y_scale", np.asarray(out_qt.scale, np.float32).reshape(()))
+    y_np_dt = np.int8 if out_qt.signed else np.uint8
+    y_z = b.init_tensor("y_zp", np.asarray(
+        np.round(np.asarray(out_qt.zero_point, np.float32)), y_np_dt).reshape(()))
+    if layer.bias is not None:
+        # (N, in) → (N, in, 1): run as a kernel-1 QLinearConv to carry bias
+        x = b.add("Reshape", [x, b.init_tensor(
+            "shape", np.asarray([0, layer.in_features, 1], np.int64))])
+        x_q, x_s, x_z = _qop_quantize_io(b, x, in_qt, "x")
+        w_name, w_s, w_z, w_scale = _qop_weight_inits(b, qw, w_int[:, :, None])
+        bias_name = _qop_int_bias(b, np.asarray(layer.bias[...]),
+                                  np.asarray(in_qt.scale), w_scale)
+        y_q = b.add("QLinearConv",
+                    [x_q, x_s, x_z, w_name, w_s, w_z, y_s, y_z, bias_name],
+                    kernel_shape=[1], strides=[1], dilations=[1], group=1,
+                    pads=[0, 0])
+        y = _qop_finish(b, y_q, out_qt, y_s, y_z)
+        return b.add("Reshape", [y, b.init_tensor(
+            "shape", np.asarray([0, layer.out_features], np.int64))])
+    x_q, x_s, x_z = _qop_quantize_io(b, x, in_qt, "x")
+    # QLinearMatMul wants (in, out); per-channel scale then lies on axis 1
+    w_name, w_s, w_z, _ = _qop_weight_inits(b, qw, w_int.T)
+    y_q = b.add("QLinearMatMul", [x_q, x_s, x_z, w_name, w_s, w_z, y_s, y_z])
+    return _qop_finish(b, y_q, out_qt, y_s, y_z)
+
+
+def _qop_conv(b: GraphBuilder, layer, x: str) -> str:
+    _qop_validate(layer, type(layer).__name__)
+    spatial = layer.spatial_dims
+    in_qt = layer.input_quant(
+        jnp.zeros((1,) + (8,) * spatial + (layer.in_channels,), jnp.float32))
+    out_qt = layer.output_quant(
+        jnp.zeros((1,) + (8,) * spatial + (layer.out_channels,), jnp.float32))
+    qw = layer.quant_weight()
+    perm = (spatial + 1, spatial) + tuple(range(spatial))  # HWIO → OIHW
+    w_int = np.transpose(np.asarray(qw.int()), perm)
+    x_q, x_s, x_z = _qop_quantize_io(b, x, in_qt, "x")
+    w_name, w_s, w_z, w_scale = _qop_weight_inits(b, qw, w_int)
+    y_s = b.init_tensor("y_scale", np.asarray(out_qt.scale, np.float32).reshape(()))
+    y_np_dt = np.int8 if out_qt.signed else np.uint8
+    y_z = b.init_tensor("y_zp", np.asarray(
+        np.round(np.asarray(out_qt.zero_point, np.float32)), y_np_dt).reshape(()))
+    inputs = [x_q, x_s, x_z, w_name, w_s, w_z, y_s, y_z]
+    if layer.bias is not None:
+        inputs.append(_qop_int_bias(b, np.asarray(layer.bias[...]),
+                                    np.asarray(in_qt.scale), w_scale))
+    y_q = b.add("QLinearConv", inputs, kernel_shape=list(layer.kernel_size),
+                strides=list(layer.stride), dilations=list(layer.dilation),
+                group=layer.groups, pads=_onnx_pads(layer))
+    return _qop_finish(b, y_q, out_qt, y_s, y_z)
+
+
 @handles(QuantLinear)
 def _export_linear(b: GraphBuilder, layer: QuantLinear, x: str) -> str:
+    if b.style == "qop":
+        return _qop_linear(b, layer, x)
     if layer.input_quant.quant_type != QuantType.NONE:
         probe = jnp.zeros((1, layer.in_features), jnp.float32)
         x = b.qdq(x, layer.input_quant(probe), "act",
@@ -157,6 +295,8 @@ def _export_linear(b: GraphBuilder, layer: QuantLinear, x: str) -> str:
 
 @handles(QuantConv1d, QuantConv2d)
 def _export_conv(b: GraphBuilder, layer, x: str) -> str:
+    if b.style == "qop":
+        return _qop_conv(b, layer, x)
     if layer.input_quant.quant_type != QuantType.NONE:
         probe = jnp.zeros((1,) + (8,) * layer.spatial_dims + (layer.in_channels,))
         x = b.qdq(x, layer.input_quant(probe), "act",

@@ -183,3 +183,131 @@ def test_export_avgpool_trunc_rescale(rng):
     # trunc floor is approximated; scale factor must match (atol ~ scale)
     np.testing.assert_allclose(y_onnx, y_model.transpose(0, 3, 1, 2),
                                atol=float(m.inp.act_quant(x).scale) * 1.1)
+
+
+# -- QOp (QLinearConv / QLinearMatMul) ---------------------------------------
+
+
+class QOpNet(nnx.Module):
+    """Single WBIOL layer with the input+output quant QOp export requires."""
+
+    def __init__(self, use_bias: bool, per_channel: bool = False):
+        r = nnx.Rngs(0)
+        wq = (presets.Int8WeightPerChannelFloat if per_channel
+              else presets.Int8WeightPerTensorFloat)
+        act = presets.Int8ActPerTensorFloat.let(collect_stats_steps=1)
+        self.l1 = qnn.QuantLinear(
+            16, 32, use_bias=use_bias, weight_quant=wq,
+            input_quant=act, output_quant=act.let(), rngs=r)
+
+    def export_layers(self):
+        return [self.l1]
+
+    def __call__(self, x):
+        return self.l1(x)
+
+
+@pytest.mark.parametrize("use_bias", [False, True])
+@pytest.mark.parametrize("per_channel", [False, True])
+def test_qop_linear_matches_model(use_bias, per_channel, rng):
+    from brevitas_tpu.export import export_onnx_qop
+
+    m = QOpNet(use_bias, per_channel)
+    if use_bias:
+        m.l1.bias[...] = jnp.asarray(
+            rng.standard_normal(32).astype(np.float32)) * 0.1
+    x = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    m(x)
+    eval_mode(m)
+    y_model = np.asarray(m(x))
+    blob = export_onnx_qop(m, x)
+    g = parse_model(blob)
+    ops = [n.op_type for n in g.nodes]
+    assert ("QLinearConv" in ops) == use_bias
+    assert ("QLinearMatMul" in ops) == (not use_bias)
+    (y_onnx,) = run_onnx(blob, {"input": np.asarray(x)})
+    out_scale = float(np.asarray(m.l1.output_quant(y_model).scale))
+    # reference brevitas_ort tolerance is 2 integer quanta (common.py:25)
+    np.testing.assert_allclose(y_onnx, y_model, atol=2.1 * out_scale)
+
+
+def test_qop_conv_matches_model(rng):
+    from brevitas_tpu.export import export_onnx_qop
+
+    class ConvNet(nnx.Module):
+        def __init__(self):
+            r = nnx.Rngs(0)
+            act = presets.Int8ActPerTensorFloat.let(collect_stats_steps=1)
+            self.conv = qnn.QuantConv2d(
+                3, 8, 3, padding=1, rngs=r,
+                weight_quant=presets.Int8WeightPerChannelFloat,
+                input_quant=act, output_quant=act.let())
+
+        def export_layers(self):
+            return [self.conv]
+
+        def __call__(self, x):
+            return self.conv(x)
+
+    m = ConvNet()
+    m.conv.bias[...] = jnp.asarray(rng.standard_normal(8).astype(np.float32)) * 0.1
+    x = jnp.asarray(rng.standard_normal((2, 6, 6, 3)).astype(np.float32))
+    m(x)
+    eval_mode(m)
+    y_model = np.asarray(m(x))  # NHWC
+    blob = export_onnx_qop(m, x)
+    g = parse_model(blob)
+    assert any(n.op_type == "QLinearConv" and len(n.inputs) == 9
+               for n in g.nodes)
+    (y_onnx,) = run_onnx(blob, {"input": np.asarray(x).transpose(0, 3, 1, 2)})
+    out_scale = float(np.asarray(m.conv.output_quant(y_model).scale))
+    np.testing.assert_allclose(y_onnx, y_model.transpose(0, 3, 1, 2),
+                               atol=2.1 * out_scale)
+
+
+def test_qop_requires_io_quant(rng):
+    from brevitas_tpu.export import export_onnx_qop
+
+    m = SmallNet()  # WBIOL layers lack input/output quant
+    x = jnp.asarray(rng.standard_normal((2, 16)).astype(np.float32))
+    m(x)
+    eval_mode(m)
+    with pytest.raises(ValueError, match="INT input and output"):
+        export_onnx_qop(m, x)
+
+
+def test_qop_mixed_graph_acts_stay_qcdq(rng):
+    """Non-WBIOL layers keep QCDQ form inside a QOp export."""
+    from brevitas_tpu.export import export_onnx_qop
+
+    class Net(nnx.Module):
+        def __init__(self):
+            r = nnx.Rngs(0)
+            act = presets.Int8ActPerTensorFloat.let(collect_stats_steps=1)
+            uact = presets.Uint8ActPerTensorFloat.let(collect_stats_steps=1)
+            self.l1 = qnn.QuantLinear(16, 32, use_bias=True,
+                                      input_quant=act, output_quant=act.let(),
+                                      rngs=r)
+            self.relu = qnn.QuantReLU(uact)
+            self.l2 = qnn.QuantLinear(32, 8, use_bias=False,
+                                      input_quant=uact.let(),
+                                      output_quant=act.let(), rngs=r)
+
+        def export_layers(self):
+            return [self.l1, self.relu, self.l2]
+
+        def __call__(self, x):
+            return self.l2(self.relu(self.l1(x)))
+
+    m = Net()
+    x = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    m(x)
+    eval_mode(m)
+    y_model = np.asarray(m(x))
+    blob = export_onnx_qop(m, x)
+    g = parse_model(blob)
+    ops = [n.op_type for n in g.nodes]
+    assert "QLinearConv" in ops and "QLinearMatMul" in ops and "Relu" in ops
+    (y_onnx,) = run_onnx(blob, {"input": np.asarray(x)})
+    out_scale = float(np.asarray(m.l2.output_quant(y_model).scale))
+    np.testing.assert_allclose(y_onnx, y_model, atol=4.2 * out_scale)
