@@ -33,6 +33,10 @@ from brevitas_tpu.graph.per_input import (
     bn_to_quant_scale_bias,
 )
 from brevitas_tpu.graph.quantize import merge_batchnorms, quantize
+from brevitas_tpu.graph.standardize import (
+    disable_last_return_quant_tensor,
+    duplicate_shared_stateless_modules,
+)
 
 __all__ = [
     "named_modules", "get_module", "set_module", "find_modules",
@@ -45,4 +49,5 @@ __all__ = [
     "adaptive_avgpool_to_avgpool", "avgpool_to_depthwise_conv",
     "bn_to_quant_scale_bias",
     "convert_integer_inference", "Int8InferenceLinear", "Int8InferenceConv",
+    "duplicate_shared_stateless_modules", "disable_last_return_quant_tensor",
 ]

@@ -518,3 +518,51 @@ def test_prefer_pallas_gemm_thresholds():
     assert _prefer_pallas_gemm(4096, 8192, 4096)
     # misaligned large shapes still go to XLA
     assert not _prefer_pallas_gemm(2048, 2050, 2048)
+
+
+# -- standardization (reference graph/standardize.py) ------------------------
+
+
+def test_duplicate_shared_stateless_modules():
+    from brevitas_tpu.graph import duplicate_shared_stateless_modules
+    from brevitas_tpu.nn.misc import QuantDropout
+
+    class Net(nnx.Module):
+        def __init__(self):
+            self.drop = QuantDropout(0.0)
+            self.a = self.drop      # shared stateless module
+            self.l1 = qnn.QuantLinear(4, 4, rngs=nnx.Rngs(0))
+            self.l2 = self.l1       # shared STATEFUL module: must stay shared
+
+        def __call__(self, x):
+            return self.l2(self.a(self.l1(self.drop(x))))
+
+    m = Net()
+    n = duplicate_shared_stateless_modules(m)
+    assert n == 1
+    assert m.a is not m.drop          # stateless clone
+    assert m.l2 is m.l1               # weight sharing preserved
+
+
+def test_disable_last_return_quant_tensor(rng):
+    from brevitas_tpu.graph import disable_last_return_quant_tensor
+    from brevitas_tpu.quant_tensor import QuantTensor
+
+    class Net(nnx.Module):
+        def __init__(self):
+            act = presets.Int8ActPerTensorFloat.let(collect_stats_steps=1)
+            self.q1 = qnn.QuantIdentity(act, return_quant_tensor=True)
+            self.q2 = qnn.QuantIdentity(act.let(), return_quant_tensor=True)
+
+        def export_layers(self):
+            return [self.q1, self.q2]
+
+        def __call__(self, x):
+            return self.q2(self.q1(x))
+
+    m = Net()
+    x = jnp.asarray(rng.standard_normal((2, 8)).astype(np.float32))
+    assert isinstance(m(x), QuantTensor)
+    assert disable_last_return_quant_tensor(m) is not None
+    assert m.q1.return_quant_tensor and not m.q2.return_quant_tensor
+    assert isinstance(m(x), jax.Array)
