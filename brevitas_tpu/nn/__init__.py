@@ -27,6 +27,7 @@ from brevitas_tpu.nn.misc import (
     QuantScaleBias,
     batch_norm_to_quant_scale_bias,
     mul_add_from_bn,
+    QuantUpsample,
     QuantUpsamplingBilinear2d,
     QuantUpsamplingNearest2d,
     TruncQuantAccumulator,
@@ -69,6 +70,7 @@ __all__ = [
     "QuantEmbedding",
     "QuantDropout",
     "QuantScaleBias",
+    "QuantUpsample",
     "QuantUpsamplingNearest2d",
     "QuantUpsamplingBilinear2d",
     "TruncQuantAccumulator",

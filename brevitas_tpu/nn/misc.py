@@ -82,6 +82,42 @@ class QuantDropout(nnx.Module, QuantLayerMixin):
         return self.pack_output(qt.set(value=jnp.where(mask, qt.value / keep, 0)))
 
 
+class QuantUpsample(nnx.Module, QuantLayerMixin):
+    """Generic upsampling over the spatial dims of channels-last inputs
+    (reference QuantUpsample, nn/quant_upsample.py:16). ``mode='nearest'``
+    repeats values so quant metadata passes through unchanged; interpolating
+    modes ('linear'/'bilinear') produce off-grid values, so metadata is
+    dropped, matching the reference's semantics for each mode."""
+
+    def __init__(self, scale_factor=None, size=None, mode: str = "nearest",
+                 return_quant_tensor: bool = False):
+        if (scale_factor is None) == (size is None):
+            raise ValueError("exactly one of scale_factor/size is required")
+        self.scale_factor = scale_factor
+        self.size = tuple(size) if size is not None else None
+        self.mode = mode
+        self.return_quant_tensor = return_quant_tensor
+
+    def __call__(self, x):
+        qt = self.unpack_input(x)
+        v = qt.value
+        spatial = v.shape[1:-1]
+        if self.size is not None:
+            out_spatial = self.size
+        else:
+            sf = self.scale_factor
+            sf = (sf,) * len(spatial) if not isinstance(sf, (tuple, list)) else sf
+            out_spatial = tuple(int(d * s) for d, s in zip(spatial, sf))
+        shape = (v.shape[0],) + out_spatial + (v.shape[-1],)
+        method = "nearest" if self.mode == "nearest" else \
+            ("linear" if self.mode in ("linear", "bilinear", "trilinear")
+             else self.mode)
+        out = jax.image.resize(v, shape, method=method)
+        if self.mode == "nearest":
+            return self.pack_output(qt.set(value=out))
+        return self.pack_output(QuantTensor(out, training=qt.training))
+
+
 class QuantUpsamplingNearest2d(nnx.Module, QuantLayerMixin):
     """Nearest upsampling repeats values → metadata passthrough
     (reference QuantUpsamplingNearest2d, nn/quant_upsample.py:87)."""

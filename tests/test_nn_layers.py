@@ -335,3 +335,20 @@ def test_batch_norm_to_quant_scale_bias_parameter_from_stats():
             scaling_impl=ScalingImplType.PARAMETER_FROM_STATS))
     err = float(jnp.max(jnp.abs(sb(x) - y_bn)))
     assert err < 0.2, err
+
+
+def test_quant_upsample_generic():
+    """Nearest mode repeats values and keeps quant metadata; interpolating
+    modes drop it (reference nn/quant_upsample.py:16,56,87)."""
+    qt = QuantTensor(jnp.arange(8.0).reshape(1, 2, 2, 2), jnp.asarray(0.1),
+                     jnp.asarray(0.0), jnp.asarray(8.0), True)
+    near = qnn.QuantUpsample(scale_factor=2, return_quant_tensor=True)(qt)
+    assert near.shape == (1, 4, 4, 2)
+    assert near.scale is not None and float(near.scale) == pytest.approx(0.1)
+    np.testing.assert_array_equal(
+        np.asarray(near.value[0, :2, :2, 0]),
+        np.asarray([[0.0, 0.0], [0.0, 0.0]]))
+    bil = qnn.QuantUpsample(size=(3, 5), mode="bilinear",
+                            return_quant_tensor=True)(qt)
+    assert bil.shape == (1, 3, 5, 2)
+    assert bil.scale is None  # interpolation breaks integer alignment
