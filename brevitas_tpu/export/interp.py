@@ -66,6 +66,30 @@ def _conv(x, w, b, strides, pads, dilations, group):
     return out
 
 
+def _conv_transpose(x, w, b, strides, pads, dilations):
+    """ONNX ConvTranspose (group=1): scatter-add each kernel tap; ``pads``
+    crop the output (torch semantics)."""
+    n, cin, *ish = x.shape
+    cin_w, cout, *ksh = w.shape
+    spatial = len(ksh)
+    full = [(ish[i] - 1) * strides[i] + dilations[i] * (ksh[i] - 1) + 1
+            for i in range(spatial)]
+    out = np.zeros((n, cout, *full), np.result_type(x.dtype, w.dtype, np.float32))
+    for idx in np.ndindex(*ksh):
+        slices = tuple(
+            slice(idx[i] * dilations[i],
+                  idx[i] * dilations[i] + strides[i] * ish[i], strides[i])
+            for i in range(spatial))
+        out[(slice(None), slice(None)) + slices] += np.einsum(
+            "nc...,co->no...", x, w[(slice(None), slice(None)) + idx])
+    crop = tuple(slice(pads[i], full[i] - pads[i + spatial])
+                 for i in range(spatial))
+    out = out[(slice(None), slice(None)) + crop]
+    if b is not None:
+        out = out + b.reshape(1, -1, *([1] * spatial))
+    return out
+
+
 def _pool(x, kernel, strides, op):
     n, c, h, w = x.shape
     kh, kw = kernel
@@ -136,6 +160,13 @@ def run_onnx(model_bytes: bytes, inputs: Dict[str, np.ndarray]) -> List[np.ndarr
             out = _conv(i[0], i[1], i[2] if len(i) > 2 else None,
                         a.get("strides", [1, 1]), a.get("pads", [0, 0, 0, 0]),
                         a.get("dilations", [1, 1]), a.get("group", 1))
+        elif n.op_type == "ConvTranspose":
+            spatial = i[0].ndim - 2
+            out = _conv_transpose(
+                i[0], i[1], i[2] if len(i) > 2 else None,
+                a.get("strides", [1] * spatial),
+                a.get("pads", [0] * (2 * spatial)),
+                a.get("dilations", [1] * spatial))
         elif n.op_type == "MaxPool":
             out = _pool(i[0], a["kernel_shape"], a["strides"], "max")
         elif n.op_type == "AveragePool":

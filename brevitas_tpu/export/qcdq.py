@@ -24,6 +24,8 @@ from brevitas_tpu.nn import (
     QuantAvgPool2d,
     QuantConv1d,
     QuantConv2d,
+    QuantConvTranspose1d,
+    QuantConvTranspose2d,
     QuantIdentity,
     QuantLinear,
     QuantMaxPool2d,
@@ -76,13 +78,18 @@ class GraphBuilder:
                                       np.asarray(qt.scale, np.float32))
             return self.add("BipolarQuant", [x_name, s_name],
                             domain="onnx.brevitas")
-        scale = np.asarray(qt.scale, np.float32).reshape(-1)
+        scale = np.asarray(qt.scale, np.float32)
         if scale.size == 1:
             scale = scale.reshape(())
+        elif scale.ndim <= 1:
+            scale = scale.reshape(-1)
         zp_f = np.asarray(qt.zero_point, np.float32)
         bw = float(np.asarray(qt.bit_width))
         signed = bool(qt.signed)
         if self.style == "qonnx":
+            # multi-dim scales keep their broadcast shape (per-channel
+            # weights: the caller shapes scale to broadcast over the
+            # channel axis, e.g. (1, O, 1, 1) for IOHW)
             s_name = self.init_tensor(hint + "_scale", scale)
             z_name = self.init_tensor(hint + "_zp", zp_f.reshape(scale.shape)
                                       if zp_f.size == scale.size else zp_f)
@@ -330,15 +337,19 @@ def _export_conv(b: GraphBuilder, layer, x: str) -> str:
     return y
 
 
-def _qdq_axis0(b: GraphBuilder, x_name: str, qt: QuantTensor, narrow: bool) -> str:
-    """Weight QDQ with per-channel axis 0 (OIHW kernels)."""
+def _qdq_axis0(b: GraphBuilder, x_name: str, qt: QuantTensor, narrow: bool,
+               axis: int = 0) -> str:
+    """Weight QDQ with a per-channel axis (0 for OIHW conv kernels, 1 for
+    IOHW ConvTranspose kernels)."""
     scale = np.asarray(qt.scale, np.float32).reshape(-1)
     per_channel = scale.size > 1
     if b.style == "qonnx":
         if per_channel:
-            # OIHW weights: scale must broadcast over axis 0 in the Quant op
-            qt = qt.set(scale=jnp.asarray(
-                scale.reshape((-1,) + (1,) * (np.asarray(qt.value).ndim - 1))))
+            # scale must broadcast over ``axis`` in the Quant op
+            ndim = np.asarray(qt.value).ndim
+            shape = [1] * ndim
+            shape[axis] = -1
+            qt = qt.set(scale=jnp.asarray(scale.reshape(shape)))
         return b.qdq(x_name, qt, "weight", narrow)
     np_dt = np.int8 if qt.signed else np.uint8
     s_name = b.init_tensor("w_scale", scale if per_channel else scale.reshape(()))
@@ -346,7 +357,7 @@ def _qdq_axis0(b: GraphBuilder, x_name: str, qt: QuantTensor, narrow: bool) -> s
     zp = (np.broadcast_to(zp_f.reshape(-1), scale.shape).astype(np_dt)
           if per_channel else zp_f.reshape(()))
     z_name = b.init_tensor("w_zp", zp)
-    kw = {"axis": 0} if per_channel else {}
+    kw = {"axis": axis} if per_channel else {}
     q = b.add("QuantizeLinear", [x_name, s_name, z_name], **kw)
     bw = float(np.asarray(qt.bit_width))
     if bw < 8.0 or narrow:
@@ -359,6 +370,44 @@ def _qdq_axis0(b: GraphBuilder, x_name: str, qt: QuantTensor, narrow: bool) -> s
         q = b.add("Clip", [q, b.init_tensor("lo", np.asarray(lo, np_dt)),
                            b.init_tensor("hi", np.asarray(hi, np_dt))])
     return b.add("DequantizeLinear", [q, s_name, z_name], **kw)
+
+
+@handles(QuantConvTranspose1d, QuantConvTranspose2d)
+def _export_convtranspose(b: GraphBuilder, layer, x: str) -> str:
+    """ONNX ConvTranspose: weights are (C_in, C_out, kH, kW) and ``pads``
+    REMOVE output pixels — the same semantics as this layer's stored
+    torch-style padding (reference QuantConvTranspose1d/2d,
+    nn/quant_convtranspose.py:25,114)."""
+    if layer.input_quant.quant_type != QuantType.NONE:
+        probe = jnp.zeros((1,) + (8,) * layer.spatial_dims + (layer.in_channels,))
+        x = b.qdq(x, layer.input_quant(probe), "act",
+                  narrow=layer.input_quant.cfg.narrow_range,
+                  quant_type=layer.input_quant.quant_type)
+    qw = layer.quant_weight()
+    spatial = layer.spatial_dims
+    perm = (spatial, spatial + 1) + tuple(range(spatial))  # HWIO → IOHW
+    w = np.transpose(np.asarray(qw.value), perm)
+    w_name = b.init_tensor("weight", w)
+    if qw.scale is not None and layer.weight_quant.quant_type == QuantType.INT:
+        scale = np.asarray(qw.scale).reshape(-1)
+        qt = QuantTensor(jnp.asarray(w),
+                         jnp.asarray(scale if scale.size > 1 else scale.reshape(())),
+                         qw.zero_point, qw.bit_width, qw.signed)
+        # per-output-channel axis for IOHW ConvTranspose weights is 1
+        w_name = _qdq_axis0(b, w_name, qt, layer.weight_quant.cfg.narrow_range,
+                            axis=1)
+    y = b.add("ConvTranspose", [x, w_name] + (
+        [b.init_tensor("bias", np.asarray(layer.bias[...], np.float32))]
+        if layer.bias is not None else []),
+        kernel_shape=list(layer.kernel_size), strides=list(layer.stride),
+        dilations=list(layer.dilation), group=layer.groups,
+        pads=_onnx_pads(layer))
+    if layer.output_quant.quant_type != QuantType.NONE:
+        probe = jnp.zeros((1,) + (8,) * spatial + (layer.out_channels,))
+        y = b.qdq(y, layer.output_quant(probe), "act",
+                  narrow=layer.output_quant.cfg.narrow_range,
+                  quant_type=layer.output_quant.quant_type)
+    return y
 
 
 def _onnx_pads(layer) -> List[int]:

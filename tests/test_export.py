@@ -311,3 +311,39 @@ def test_qop_mixed_graph_acts_stay_qcdq(rng):
     (y_onnx,) = run_onnx(blob, {"input": np.asarray(x)})
     out_scale = float(np.asarray(m.l2.output_quant(y_model).scale))
     np.testing.assert_allclose(y_onnx, y_model, atol=4.2 * out_scale)
+
+
+@pytest.mark.parametrize("style", ["qcdq", "qonnx"])
+def test_export_convtranspose(style, rng):
+    """QuantConvTranspose2d exports as ONNX ConvTranspose (IOHW weights,
+    per-channel axis 1, torch-style output-cropping pads)."""
+
+    class Net(nnx.Module):
+        def __init__(self):
+            r = nnx.Rngs(0)
+            act = presets.Int8ActPerTensorFloat.let(collect_stats_steps=1)
+            self.inp = qnn.QuantIdentity(act)
+            self.deconv = qnn.QuantConvTranspose2d(
+                3, 5, 4, stride=2, padding=1, rngs=r,
+                weight_quant=presets.Int8WeightPerChannelFloat)
+
+        def export_layers(self):
+            return [self.inp, self.deconv]
+
+        def __call__(self, x):
+            return self.deconv(self.inp(x))
+
+    m = Net()
+    m.deconv.bias[...] = jnp.asarray(rng.standard_normal(5).astype(np.float32)) * 0.1
+    x = jnp.asarray(rng.standard_normal((2, 5, 5, 3)).astype(np.float32))
+    m(x)
+    eval_mode(m)
+    y_model = np.asarray(m(x))  # NHWC
+    export_fn = export_onnx_qcdq if style == "qcdq" else export_qonnx
+    blob = export_fn(m, x)
+    g = parse_model(blob)
+    assert any(n.op_type == "ConvTranspose" for n in g.nodes)
+    (y_onnx,) = run_onnx(blob, {"input": np.asarray(x).transpose(0, 3, 1, 2)})
+    assert y_onnx.shape == y_model.transpose(0, 3, 1, 2).shape
+    np.testing.assert_allclose(y_onnx, y_model.transpose(0, 3, 1, 2),
+                               rtol=1e-3, atol=1e-4)
