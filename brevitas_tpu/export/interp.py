@@ -104,6 +104,49 @@ def _pool(x, kernel, strides, op):
     return out
 
 
+def _quant_lstm_layer(x, w_ih, w_hh, bias, a):
+    """QONNX custom QuantLSTMLayer: the quantized recurrence with per-act
+    fake-quant from the node's attrs (exporter counterpart of the reference
+    BrevitasQuantLSTMCellFn)."""
+
+    def q(v, p):
+        bw = a.get(p + "_bw", 0)
+        if not bw:
+            return v
+        scale, zp = a[p + "_scale"], a[p + "_zp"]
+        signed, narrow = bool(a[p + "_signed"]), bool(a[p + "_narrow"])
+        lo = (-(2 ** (bw - 1)) + (1 if narrow else 0)) if signed else 0.0
+        hi = (2 ** (bw - 1) - 1) if signed else (2 ** bw - 1 - (1 if narrow else 0))
+        qv = np.clip(np.round(v / scale + zp), lo, hi)
+        return ((qv - zp) * scale).astype(np.float32)
+
+    xp = x @ w_ih
+    if bias is not None:
+        xp = xp + bias
+    if a.get("reverse"):
+        xp = xp[:, ::-1]
+    n, t, _ = xp.shape
+    hs = a["hidden_size"]
+    h = np.zeros((n, hs), np.float32)
+    c = np.zeros((n, hs), np.float32)
+    sig = lambda v: 1.0 / (1.0 + np.exp(-v))  # noqa: E731
+    ys = []
+    for step in range(t):
+        gates = q(xp[:, step] + h @ w_hh, "gate_acc")
+        i_g, f_g, g_g, o_g = np.split(gates, 4, axis=-1)
+        i_t = q(sig(i_g), "in_sigmoid")
+        f_t = q(sig(f_g), "forget_sigmoid")
+        g_t = q(np.tanh(g_g), "cell_tanh")
+        o_t = q(sig(o_g), "out_sigmoid")
+        c = q(f_t * c + i_t * g_t, "cell_state")
+        h = q(o_t * q(np.tanh(c), "hidden_tanh"), "hidden_state")
+        ys.append(h)
+    y = np.stack(ys, axis=1)
+    if a.get("reverse"):
+        y = y[:, ::-1]
+    return y
+
+
 def _qlinear_out(acc, x_s, w_s, y_s, y_zp, channel_axis: int):
     """Requantize an integer accumulator: acc * (x_s*w_s) / y_s + y_zp,
     rounded half-to-even and saturated to the zero-point dtype."""
@@ -119,7 +162,10 @@ def _qlinear_out(acc, x_s, w_s, y_s, y_zp, channel_axis: int):
     return np.clip(y, info.min, info.max).astype(y_zp.dtype)
 
 
-def run_onnx(model_bytes: bytes, inputs: Dict[str, np.ndarray]) -> List[np.ndarray]:
+def run_onnx(model_bytes: bytes, inputs: Dict[str, np.ndarray],
+             extra_outputs: Optional[List[str]] = None) -> List[np.ndarray]:
+    """Execute the graph; returns the declared outputs, then any
+    ``extra_outputs`` (debug-marker probe names)."""
     g: OnnxGraph = parse_model(model_bytes)
     env: Dict[str, np.ndarray] = dict(g.initializers)
     env.update({k: np.asarray(v) for k, v in inputs.items()})
@@ -209,6 +255,11 @@ def run_onnx(model_bytes: bytes, inputs: Dict[str, np.ndarray]) -> List[np.ndarr
                 else np.asarray(w_z, np.int64).reshape(()))
             out = _qlinear_out(x_c @ w_c, x_s, w_s, y_s, y_z,
                                channel_axis=x_q.ndim - 1)
+        elif n.op_type == "Concat":
+            out = np.concatenate(i, axis=a["axis"])
+        elif n.op_type == "QuantLSTMLayer":
+            out = _quant_lstm_layer(i[0], i[1], i[2],
+                                    i[3] if len(i) > 3 else None, a)
         elif n.op_type == "Identity":
             out = i[0]
         else:
@@ -217,4 +268,5 @@ def run_onnx(model_bytes: bytes, inputs: Dict[str, np.ndarray]) -> List[np.ndarr
             if n.op_type not in ("QuantizeLinear", "Clip", "Reshape",
                                  "QLinearConv", "QLinearMatMul") else out
 
-    return [env[name] for name in g.outputs]
+    return [env[name] for name in g.outputs] + \
+        [env[name] for name in (extra_outputs or [])]

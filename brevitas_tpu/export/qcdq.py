@@ -28,6 +28,7 @@ from brevitas_tpu.nn import (
     QuantConvTranspose2d,
     QuantIdentity,
     QuantLinear,
+    QuantLSTM,
     QuantMaxPool2d,
     QuantReLU,
     QuantSigmoid,
@@ -459,6 +460,88 @@ def _export_avgpool(b: GraphBuilder, layer, x: str) -> str:
     return y
 
 
+# -- QuantLSTM (QONNX custom op) ---------------------------------------------
+# Reference: BrevitasQuantLSTMCellFn (export/onnx/qonnx/function.py:74) — the
+# FINN flow receives the whole quantized recurrence as one custom op with the
+# quantized gate weights as inputs and every act quantizer's
+# scale/zp/bit-width as explicit parameters. Here that is one
+# ``QuantLSTMLayer`` node per direction (domain onnx.brevitas) whose attrs
+# carry all eight act-quantizer configs; bidirectional directions concat.
+
+_LSTM_ACT_QUANTIZERS = (
+    "gate_acc", "in_sigmoid", "forget_sigmoid", "out_sigmoid",
+    "cell_tanh", "hidden_tanh", "cell_state", "hidden_state")
+
+
+def _act_quant_attrs(prefix: str, qz, probe_features: int) -> Dict[str, object]:
+    """scale/zp/bw/signed/narrow attrs for one act quantizer; bw=0 disables."""
+    if qz.quant_type == QuantType.NONE:
+        return {f"{prefix}_bw": 0}
+    qt = qz(jnp.zeros((1, probe_features), jnp.float32))
+    return {
+        f"{prefix}_scale": float(np.asarray(qt.scale).reshape(())),
+        f"{prefix}_zp": float(np.asarray(qt.zero_point).reshape(())),
+        f"{prefix}_bw": int(np.asarray(qt.bit_width)),
+        f"{prefix}_signed": int(bool(qt.signed)),
+        f"{prefix}_narrow": int(qz.cfg.narrow_range),
+    }
+
+
+def _emit_lstm_layer(b: GraphBuilder, lay, x: str) -> str:
+    hs = lay.hidden_size
+    if lay.input_quant.quant_type != QuantType.NONE:
+        in_features = int(lay.w_ih[...].shape[0])
+        x = b.qdq(x, lay.input_quant(jnp.zeros((1, 1, in_features))), "lstm_in",
+                  narrow=lay.input_quant.cfg.narrow_range,
+                  quant_type=lay.input_quant.quant_type)
+
+    def weight_name(param, quantizer, hint):
+        raw = np.asarray(param, np.float32)
+        name = b.init_tensor(hint, raw)
+        if quantizer.quant_type == QuantType.INT:
+            qw = quantizer(jnp.asarray(raw))
+            scale = np.asarray(qw.scale).reshape(-1)
+            qt = QuantTensor(jnp.asarray(raw),
+                             jnp.asarray(scale if scale.size > 1
+                                         else scale.reshape(())),
+                             qw.zero_point, qw.bit_width, qw.signed)
+            # (in, 4H) weights: per-channel scale lies on axis 1
+            name = _qdq_axis0(b, name, qt, quantizer.cfg.narrow_range, axis=1)
+        return name
+
+    inputs = [x,
+              weight_name(lay.w_ih[...], lay.w_ih_quant, "w_ih"),
+              weight_name(lay.w_hh[...], lay.w_hh_quant, "w_hh")]
+    if lay.bias is not None:
+        from brevitas_tpu.quant_tensor import unpack as _unpack
+
+        inputs.append(b.init_tensor(
+            "lstm_bias",
+            np.asarray(_unpack(lay.bias_quant(lay.bias[...])), np.float32)))
+    attrs: Dict[str, object] = {"hidden_size": hs, "reverse": int(lay.reverse)}
+    q = lay.quants
+    for prefix in _LSTM_ACT_QUANTIZERS:
+        feats = 4 * hs if prefix == "gate_acc" else hs
+        attrs.update(_act_quant_attrs(prefix, getattr(q, prefix), feats))
+    return b.add("QuantLSTMLayer", inputs, domain="onnx.brevitas", **attrs)
+
+
+@handles(QuantLSTM)
+def _export_lstm(b: GraphBuilder, layer, x: str) -> str:
+    if b.style != "qonnx":
+        raise ValueError("QuantLSTM exports via QONNX only (reference "
+                         "BrevitasQuantLSTMCellFn is a QONNX custom op)")
+    step = 2 if layer.bidirectional else 1
+    for i in range(0, len(layer.layers), step):
+        y_f = _emit_lstm_layer(b, layer.layers[i], x)
+        if layer.bidirectional:
+            y_b = _emit_lstm_layer(b, layer.layers[i + 1], x)
+            x = b.add("Concat", [y_f, y_b], axis=2)
+        else:
+            x = y_f
+    return x
+
+
 @handles(nnx.BatchNorm)
 def _export_bn(b: GraphBuilder, layer: nnx.BatchNorm, x: str) -> str:
     n = layer.num_features
@@ -511,6 +594,11 @@ def export_model(model, example_input, path: Optional[str] = None,
                 _, mul, add = item
                 x = b.add("Mul", [x, b.init_tensor("mul", np.asarray(mul, np.float32))])
                 x = b.add("Add", [x, b.init_tensor("add", np.asarray(add, np.float32))])
+            elif item[0] == "debug":
+                # named probe point (reference DebugMarkerFunction,
+                # export/debug.py): an Identity whose output name is stable,
+                # readable back via run_onnx(..., extra_outputs=[name])
+                x = b.add("Identity", [x], outputs=[item[1]])
             else:
                 raise ValueError(f"unknown glue spec {item}")
             continue
@@ -544,6 +632,9 @@ def _onnx_input_shape(nhwc_shape, items) -> List[Optional[int]]:
         n, h, w, c = nhwc_shape
         return [None, c, h, w]
     if len(nhwc_shape) == 3:
+        # sequence models (LSTM) stay (B, T, F); spatial 1-d nets go NCW
+        if any(isinstance(it, QuantLSTM) for it in items):
+            return [None] + list(nhwc_shape[1:])
         n, w, c = nhwc_shape
         return [None, c, w]
     return [None] + list(nhwc_shape[1:])

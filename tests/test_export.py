@@ -347,3 +347,79 @@ def test_export_convtranspose(style, rng):
     assert y_onnx.shape == y_model.transpose(0, 3, 1, 2).shape
     np.testing.assert_allclose(y_onnx, y_model.transpose(0, 3, 1, 2),
                                rtol=1e-3, atol=1e-4)
+
+
+# -- QuantLSTM QONNX export ---------------------------------------------------
+
+
+@pytest.mark.parametrize("bidirectional", [False, True])
+def test_qonnx_lstm_matches_model(bidirectional, rng):
+    """QuantLSTM exports as QONNX QuantLSTMLayer custom nodes carrying all
+    act-quantizer params (reference BrevitasQuantLSTMCellFn,
+    export/onnx/qonnx/function.py:74); interpreter output matches the scanned
+    NNX recurrence."""
+    from brevitas_tpu.nn import QuantLSTM
+
+    class Net(nnx.Module):
+        def __init__(self):
+            self.lstm = QuantLSTM(6, 5, num_layers=2,
+                                  bidirectional=bidirectional,
+                                  rngs=nnx.Rngs(0))
+
+        def export_layers(self):
+            return [self.lstm]
+
+        def __call__(self, x):
+            y, _ = self.lstm(x)
+            return y
+
+    m = Net()
+    x = jnp.asarray(rng.standard_normal((3, 7, 6)).astype(np.float32))
+    m(x)  # collect act stats
+    eval_mode(m)
+    y_model = np.asarray(m(x))
+    blob = export_qonnx(m, x)
+    g = parse_model(blob)
+    lstm_nodes = [n for n in g.nodes if n.op_type == "QuantLSTMLayer"]
+    assert len(lstm_nodes) == (4 if bidirectional else 2)
+    assert all(n.domain == "onnx.brevitas" for n in lstm_nodes)
+    (y_onnx,) = run_onnx(blob, {"input": np.asarray(x)})
+    np.testing.assert_allclose(y_onnx, y_model, rtol=1e-3, atol=1e-4)
+
+
+def test_lstm_rejects_qcdq_style(rng):
+    from brevitas_tpu.nn import QuantLSTM
+
+    class Net(nnx.Module):
+        def __init__(self):
+            self.lstm = QuantLSTM(4, 4, rngs=nnx.Rngs(0))
+
+        def export_layers(self):
+            return [self.lstm]
+
+        def __call__(self, x):
+            return self.lstm(x)[0]
+
+    m = Net()
+    x = jnp.zeros((1, 3, 4))
+    m(x)
+    eval_mode(m)
+    with pytest.raises(ValueError, match="QONNX only"):
+        export_onnx_qcdq(m, x)
+
+
+def test_debug_marker_probe(rng):
+    """("debug", name) glue emits a stable probe readable via extra_outputs
+    (reference DebugMarkerFunction, export/debug.py)."""
+    m = SmallNet()
+    x = jnp.asarray(rng.standard_normal((2, 16)).astype(np.float32))
+    m(x)
+    eval_mode(m)
+
+    layers = m.export_layers()
+    items = layers[:2] + [("debug", "after_l1")] + layers[2:]
+    m.export_layers = lambda: items
+    blob = export_onnx_qcdq(m, x)
+    y, probe = run_onnx(blob, {"input": np.asarray(x)},
+                        extra_outputs=["after_l1"])
+    assert probe.shape == (2, 32)  # l1 output
