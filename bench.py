@@ -31,6 +31,7 @@ from brevitas_tpu.models import lfc
 BATCH = 1024
 WARMUP = 5
 STEPS = 30
+REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 
 
 def build(bits):
@@ -64,9 +65,11 @@ def time_steps(bits):
     return BATCH * STEPS / dt
 
 
-def time_steps_scanned(bits):
+def prepare_scanned(bits):
     """Whole multi-step epoch inside ONE jit (lax.scan over batches) —
-    amortizes per-dispatch overhead, the production train-loop shape."""
+    amortizes per-dispatch overhead, the production train-loop shape.
+    Returns a zero-arg callable that runs ONE fully-synced epoch; the first
+    call here compiles and warms it."""
     model, optimizer, _ = build(bits)
     from brevitas_tpu.examples.bnn_pynq import sqr_hinge_loss
 
@@ -89,13 +92,24 @@ def time_steps_scanned(bits):
         state, losses = jax.lax.scan(body, state, (xs, ys))
         return state, losses
 
-    state, losses = epoch(state, xs, ys)  # compile + warmup
-    jax.device_get(losses)
-    t0 = time.perf_counter()
-    state, losses = epoch(state, xs, ys)
-    jax.device_get(losses)  # full sync (see PERF.md on relay semantics)
-    dt = time.perf_counter() - t0
-    return BATCH * STEPS / dt
+    box = {"state": state}
+
+    def run_once():
+        box["state"], losses = epoch(box["state"], xs, ys)
+        jax.device_get(losses)  # full sync (see PERF.md on relay semantics)
+
+    run_once()  # compile + warmup
+    return run_once
+
+
+def time_steps_scanned(bits):
+    run_once = prepare_scanned(bits)
+    best_dt = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        run_once()
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    return BATCH * STEPS / best_dt
 
 
 # ratio from the most recent successful paired measurement on this chip
@@ -130,10 +144,23 @@ def _with_timeout(fn, seconds):
 
 def main():
     # scanned epochs only: the per-step-dispatch variant is always slower
-    # (~1 ms relay overhead per call) and doubles compile time
-    qat_ips = time_steps_scanned(4)
+    # (~1 ms relay overhead per call) and doubles compile time.
+    # QAT and FP epochs are timed INTERLEAVED so slow periods of the shared
+    # relay/chip hit both measurements equally and cancel in the ratio.
+    qat_run = prepare_scanned(4)
     fp_budget = int(os.environ.get("BENCH_FP_TIMEOUT_S", "360"))
-    fp_ips = _with_timeout(lambda: time_steps_scanned(None), fp_budget)
+    fp_run = _with_timeout(lambda: prepare_scanned(None), fp_budget)
+    qat_dt = fp_dt = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        qat_run()
+        qat_dt = min(qat_dt, time.perf_counter() - t0)
+        if fp_run is not None:
+            t0 = time.perf_counter()
+            fp_run()
+            fp_dt = min(fp_dt, time.perf_counter() - t0)
+    qat_ips = BATCH * STEPS / qat_dt
+    fp_ips = BATCH * STEPS / fp_dt if fp_run is not None else None
     vs = qat_ips / fp_ips if fp_ips else _FALLBACK_VS_BASELINE
     record = {
         "metric": "lfc_int4_qat_images_per_sec_per_chip",
