@@ -174,13 +174,82 @@ class Int8InferenceConv(nnx.Module):
         return _apply_output_quant(y, self.output_quant)
 
 
+class Int8InferenceAttention(nnx.Module):
+    """Serving twin of a trained QuantMultiheadAttention: int8 projection
+    GEMMs plus the fused int8 attention core (int8 QK^T on the MXU, uint8
+    probability grid, PV) — see kernels/int8_attention.py. Requires
+    symmetric signed q/k/v quantizers and an unsigned probs quantizer (the
+    layer defaults)."""
+
+    def __init__(self, mha):
+        self.num_heads = mha.num_heads
+        self.head_dim = mha.head_dim
+        self.embed_dim = mha.embed_dim
+        self.q_proj = Int8InferenceLinear(mha.q_proj)
+        self.k_proj = Int8InferenceLinear(mha.k_proj)
+        self.v_proj = Int8InferenceLinear(mha.v_proj)
+        self.out_proj = Int8InferenceLinear(mha.out_proj)
+        for name in ("q", "k", "v"):
+            qz = getattr(mha, f"{name}_quant")
+            s, zp, lo, hi = _freeze_act_quant(qz)
+            if float(jnp.asarray(zp).reshape(())) != 0.0 or not qz.cfg.signed:
+                raise ValueError(
+                    "int8 attention core needs symmetric signed q/k/v quant")
+            setattr(self, f"{name}_scale", jnp.asarray(s).reshape(()))
+            setattr(self, f"{name}_lo", lo)
+            setattr(self, f"{name}_hi", hi)
+        p_s, p_zp, p_lo, p_hi = _freeze_act_quant(mha.probs_quant)
+        if p_lo != 0.0 or float(jnp.asarray(p_zp).reshape(())) != 0.0:
+            raise ValueError("probs quantizer must be unsigned with zero "
+                             "zero-point (softmax output is [0, 1])")
+        self.p_scale = jnp.asarray(p_s).reshape(())
+        self.p_levels = int(p_hi)
+
+    def _grid(self, x: Array, name: str) -> Array:
+        s = getattr(self, f"{name}_scale")
+        return jnp.clip(jnp.round(x / s), getattr(self, f"{name}_lo"),
+                        getattr(self, f"{name}_hi")) * s
+
+    def __call__(self, x: Array, kv: Optional[Array] = None,
+                 mask: Optional[Array] = None, causal: bool = False) -> Array:
+        from brevitas_tpu.kernels import quant_attention_serving
+
+        if mask is not None:
+            raise NotImplementedError(
+                "arbitrary masks are not supported by the int8 serving core; "
+                "serve the fake-quant model for masked attention")
+        kv = x if kv is None else kv
+        b, t, _ = x.shape
+        h, d = self.num_heads, self.head_dim
+
+        def heads(y):
+            return y.reshape(b, -1, h, d).transpose(0, 2, 1, 3)  # (B,H,T,D)
+
+        q = heads(self._grid(self.q_proj(x), "q"))
+        k = heads(self._grid(self.k_proj(kv), "k"))
+        v = heads(self._grid(self.v_proj(kv), "v"))
+        out = quant_attention_serving(
+            q, k, v, self.q_scale, self.k_scale, self.v_scale, self.p_scale,
+            head_dim=d, p_levels=self.p_levels, causal=causal)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, self.embed_dim)
+        return self.out_proj(out.astype(x.dtype))
+
+
 def convert_integer_inference(model: nnx.Module) -> nnx.Module:
     """Swap every eligible trained quant layer for its integer serving twin
     in place. Layers without an INT input quantizer (no input scale/grid
     available) are left on the fake-quant path."""
+    from brevitas_tpu.nn import QuantMultiheadAttention
+
+    converted_prefixes: list = []
     for path, mod in list(named_modules(model)):
+        if any(path.startswith(p + ".") for p in converted_prefixes):
+            continue  # parent already became a serving twin
         try:
-            if isinstance(mod, QuantLinear) \
+            if isinstance(mod, QuantMultiheadAttention):
+                set_module(model, path, Int8InferenceAttention(mod))
+                converted_prefixes.append(path)
+            elif isinstance(mod, QuantLinear) \
                     and mod.weight_quant.quant_type == QuantType.INT:
                 set_module(model, path, Int8InferenceLinear(mod))
             elif isinstance(mod, _QuantConvNd) \

@@ -7,10 +7,20 @@
 - :mod:`int_matmul`: int8 x int8 → int32 MXU matmul with the dequant epilogue
   (scale, bias, activation) fused in VMEM — the serving GEMM for the
   integer-domain inference path Brevitas delegates to ONNX backends.
+- :mod:`int8_attention`: fused quantized attention (int8 QK^T on the MXU,
+  softmax + probs requantization in VMEM, PV matmul) — the serving core for
+  QuantMultiheadAttention; the (T, T) probability matrix never reaches HBM.
 """
 
 from brevitas_tpu.kernels.fake_quant import fake_quant, fake_quant_reference
+from brevitas_tpu.kernels.int8_attention import (
+    int8_attention,
+    int8_attention_reference,
+    quant_attention_serving,
+)
 from brevitas_tpu.kernels.int_matmul import int8_matmul, int8_matmul_reference
 
 __all__ = ["fake_quant", "fake_quant_reference",
-           "int8_matmul", "int8_matmul_reference"]
+           "int8_matmul", "int8_matmul_reference",
+           "int8_attention", "int8_attention_reference",
+           "quant_attention_serving"]

@@ -1,0 +1,164 @@
+"""Fused int8 attention — the serving path for QuantMultiheadAttention.
+
+Semantics match the fake-quant model's eval forward exactly
+(``nn/attention.py``): with symmetric int8 Q/K/V (zero zero-point) and a
+fixed probs quantizer (scale ``p_scale``, ``p_levels`` levels),
+
+    scores = (q_i8 @ k_i8^T)_i32 * (q_s * k_s / sqrt(d))
+    p      = softmax(mask(scores))
+    p_q    = clip(round(p / p_scale), 0, p_levels)        # exact integers
+    out    = (p_q @ v_i8) * (p_scale * v_s)
+
+One Pallas kernel does all of it per (batch*head, q-block): the QK^T matmul
+runs int8 on the MXU, softmax + requantize run in VMEM on the score block,
+and the PV matmul feeds the MXU again — the (T, T) probability matrix never
+touches HBM. The PV product runs in f32 (its operands are exact small
+integers, ≤ p_levels and ≤ 127, so f32 products are exact; int8×uint8 MXU
+pairing is not expressible in Mosaic today).
+
+This capability has no reference analogue: Brevitas has no attention layer
+at all (SURVEY §2.4) and delegates integer execution to ONNX backends.
+"""
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jnp.ndarray
+
+_BQ = 256  # q rows per block
+
+
+def int8_attention_reference(q_i8: Array, k_i8: Array, v_i8: Array,
+                             qk_scale: float, p_scale: float, v_scale: float,
+                             p_levels: int = 255,
+                             causal: bool = False) -> Array:
+    """Pure-jnp reference. q/k/v: (BH, T, D) int8. Returns (BH, T, D) f32."""
+    s = jax.lax.dot_general(
+        q_i8, k_i8, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32).astype(jnp.float32) * qk_scale
+    if causal:
+        t = s.shape[-1]
+        neg = jnp.finfo(jnp.float32).min / 2
+        s = jnp.where(jnp.tril(jnp.ones((t, t), bool)), s, neg)
+    p = jax.nn.softmax(s, axis=-1)
+    p_q = jnp.clip(jnp.round(p / p_scale), 0, p_levels)
+    out = jax.lax.dot_general(
+        p_q, v_i8.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    return out * (p_scale * v_scale)
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, qk_scale, p_scale, v_scale,
+                 p_levels, t_real, causal):
+    q = q_ref[0]                                   # (BQ, Dp) int8
+    k = k_ref[0]                                   # (Tp, Dp) int8
+    v = v_ref[0]                                   # (Tp, Dp) int8
+    s = jax.lax.dot_general(                       # (BQ, Tp) int32 on MXU
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(jnp.float32) * qk_scale
+    bq, tp = s.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, tp), 1)
+    valid = col < t_real
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (bq, tp), 0) \
+            + pl.program_id(1) * bq
+        valid = jnp.logical_and(valid, col <= row)
+    neg = jnp.finfo(jnp.float32).min / 2
+    s = jnp.where(valid, s, neg)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    p_q = jnp.clip(jnp.round(p / p_scale), 0.0, float(p_levels))
+    out = jax.lax.dot_general(                     # exact f32 integer matmul
+        p_q, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = out * (p_scale * v_scale)
+
+
+def _pad_axis(x: Array, axis: int, mult: int) -> Array:
+    pad = (-x.shape[axis]) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def int8_attention(q_i8: Array, k_i8: Array, v_i8: Array,
+                   qk_scale: float, p_scale: float, v_scale: float,
+                   p_levels: int = 255, causal: bool = False,
+                   block_q: int = _BQ) -> Array:
+    """Fused attention. q/k/v: (BH, T, D) int8; returns (BH, T, D) f32.
+
+    Holds the full K/V for one (batch, head) in VMEM — fine for serving
+    lengths (T·D int8 ≤ ~2 MB at T=16k, D=128); longer sequences should use
+    the reference path (XLA still fuses well there).
+    """
+    assert q_i8.dtype == jnp.int8 and k_i8.dtype == jnp.int8
+    bh, t, d = q_i8.shape
+    qp = _pad_axis(_pad_axis(q_i8, 1, block_q), 2, 128)
+    kp = _pad_axis(_pad_axis(k_i8, 1, 128), 2, 128)
+    vp = _pad_axis(_pad_axis(v_i8, 1, 128), 2, 128)
+    tq = qp.shape[1]
+    tk = kp.shape[1]
+    dp = qp.shape[2]
+    grid = (bh, tq // block_q)
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_kernel, qk_scale=float(qk_scale), p_scale=float(p_scale),
+            v_scale=float(v_scale), p_levels=int(p_levels), t_real=t,
+            causal=causal),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, dp), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, dp), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, tq, dp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * tq * tk * dp,
+            bytes_accessed=bh * (tq * dp * 2 + 2 * tk * dp) * 1
+            + bh * tq * dp * 4,
+            transcendentals=bh * tq * tk),
+    )(qp, kp, vp)
+    return out[:, :t, :d]
+
+
+def quant_attention_serving(q: Array, k: Array, v: Array,
+                            q_scale, k_scale, v_scale, p_scale,
+                            head_dim: int, p_levels: int = 255,
+                            causal: bool = False,
+                            use_pallas: Optional[bool] = None) -> Array:
+    """Int8 attention over fake-quant Q/K/V activations.
+
+    q/k/v: (B, H, T, D) FLOAT fake-quantized values (exact multiples of
+    their scales, as produced by the model's act quantizers); returns the
+    float attention output before the out-projection, matching the model's
+    eval numerics.
+    """
+    b, h, t, d = q.shape
+    q_i8 = jnp.round(q / q_scale).astype(jnp.int8).reshape(b * h, t, d)
+    k_i8 = jnp.round(k / k_scale).astype(jnp.int8).reshape(b * h, t, d)
+    v_i8 = jnp.round(v / v_scale).astype(jnp.int8).reshape(b * h, t, d)
+    qk_scale = float(q_scale) * float(k_scale) / math.sqrt(head_dim)
+    if use_pallas is None:
+        # measured on v5e (PERF.md): the fused kernel wins at head_dim ≤ 64
+        # with few batch*head rows (1.4x; XLA underutilizes there) and ties
+        # elsewhere — default to XLA's fusion outside that region
+        use_pallas = (jax.default_backend() == "tpu" and t <= 16384
+                      and d <= 64 and b * h <= 16)
+    fn = int8_attention if use_pallas else int8_attention_reference
+    out = fn(q_i8, k_i8, v_i8, qk_scale, float(p_scale), float(v_scale),
+             p_levels=p_levels, causal=causal)
+    return out.reshape(b, h, t, d)

@@ -174,3 +174,82 @@ def test_fake_quant_ste_clamp_scale_zp_grads(rng):
     for a, b, name in zip(gk, gr, "x s z".split()):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4,
                                    err_msg=f"grad {name}")
+
+
+# -- int8 fused attention ------------------------------------------------------
+
+
+def _attn_inputs(rng, bh=4, t=50, d=16):
+    q = jnp.asarray(rng.integers(-128, 128, (bh, t, d)).astype(np.int8))
+    k = jnp.asarray(rng.integers(-128, 128, (bh, t, d)).astype(np.int8))
+    v = jnp.asarray(rng.integers(-128, 128, (bh, t, d)).astype(np.int8))
+    return q, k, v
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_int8_attention_matches_reference(causal, rng):
+    from brevitas_tpu.kernels import int8_attention, int8_attention_reference
+
+    q, k, v = _attn_inputs(rng)
+    args = dict(qk_scale=0.02 / 4.0, p_scale=1 / 255.0, v_scale=0.05,
+                causal=causal)
+    want = int8_attention_reference(q, k, v, **args)
+    got = int8_attention(q, k, v, block_q=32, **args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_quant_attention_serving_matches_model(rng):
+    """The fused serving path reproduces QuantMultiheadAttention's eval
+    attention core (fake-quant QKV → softmax → uint8 probs → PV)."""
+    import math
+
+    from brevitas_tpu.kernels import quant_attention_serving
+
+    b, h, t, d = 2, 2, 9, 8
+    q_s, k_s, v_s, p_s = 0.031, 0.027, 0.044, 1 / 255.0
+    rng_ = np.random.default_rng(0)
+    q = jnp.asarray((rng_.integers(-127, 128, (b, h, t, d)) * q_s).astype(np.float32))
+    k = jnp.asarray((rng_.integers(-127, 128, (b, h, t, d)) * k_s).astype(np.float32))
+    v = jnp.asarray((rng_.integers(-127, 128, (b, h, t, d)) * v_s).astype(np.float32))
+
+    # model-side eval numerics (nn/attention.py forward, probs in uint8 grid)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(d)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs_q = jnp.clip(jnp.round(probs / p_s), 0, 255) * p_s
+    want = jnp.einsum("bhqk,bhkd->bhqd", probs_q, v)
+
+    got = quant_attention_serving(q, k, v, q_s, k_s, v_s, p_s, head_dim=d,
+                                  use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_int8_inference_attention_matches_fake_quant(rng):
+    """convert_integer_inference swaps QuantMultiheadAttention for the int8
+    serving twin whose output tracks the fake-quant model."""
+    from brevitas_tpu.graph import Int8InferenceAttention, convert_integer_inference
+    from brevitas_tpu.nn import QuantMultiheadAttention
+    from brevitas_tpu.quant import presets
+    from brevitas_tpu.utils import eval_mode
+    from flax import nnx
+
+    class Net(nnx.Module):
+        def __init__(self):
+            self.attn = QuantMultiheadAttention(16, 2, rngs=nnx.Rngs(0))
+
+        def __call__(self, x, causal=False):
+            return self.attn(x, causal=causal)
+
+    m = Net()
+    x = jnp.asarray(rng.standard_normal((2, 6, 16)).astype(np.float32))
+    for _ in range(35):  # collect act stats past the default two-phase window
+        m(x)
+    eval_mode(m)
+    y_fake = np.asarray(m(x, causal=True))
+    convert_integer_inference(m)
+    assert isinstance(m.attn, Int8InferenceAttention)
+    y_int = np.asarray(m(x, causal=True))
+    # tolerance: a few quanta of the out-projection input scale
+    tol = 4.0 * float(np.asarray(m.attn.out_proj.x_scale))
+    np.testing.assert_allclose(y_int, y_fake, atol=tol)
