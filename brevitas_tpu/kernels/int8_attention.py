@@ -54,8 +54,9 @@ def int8_attention_reference(q_i8: Array, k_i8: Array, v_i8: Array,
     return out * (p_scale * v_scale)
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, qk_scale, p_scale, v_scale,
+def _attn_kernel(scales_ref, q_ref, k_ref, v_ref, o_ref, *,
                  p_levels, t_real, causal):
+    qk_scale, p_scale, v_scale = (scales_ref[0], scales_ref[1], scales_ref[2])
     q = q_ref[0]                                   # (BQ, Dp) int8
     k = k_ref[0]                                   # (Tp, Dp) int8
     v = v_ref[0]                                   # (Tp, Dp) int8
@@ -109,13 +110,16 @@ def int8_attention(q_i8: Array, k_i8: Array, v_i8: Array,
     tk = kp.shape[1]
     dp = qp.shape[2]
     grid = (bh, tq // block_q)
+    scales = jnp.stack([jnp.asarray(qk_scale, jnp.float32).reshape(()),
+                        jnp.asarray(p_scale, jnp.float32).reshape(()),
+                        jnp.asarray(v_scale, jnp.float32).reshape(())])
     out = pl.pallas_call(
         functools.partial(
-            _attn_kernel, qk_scale=float(qk_scale), p_scale=float(p_scale),
-            v_scale=float(v_scale), p_levels=int(p_levels), t_real=t,
-            causal=causal),
+            _attn_kernel, p_levels=int(p_levels), t_real=t, causal=causal),
         grid=grid,
         in_specs=[
+            pl.BlockSpec((3,), lambda b, i: (0,),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_q, dp), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tk, dp), lambda b, i: (b, 0, 0),
@@ -131,7 +135,7 @@ def int8_attention(q_i8: Array, k_i8: Array, v_i8: Array,
             bytes_accessed=bh * (tq * dp * 2 + 2 * tk * dp) * 1
             + bh * tq * dp * 4,
             transcendentals=bh * tq * tk),
-    )(qp, kp, vp)
+    )(scales, qp, kp, vp)
     return out[:, :t, :d]
 
 
@@ -151,7 +155,9 @@ def quant_attention_serving(q: Array, k: Array, v: Array,
     q_i8 = jnp.round(q / q_scale).astype(jnp.int8).reshape(b * h, t, d)
     k_i8 = jnp.round(k / k_scale).astype(jnp.int8).reshape(b * h, t, d)
     v_i8 = jnp.round(v / v_scale).astype(jnp.int8).reshape(b * h, t, d)
-    qk_scale = float(q_scale) * float(k_scale) / math.sqrt(head_dim)
+    # scales stay jnp scalars: they are traced module state under jit
+    qk_scale = (jnp.asarray(q_scale, jnp.float32)
+                * jnp.asarray(k_scale, jnp.float32)) / math.sqrt(head_dim)
     if use_pallas is None:
         # measured on v5e (PERF.md): the fused kernel wins at head_dim ≤ 64
         # with few batch*head rows (1.4x; XLA underutilizes there) and ties
@@ -159,6 +165,7 @@ def quant_attention_serving(q: Array, k: Array, v: Array,
         use_pallas = (jax.default_backend() == "tpu" and t <= 16384
                       and d <= 64 and b * h <= 16)
     fn = int8_attention if use_pallas else int8_attention_reference
-    out = fn(q_i8, k_i8, v_i8, qk_scale, float(p_scale), float(v_scale),
+    out = fn(q_i8, k_i8, v_i8, qk_scale, jnp.asarray(p_scale, jnp.float32),
+             jnp.asarray(v_scale, jnp.float32),
              p_levels=p_levels, causal=causal)
     return out.reshape(b, h, t, d)
