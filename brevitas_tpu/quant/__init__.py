@@ -10,6 +10,7 @@ from brevitas_tpu.quant.config import (
 )
 from brevitas_tpu.quant.quantizers import (
     ActQuantizer,
+    convert_runtime_stats_to_parameter,
     BiasQuantizer,
     ClampQuantizer,
     ParameterQuantizer,
@@ -30,4 +31,5 @@ __all__ = [
     "BiasQuantizer",
     "TruncQuantizer",
     "ClampQuantizer",
+    "convert_runtime_stats_to_parameter",
 ]

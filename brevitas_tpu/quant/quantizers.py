@@ -779,3 +779,33 @@ class ClampQuantizer(nnx.Module, TrainToggleMixin):
             clamp_fn=tensor_clamp_ste if cfg.clamp_ste else tensor_clamp)
         return QuantTensor(y, qt.scale, qt.zero_point, out_bw,
                            signed=cfg.signed, training=qt.training)
+
+
+def convert_runtime_stats_to_parameter(root: nnx.Module) -> int:
+    """Migrate every RuntimeStatsScaling in the tree to a ParameterScaling
+    seeded from its EMA buffer (reference ConvertRuntimeStatsToParameter,
+    proxy/utils.py:8-31 — the checkpoint-surgery path for switching a
+    trained model from runtime-stats to learned-scale fine-tuning).
+
+    A learned affine on top of the stats (AFFINE_STATS) folds into the seed.
+    The owning quantizer's config is updated so later checkpoint restores
+    rebuild a parameter-scaling module. Returns the count converted.
+    """
+    from brevitas_tpu.graph.base import named_modules
+    from brevitas_tpu.quant.config import ScalingImplType
+
+    count = 0
+    for _, mod in named_modules(root):
+        scaling = getattr(mod, "scaling", None)
+        cfg = getattr(mod, "cfg", None)
+        if not isinstance(scaling, RuntimeStatsScaling) or cfg is None:
+            continue
+        seed = scaling.buffer[...]
+        if scaling.affine:
+            seed = seed * scaling.affine_weight[...] + scaling.affine_bias[...]
+        new_cfg = cfg.let(scaling_impl=ScalingImplType.PARAMETER,
+                          scaling_affine=False)
+        mod.cfg = new_cfg
+        mod.scaling = ParameterScaling(new_cfg, seed, scaling.bshape)
+        count += 1
+    return count

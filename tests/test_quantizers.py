@@ -298,3 +298,33 @@ def test_mean_learn_sigma_std_learns_sigma(rng):
             for k, v in jax.tree_util.tree_leaves_with_path(g)}
     sigma_grads = [v for k, v in flat.items() if "sigma" in k]
     assert sigma_grads and bool(jnp.any(sigma_grads[0] != 0))
+
+
+def test_convert_runtime_stats_to_parameter(rng):
+    """RuntimeStatsScaling → ParameterScaling migration keeps the learned
+    EMA scale (reference ConvertRuntimeStatsToParameter, proxy/utils.py:8)."""
+    from brevitas_tpu.quant import convert_runtime_stats_to_parameter
+    from brevitas_tpu.quant.config import ScalingImplType
+    from brevitas_tpu.quant.quantizers import (ActQuantizer,
+                                               ParameterScaling,
+                                               RuntimeStatsScaling)
+    from brevitas_tpu.quant.presets import Int8ActPerTensorFloat
+
+    q = ActQuantizer(Int8ActPerTensorFloat.let(scaling_impl=ScalingImplType.STATS,
+                                               scaling_stats_momentum=0.1))
+    # STATS with runtime input resolves to RuntimeStatsScaling for acts
+    assert isinstance(q.scaling, RuntimeStatsScaling)
+    x = jnp.asarray(rng.standard_normal((16, 8)).astype(np.float32))
+    for _ in range(5):
+        q(x)
+    q.eval_mode()
+    scale_before = np.asarray(q(x).scale)
+    n = convert_runtime_stats_to_parameter(q)
+    assert n == 1
+    assert isinstance(q.scaling, ParameterScaling)
+    assert q.cfg.scaling_impl == ScalingImplType.PARAMETER
+    scale_after = np.asarray(q(x).scale)
+    np.testing.assert_allclose(scale_after, scale_before, rtol=1e-5)
+    # the migrated scale is a trainable Param
+    from flax import nnx as _nnx
+    assert isinstance(q.scaling.value, _nnx.Param)
