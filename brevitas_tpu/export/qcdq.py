@@ -157,20 +157,33 @@ def _qop_validate(layer, name: str) -> None:
             raise ValueError(f"narrow {what} quant not supported by QOp export")
 
 
+def _qop_int_range(qt: QuantTensor, what: str):
+    """(lo, hi, bw) of a quantizer's integer grid via ops.min_int/max_int;
+    rejects >8-bit grids, which int8/uint8 QOp storage would saturate
+    (reference validate_8b_bit_width, common/handler/base.py:73)."""
+    from brevitas_tpu.ops import max_int, min_int
+
+    bw = float(np.asarray(qt.bit_width))
+    if bw > 8.0:
+        raise ValueError(f"QOp export stores {what} as int8/uint8; "
+                         f"{bw:g}-bit quantizers cannot be represented")
+    lo = float(np.asarray(min_int(bool(qt.signed), False, jnp.asarray(bw))))
+    hi = float(np.asarray(max_int(bool(qt.signed), False, jnp.asarray(bw))))
+    return lo, hi, bw
+
+
 def _qop_quantize_io(b: GraphBuilder, x: str, qt: QuantTensor, hint: str):
     """QuantizeLinear (+Clip for sub-8-bit) on an fp tensor; returns the
     quantized name plus (scale, zp) initializer names for reuse."""
     np_dt = np.int8 if qt.signed else np.uint8
+    lo, hi, bw = _qop_int_range(qt, f"{hint} activations")
     scale = np.asarray(qt.scale, np.float32).reshape(())
     s_name = b.init_tensor(hint + "_scale", scale)
     z_name = b.init_tensor(
         hint + "_zp", np.asarray(np.round(np.asarray(qt.zero_point, np.float32)),
                                  np_dt).reshape(()))
     q = b.add("QuantizeLinear", [x, s_name, z_name])
-    bw = float(np.asarray(qt.bit_width))
     if bw < 8.0:
-        lo = float(-(2 ** (bw - 1))) if qt.signed else 0.0
-        hi = float(2 ** (bw - 1) - 1) if qt.signed else float(2 ** bw - 1)
         q = b.add("Clip", [q, b.init_tensor(hint + "_lo", np.asarray(lo, np_dt)),
                            b.init_tensor(hint + "_hi", np.asarray(hi, np_dt))])
     return q, s_name, z_name
@@ -179,6 +192,7 @@ def _qop_quantize_io(b: GraphBuilder, x: str, qt: QuantTensor, hint: str):
 def _qop_weight_inits(b: GraphBuilder, qw: QuantTensor, w_int: np.ndarray):
     """Initializers for integer weight + per-tensor/per-channel scale/zp.
     ``w_int`` must already be laid out with the output channel on axis 0."""
+    _qop_int_range(qw, "weights")
     np_dt = np.int8 if qw.signed else np.uint8
     w_name = b.init_tensor("w_int", w_int.astype(np_dt))
     scale = np.asarray(qw.scale, np.float32).reshape(-1)
@@ -202,11 +216,9 @@ def _qop_int_bias(b: GraphBuilder, bias: np.ndarray, in_scale: np.ndarray,
 
 def _qop_finish(b: GraphBuilder, y_q: str, out_qt: QuantTensor,
                 y_s: str, y_z: str) -> str:
-    bw = float(np.asarray(out_qt.bit_width))
+    lo, hi, bw = _qop_int_range(out_qt, "outputs")
     if bw < 8.0:
         np_dt = np.int8 if out_qt.signed else np.uint8
-        lo = float(-(2 ** (bw - 1))) if out_qt.signed else 0.0
-        hi = float(2 ** (bw - 1) - 1) if out_qt.signed else float(2 ** bw - 1)
         y_q = b.add("Clip", [y_q, b.init_tensor("y_lo", np.asarray(lo, np_dt)),
                              b.init_tensor("y_hi", np.asarray(hi, np_dt))])
     return b.add("DequantizeLinear", [y_q, y_s, y_z])

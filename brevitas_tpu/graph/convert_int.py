@@ -128,6 +128,9 @@ class Int8InferenceConv(nnx.Module):
     accumulation, dequant folded into the output epilogue."""
 
     def __init__(self, qconv: _QuantConvNd):
+        if qconv.transposed:
+            raise ValueError("Int8InferenceConv serves forward convolutions "
+                             "only; QuantConvTranspose has no integer twin")
         qw = qconv.quant_weight()
         assert float(jnp.max(qw.bit_width)) <= 8.0
         self.w_int = jax.lax.stop_gradient(qw.int())  # HWIO int8
@@ -205,14 +208,15 @@ class Int8InferenceAttention(nnx.Module):
         self.p_scale = jnp.asarray(p_s).reshape(())
         self.p_levels = int(p_hi)
 
-    def _grid(self, x: Array, name: str) -> Array:
+    def _to_int8(self, x: Array, name: str) -> Array:
+        """Straight to the integer domain — no fake-quant round trip."""
         s = getattr(self, f"{name}_scale")
         return jnp.clip(jnp.round(x / s), getattr(self, f"{name}_lo"),
-                        getattr(self, f"{name}_hi")) * s
+                        getattr(self, f"{name}_hi")).astype(jnp.int8)
 
     def __call__(self, x: Array, kv: Optional[Array] = None,
                  mask: Optional[Array] = None, causal: bool = False) -> Array:
-        from brevitas_tpu.kernels import quant_attention_serving
+        from brevitas_tpu.kernels import int8_attention_dispatch
 
         if mask is not None:
             raise NotImplementedError(
@@ -223,15 +227,18 @@ class Int8InferenceAttention(nnx.Module):
         h, d = self.num_heads, self.head_dim
 
         def heads(y):
-            return y.reshape(b, -1, h, d).transpose(0, 2, 1, 3)  # (B,H,T,D)
+            # (B, T, E) → (B*H, T, D)
+            return y.reshape(b, -1, h, d).transpose(0, 2, 1, 3) \
+                .reshape(b * h, -1, d)
 
-        q = heads(self._grid(self.q_proj(x), "q"))
-        k = heads(self._grid(self.k_proj(kv), "k"))
-        v = heads(self._grid(self.v_proj(kv), "v"))
-        out = quant_attention_serving(
+        q = heads(self._to_int8(self.q_proj(x), "q"))
+        k = heads(self._to_int8(self.k_proj(kv), "k"))
+        v = heads(self._to_int8(self.v_proj(kv), "v"))
+        out = int8_attention_dispatch(
             q, k, v, self.q_scale, self.k_scale, self.v_scale, self.p_scale,
             head_dim=d, p_levels=self.p_levels, causal=causal)
-        out = out.transpose(0, 2, 1, 3).reshape(b, t, self.embed_dim)
+        out = out.reshape(b, h, t, d).transpose(0, 2, 1, 3) \
+            .reshape(b, t, self.embed_dim)
         return self.out_proj(out.astype(x.dtype))
 
 
@@ -252,8 +259,10 @@ def convert_integer_inference(model: nnx.Module) -> nnx.Module:
             elif isinstance(mod, QuantLinear) \
                     and mod.weight_quant.quant_type == QuantType.INT:
                 set_module(model, path, Int8InferenceLinear(mod))
-            elif isinstance(mod, _QuantConvNd) \
+            elif isinstance(mod, _QuantConvNd) and not mod.transposed \
                     and mod.weight_quant.quant_type == QuantType.INT:
+                # transposed convs stay on the fake-quant path: the twin
+                # runs a forward conv and would silently corrupt them
                 set_module(model, path, Int8InferenceConv(mod))
         except (ValueError, NotImplementedError, AssertionError):
             continue

@@ -73,8 +73,8 @@ def disable_last_return_quant_tensor(
 
     Order of "final" is ``model.export_layers()`` when available (the same
     declared-order contract the exporter uses), else tree traversal order;
-    pass ``layers`` to override. Returns the path (or repr) of the layer
-    changed, or None if none qualifies.
+    pass ``layers`` to override. Returns the changed layer's tree path
+    (usable with ``get_module``), or None if none qualifies.
     """
     if layers is None and hasattr(model, "export_layers"):
         layers = [m for m in model.export_layers() if isinstance(m, nnx.Module)]
@@ -82,7 +82,10 @@ def disable_last_return_quant_tensor(
         for layer in reversed(layers):
             if getattr(layer, "return_quant_tensor", False):
                 layer.return_quant_tensor = False
-                return repr(type(layer).__name__)
+                for path, mod in named_modules(model):
+                    if mod is layer:
+                        return path
+                return type(layer).__name__  # layer not in the tree
         return None
     last_path = None
     for path, mod in named_modules(model):

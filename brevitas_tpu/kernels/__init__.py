@@ -15,6 +15,7 @@
 from brevitas_tpu.kernels.fake_quant import fake_quant, fake_quant_reference
 from brevitas_tpu.kernels.int8_attention import (
     int8_attention,
+    int8_attention_dispatch,
     int8_attention_reference,
     quant_attention_serving,
 )
@@ -22,5 +23,5 @@ from brevitas_tpu.kernels.int_matmul import int8_matmul, int8_matmul_reference
 
 __all__ = ["fake_quant", "fake_quant_reference",
            "int8_matmul", "int8_matmul_reference",
-           "int8_attention", "int8_attention_reference",
+           "int8_attention", "int8_attention_dispatch", "int8_attention_reference",
            "quant_attention_serving"]

@@ -38,14 +38,17 @@ def int8_attention_reference(q_i8: Array, k_i8: Array, v_i8: Array,
                              qk_scale: float, p_scale: float, v_scale: float,
                              p_levels: int = 255,
                              causal: bool = False) -> Array:
-    """Pure-jnp reference. q/k/v: (BH, T, D) int8. Returns (BH, T, D) f32."""
+    """Pure-jnp reference. q: (BH, Tq, D), k/v: (BH, Tk, D) int8.
+    Returns (BH, Tq, D) f32."""
     s = jax.lax.dot_general(
         q_i8, k_i8, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.int32).astype(jnp.float32) * qk_scale
     if causal:
-        t = s.shape[-1]
+        tq, tk = s.shape[-2], s.shape[-1]
         neg = jnp.finfo(jnp.float32).min / 2
-        s = jnp.where(jnp.tril(jnp.ones((t, t), bool)), s, neg)
+        # rectangular causal: query row i sees keys up to i + (Tk - Tq),
+        # matching the model's tril offset (nn/attention.py)
+        s = jnp.where(jnp.tril(jnp.ones((tq, tk), bool), tk - tq), s, neg)
     p = jax.nn.softmax(s, axis=-1)
     p_q = jnp.clip(jnp.round(p / p_scale), 0, p_levels)
     out = jax.lax.dot_general(
@@ -55,21 +58,22 @@ def int8_attention_reference(q_i8: Array, k_i8: Array, v_i8: Array,
 
 
 def _attn_kernel(scales_ref, q_ref, k_ref, v_ref, o_ref, *,
-                 p_levels, t_real, causal):
+                 p_levels, tq_real, tk_real, causal):
     qk_scale, p_scale, v_scale = (scales_ref[0], scales_ref[1], scales_ref[2])
     q = q_ref[0]                                   # (BQ, Dp) int8
-    k = k_ref[0]                                   # (Tp, Dp) int8
-    v = v_ref[0]                                   # (Tp, Dp) int8
-    s = jax.lax.dot_general(                       # (BQ, Tp) int32 on MXU
+    k = k_ref[0]                                   # (Tkp, Dp) int8
+    v = v_ref[0]                                   # (Tkp, Dp) int8
+    s = jax.lax.dot_general(                       # (BQ, Tkp) int32 on MXU
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32).astype(jnp.float32) * qk_scale
     bq, tp = s.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (bq, tp), 1)
-    valid = col < t_real
+    valid = col < tk_real
     if causal:
+        # rectangular causal: row i sees cols ≤ i + (Tk - Tq) (model tril)
         row = jax.lax.broadcasted_iota(jnp.int32, (bq, tp), 0) \
             + pl.program_id(1) * bq
-        valid = jnp.logical_and(valid, col <= row)
+        valid = jnp.logical_and(valid, col <= row + (tk_real - tq_real))
     neg = jnp.finfo(jnp.float32).min / 2
     s = jnp.where(valid, s, neg)
     m = jnp.max(s, axis=-1, keepdims=True)
@@ -95,7 +99,8 @@ def int8_attention(q_i8: Array, k_i8: Array, v_i8: Array,
                    qk_scale: float, p_scale: float, v_scale: float,
                    p_levels: int = 255, causal: bool = False,
                    block_q: int = _BQ) -> Array:
-    """Fused attention. q/k/v: (BH, T, D) int8; returns (BH, T, D) f32.
+    """Fused attention. q: (BH, Tq, D), k/v: (BH, Tk, D) int8; returns
+    (BH, Tq, D) f32.
 
     Holds the full K/V for one (batch, head) in VMEM — fine for serving
     lengths (T·D int8 ≤ ~2 MB at T=16k, D=128); longer sequences should use
@@ -103,6 +108,7 @@ def int8_attention(q_i8: Array, k_i8: Array, v_i8: Array,
     """
     assert q_i8.dtype == jnp.int8 and k_i8.dtype == jnp.int8
     bh, t, d = q_i8.shape
+    t_k = k_i8.shape[1]
     qp = _pad_axis(_pad_axis(q_i8, 1, block_q), 2, 128)
     kp = _pad_axis(_pad_axis(k_i8, 1, 128), 2, 128)
     vp = _pad_axis(_pad_axis(v_i8, 1, 128), 2, 128)
@@ -115,7 +121,8 @@ def int8_attention(q_i8: Array, k_i8: Array, v_i8: Array,
                         jnp.asarray(v_scale, jnp.float32).reshape(())])
     out = pl.pallas_call(
         functools.partial(
-            _attn_kernel, p_levels=int(p_levels), t_real=t, causal=causal),
+            _attn_kernel, p_levels=int(p_levels), tq_real=t, tk_real=t_k,
+            causal=causal),
         grid=grid,
         in_specs=[
             pl.BlockSpec((3,), lambda b, i: (0,),
@@ -139,22 +146,14 @@ def int8_attention(q_i8: Array, k_i8: Array, v_i8: Array,
     return out[:, :t, :d]
 
 
-def quant_attention_serving(q: Array, k: Array, v: Array,
+def int8_attention_dispatch(q_i8: Array, k_i8: Array, v_i8: Array,
                             q_scale, k_scale, v_scale, p_scale,
                             head_dim: int, p_levels: int = 255,
                             causal: bool = False,
                             use_pallas: Optional[bool] = None) -> Array:
-    """Int8 attention over fake-quant Q/K/V activations.
-
-    q/k/v: (B, H, T, D) FLOAT fake-quantized values (exact multiples of
-    their scales, as produced by the model's act quantizers); returns the
-    float attention output before the out-projection, matching the model's
-    eval numerics.
-    """
-    b, h, t, d = q.shape
-    q_i8 = jnp.round(q / q_scale).astype(jnp.int8).reshape(b * h, t, d)
-    k_i8 = jnp.round(k / k_scale).astype(jnp.int8).reshape(b * h, t, d)
-    v_i8 = jnp.round(v / v_scale).astype(jnp.int8).reshape(b * h, t, d)
+    """Integer-domain entry point: q (BH, Tq, D), k/v (BH, Tk, D) int8.
+    Picks the Pallas kernel on its measured winning region, XLA otherwise."""
+    bh, t, d = q_i8.shape
     # scales stay jnp scalars: they are traced module state under jit
     qk_scale = (jnp.asarray(q_scale, jnp.float32)
                 * jnp.asarray(k_scale, jnp.float32)) / math.sqrt(head_dim)
@@ -162,10 +161,33 @@ def quant_attention_serving(q: Array, k: Array, v: Array,
         # measured on v5e (PERF.md): the fused kernel wins at head_dim ≤ 64
         # with few batch*head rows (1.4x; XLA underutilizes there) and ties
         # elsewhere — default to XLA's fusion outside that region
-        use_pallas = (jax.default_backend() == "tpu" and t <= 16384
-                      and d <= 64 and b * h <= 16)
+        use_pallas = (jax.default_backend() == "tpu"
+                      and k_i8.shape[1] <= 16384 and d <= 64 and bh <= 16)
     fn = int8_attention if use_pallas else int8_attention_reference
-    out = fn(q_i8, k_i8, v_i8, qk_scale, jnp.asarray(p_scale, jnp.float32),
-             jnp.asarray(v_scale, jnp.float32),
-             p_levels=p_levels, causal=causal)
+    return fn(q_i8, k_i8, v_i8, qk_scale, jnp.asarray(p_scale, jnp.float32),
+              jnp.asarray(v_scale, jnp.float32),
+              p_levels=p_levels, causal=causal)
+
+
+def quant_attention_serving(q: Array, k: Array, v: Array,
+                            q_scale, k_scale, v_scale, p_scale,
+                            head_dim: int, p_levels: int = 255,
+                            causal: bool = False,
+                            use_pallas: Optional[bool] = None) -> Array:
+    """Int8 attention over fake-quant Q/K/V activations.
+
+    q: (B, H, Tq, D), k/v: (B, H, Tk, D) FLOAT fake-quantized values (exact
+    multiples of their scales, as produced by the model's act quantizers);
+    returns the float attention output before the out-projection, matching
+    the model's eval numerics. Cross-attention (Tk != Tq) is supported.
+    """
+    b, h, t, d = q.shape
+    tk = k.shape[2]
+    q_i8 = jnp.round(q / q_scale).astype(jnp.int8).reshape(b * h, t, d)
+    k_i8 = jnp.round(k / k_scale).astype(jnp.int8).reshape(b * h, tk, d)
+    v_i8 = jnp.round(v / v_scale).astype(jnp.int8).reshape(b * h, tk, d)
+    out = int8_attention_dispatch(
+        q_i8, k_i8, v_i8, q_scale, k_scale, v_scale, p_scale,
+        head_dim=head_dim, p_levels=p_levels, causal=causal,
+        use_pallas=use_pallas)
     return out.reshape(b, h, t, d)

@@ -423,3 +423,31 @@ def test_debug_marker_probe(rng):
     y, probe = run_onnx(blob, {"input": np.asarray(x)},
                         extra_outputs=["after_l1"])
     assert probe.shape == (2, 32)  # l1 output
+
+
+def test_qop_rejects_over_8bit(rng):
+    """Regression: >8-bit quantizers must fail QOp export instead of
+    silently saturating into int8 storage."""
+    from brevitas_tpu.export import export_onnx_qop
+
+    class Net(nnx.Module):
+        def __init__(self):
+            act16 = presets.Int8ActPerTensorFloat.let(collect_stats_steps=1,
+                                                      bit_width=16.0)
+            act8 = presets.Int8ActPerTensorFloat.let(collect_stats_steps=1)
+            self.l = qnn.QuantLinear(8, 4, use_bias=False,
+                                     input_quant=act16, output_quant=act8,
+                                     rngs=nnx.Rngs(0))
+
+        def export_layers(self):
+            return [self.l]
+
+        def __call__(self, x):
+            return self.l(x)
+
+    m = Net()
+    x = jnp.asarray(rng.standard_normal((2, 8)).astype(np.float32))
+    m(x)
+    eval_mode(m)
+    with pytest.raises(ValueError, match="cannot be represented"):
+        export_onnx_qop(m, x)

@@ -566,3 +566,26 @@ def test_disable_last_return_quant_tensor(rng):
     assert disable_last_return_quant_tensor(m) is not None
     assert m.q1.return_quant_tensor and not m.q2.return_quant_tensor
     assert isinstance(m(x), jax.Array)
+
+
+def test_convert_integer_inference_skips_transposed_conv(rng):
+    """Regression: QuantConvTranspose must NOT convert into the forward-conv
+    serving twin (it silently downsampled instead of upsampling)."""
+    act = presets.Int8ActPerTensorFloat.let(collect_stats_steps=1)
+    deconv = qnn.QuantConvTranspose2d(3, 5, 4, stride=2, padding=1,
+                                      input_quant=act, rngs=nnx.Rngs(0))
+
+    class Net(nnx.Module):
+        def __init__(self):
+            self.deconv = deconv
+
+        def __call__(self, x):
+            return self.deconv(x)
+
+    m = Net()
+    x = jnp.asarray(rng.standard_normal((2, 5, 5, 3)).astype(np.float32))
+    y_before = m(x)
+    eval_mode(m)
+    G.convert_integer_inference(m)
+    assert m.deconv is deconv  # unchanged, still fake-quant
+    assert m(x).shape == y_before.shape  # still upsampling

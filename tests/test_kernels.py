@@ -253,3 +253,51 @@ def test_int8_inference_attention_matches_fake_quant(rng):
     # tolerance: a few quanta of the out-projection input scale
     tol = 4.0 * float(np.asarray(m.attn.out_proj.x_scale))
     np.testing.assert_allclose(y_int, y_fake, atol=tol)
+
+
+def test_int8_attention_cross_attention_and_rect_causal(rng):
+    """kv length != q length: reference and pallas agree, including the
+    rectangular causal mask (tril offset Tk - Tq)."""
+    from brevitas_tpu.kernels import int8_attention, int8_attention_reference
+
+    bh, tq, tk, d = 3, 20, 44, 16
+    q = jnp.asarray(rng.integers(-128, 128, (bh, tq, d)).astype(np.int8))
+    k = jnp.asarray(rng.integers(-128, 128, (bh, tk, d)).astype(np.int8))
+    v = jnp.asarray(rng.integers(-128, 128, (bh, tk, d)).astype(np.int8))
+    for causal in (False, True):
+        args = dict(qk_scale=0.005, p_scale=1 / 255.0, v_scale=0.05,
+                    causal=causal)
+        want = int8_attention_reference(q, k, v, **args)
+        got = int8_attention(q, k, v, block_q=16, **args)
+        assert want.shape == (bh, tq, d)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_int8_inference_attention_cross_attention(rng):
+    """Regression: the serving twin must handle kv with a different length
+    than the query (was reshaping k/v with q's sequence length)."""
+    from brevitas_tpu.graph import convert_integer_inference
+    from brevitas_tpu.nn import QuantMultiheadAttention
+    from brevitas_tpu.utils import eval_mode
+    from flax import nnx
+
+    class Net(nnx.Module):
+        def __init__(self):
+            self.attn = QuantMultiheadAttention(16, 2, rngs=nnx.Rngs(0))
+
+        def __call__(self, x, kv):
+            return self.attn(x, kv=kv)
+
+    m = Net()
+    x = jnp.asarray(rng.standard_normal((2, 6, 16)).astype(np.float32))
+    kv = jnp.asarray(rng.standard_normal((2, 9, 16)).astype(np.float32))
+    for _ in range(35):
+        m(x, kv)
+    eval_mode(m)
+    y_fake = np.asarray(m(x, kv))
+    convert_integer_inference(m)
+    y_int = np.asarray(m(x, kv))
+    assert y_int.shape == y_fake.shape
+    tol = 4.0 * float(np.asarray(m.attn.out_proj.x_scale))
+    np.testing.assert_allclose(y_int, y_fake, atol=tol)
