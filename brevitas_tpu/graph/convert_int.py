@@ -104,22 +104,41 @@ class Int8InferenceLinear(nnx.Module):
         self.act = act
         self.output_quant = _freeze_output_quant(
             getattr(qlinear, "output_quant", None))
+        # ≤4-bit weights: store packed two-per-byte and unpack in VMEM inside
+        # the GEMM (kernels/int4.py) — halves weight HBM footprint/traffic
+        k, n = self.w_int.shape
+        self.out_features = n
+        if (config.INT4_PACKED_SERVING and float(jnp.max(qw.bit_width)) <= 4.0
+                and k % 512 == 0 and n % 512 == 0):
+            from brevitas_tpu.kernels.int4 import pack_int4_rows
+
+            self.w_packed = pack_int4_rows(self.w_int)
+            self.w_int = None  # packed bytes are the only weight copy
+        else:
+            self.w_packed = None
 
     def __call__(self, x: Array) -> Array:
         from brevitas_tpu.kernels import int8_matmul_reference
+        from brevitas_tpu.kernels.int4 import int4_matmul, int4_matmul_reference
 
         x_int = jnp.clip(jnp.round(x / self.x_scale + self.x_zp),
                          self.x_lo, self.x_hi)
         x_int = (x_int - self.x_shift).astype(jnp.int8)
         flat = x_int.reshape(-1, x_int.shape[-1])
-        use_pallas = (jax.default_backend() == "tpu"
-                      and config.USE_PALLAS_KERNELS
-                      and _prefer_pallas_gemm(flat.shape[0],
-                                              *self.w_int.shape))
-        mm = int8_matmul if use_pallas else int8_matmul_reference
-        y = mm(flat, self.w_int, self.x_scale, self.w_scale,
-               self.bias, act=self.act)
-        y = y.reshape(*x.shape[:-1], self.w_int.shape[1])
+        if self.w_packed is not None:
+            on_tpu = jax.default_backend() == "tpu" and config.USE_PALLAS_KERNELS
+            mm4 = int4_matmul if on_tpu else int4_matmul_reference
+            y = mm4(flat, self.w_packed, self.x_scale, self.w_scale,
+                    self.bias, act=self.act)
+        else:
+            use_pallas = (jax.default_backend() == "tpu"
+                          and config.USE_PALLAS_KERNELS
+                          and _prefer_pallas_gemm(flat.shape[0],
+                                                  *self.w_int.shape))
+            mm = int8_matmul if use_pallas else int8_matmul_reference
+            y = mm(flat, self.w_int, self.x_scale, self.w_scale,
+                   self.bias, act=self.act)
+        y = y.reshape(*x.shape[:-1], self.out_features)
         return _apply_output_quant(y, self.output_quant)
 
 

@@ -301,3 +301,49 @@ def test_int8_inference_attention_cross_attention(rng):
     assert y_int.shape == y_fake.shape
     tol = 4.0 * float(np.asarray(m.attn.out_proj.x_scale))
     np.testing.assert_allclose(y_int, y_fake, atol=tol)
+
+
+# -- int4 packed decode GEMM ---------------------------------------------------
+
+
+def test_int4_matmul_matches_reference_and_int8(rng):
+    from brevitas_tpu.kernels import (int4_matmul, int4_matmul_reference,
+                                      pack_int4_rows)
+
+    M, K, N = 5, 1024, 512
+    x = jnp.asarray(rng.integers(-8, 8, (M, K)).astype(np.int8))
+    w = jnp.asarray(rng.integers(-8, 8, (K, N)).astype(np.int8))
+    wp = pack_int4_rows(w)
+    ws = jnp.asarray(rng.random(N).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.random(N).astype(np.float32))
+    want = np.maximum(
+        (np.asarray(x, np.int64) @ np.asarray(w, np.int64)).astype(np.float32)
+        * 0.07 * np.asarray(ws)[None] + np.asarray(b)[None], 0)
+    got_ref = int4_matmul_reference(x, wp, 0.07, ws, b, act="relu")
+    np.testing.assert_allclose(np.asarray(got_ref), want, rtol=1e-5, atol=1e-4)
+    got = int4_matmul(x, wp, 0.07, ws, b, act="relu")  # interpret mode fixture
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-4)
+
+
+def test_int8_inference_linear_uses_int4_packed(rng):
+    """A 4-bit QuantLinear serving twin stores packed weights (half the
+    bytes) and still matches the fake-quant layer."""
+    import brevitas_tpu.nn as qnn
+    from brevitas_tpu.graph import Int8InferenceLinear
+    from brevitas_tpu.quant import presets
+    from flax import nnx
+
+    layer = qnn.QuantLinear(
+        512, 512, rngs=nnx.Rngs(0), use_bias=True,
+        weight_quant=presets.Int4WeightPerTensorFloat,
+        input_quant=presets.Int8ActPerTensorFloat.let(collect_stats_steps=1,
+                                                      bit_width=4.0))
+    x = jnp.asarray(rng.standard_normal((4, 512)).astype(np.float32))
+    layer(x)
+    layer.eval_mode()
+    y_fake = np.asarray(layer(x))
+    twin = Int8InferenceLinear(layer)
+    assert twin.w_packed is not None and twin.w_int is None
+    assert twin.w_packed.shape == (256, 512)
+    y_int = np.asarray(twin(x))  # CPU → int4_matmul_reference path
+    np.testing.assert_allclose(y_int, y_fake, rtol=1e-3, atol=1e-3)
