@@ -260,6 +260,38 @@ class Int8InferenceAttention(nnx.Module):
             .reshape(b, t, self.embed_dim)
         return self.out_proj(out.astype(x.dtype))
 
+    # -- incremental decoding with an int8 KV cache ---------------------------
+    # The K/V quantizers are frozen per-tensor grids, so caching the int8
+    # codes is EXACT — and costs 2x less HBM than bf16, 4x less than f32.
+
+    def init_decode_cache(self, batch: int, max_len: int):
+        shape = (batch * self.num_heads, max_len, self.head_dim)
+        return jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8)
+
+    def decode_step(self, x_t: Array, k_cache: Array, v_cache: Array, pos):
+        """One token (B, 1, E) against the int8 cache; writes K/V at ``pos``
+        (traced OK). Returns (y_t, k_cache, v_cache)."""
+        from brevitas_tpu.kernels import int8_decode_attention
+
+        b = x_t.shape[0]
+        h, d = self.num_heads, self.head_dim
+
+        def heads(y):
+            return y.reshape(b, 1, h, d).transpose(0, 2, 1, 3) \
+                .reshape(b * h, 1, d)
+
+        q = heads(self._to_int8(self.q_proj(x_t), "q"))
+        k_t = heads(self._to_int8(self.k_proj(x_t), "k"))
+        v_t = heads(self._to_int8(self.v_proj(x_t), "v"))
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k_t, (0, pos, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v_t, (0, pos, 0))
+        out = int8_decode_attention(
+            q, k_cache, v_cache, pos, self.q_scale, self.k_scale,
+            self.v_scale, self.p_scale, head_dim=d, p_levels=self.p_levels)
+        out = out.reshape(b, h, 1, d).transpose(0, 2, 1, 3) \
+            .reshape(b, 1, self.embed_dim)
+        return self.out_proj(out.astype(x_t.dtype)), k_cache, v_cache
+
 
 def convert_integer_inference(model: nnx.Module) -> nnx.Module:
     """Swap every eligible trained quant layer for its integer serving twin

@@ -17,6 +17,7 @@ from brevitas_tpu.kernels.int8_attention import (
     int8_attention,
     int8_attention_dispatch,
     int8_attention_reference,
+    int8_decode_attention,
     quant_attention_serving,
 )
 from brevitas_tpu.kernels.int4 import (
@@ -31,6 +32,7 @@ from brevitas_tpu.kernels.int_matmul import int8_matmul, int8_matmul_reference
 __all__ = ["fake_quant", "fake_quant_reference",
            "int8_matmul", "int8_matmul_reference",
            "int8_attention", "int8_attention_dispatch", "int8_attention_reference",
+           "int8_decode_attention",
            "quant_attention_serving",
            "int4_matmul", "int4_matmul_reference", "pack_int4",
            "pack_int4_rows", "unpack_int4"]

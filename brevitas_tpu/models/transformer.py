@@ -9,6 +9,7 @@ as QuartzNet/ProxylessNAS residuals). Embedding + output head quantized.
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import nnx
 
@@ -59,6 +60,15 @@ class QuantTransformerBlock(nnx.Module):
         h = self.fc2(self.act(self.fc1(self.ln2(x))))
         return self.res2(x) + self.res2(h)
 
+    def decode_step(self, x_t: Array, k_cache: Array, v_cache: Array, pos):
+        """One-token step with KV cache; works for both the fake-quant
+        attention and its int8 serving twin (same decode_step protocol)."""
+        h, k_cache, v_cache = self.attn.decode_step(self.ln1(x_t), k_cache,
+                                                    v_cache, pos)
+        x = self.res1(x_t) + self.res1(h)
+        h = self.fc2(self.act(self.fc1(self.ln2(x))))
+        return self.res2(x) + self.res2(h), k_cache, v_cache
+
 
 class QuantTransformer(nnx.Module, TrainToggleMixin):
 
@@ -85,6 +95,47 @@ class QuantTransformer(nnx.Module, TrainToggleMixin):
         for blk in self.blocks:
             x = blk(x, causal=causal)
         return self.head(self.ln_f(x))
+
+    # -- incremental decoding --------------------------------------------------
+
+    def init_decode_caches(self, batch: int, max_len: int):
+        """Per-block (k_cache, v_cache) pairs. After
+        ``convert_integer_inference`` the caches are int8 (2x less HBM than
+        bf16); on the fake-quant model they are f32 fake-quant values."""
+        return [blk.attn.init_decode_cache(batch, max_len)
+                for blk in self.blocks]
+
+    def decode_step(self, id_t: Array, caches, pos):
+        """id_t: (B, 1) token ids; ``pos`` may be traced. Returns
+        (logits_t (B, 1, V), caches). Matches the causal full-sequence
+        forward at the same position."""
+        x = self.embed(id_t) + jax.lax.dynamic_slice(
+            self.pos[...], (pos, 0), (1, self.pos[...].shape[1]))
+        new_caches = []
+        for blk, (kc, vc) in zip(self.blocks, caches):
+            x, kc, vc = blk.decode_step(x, kc, vc, pos)
+            new_caches.append((kc, vc))
+        return self.head(self.ln_f(x)), new_caches
+
+    def generate(self, prompt_ids: Array, num_tokens: int,
+                 max_len: Optional[int] = None) -> Array:
+        """Greedy decoding: prefill the prompt through the cache one token at
+        a time, then generate ``num_tokens`` more. Returns (B, num_tokens)."""
+        b, t0 = prompt_ids.shape
+        max_len = max_len or (t0 + num_tokens)
+        caches = self.init_decode_caches(b, max_len)
+        logits = None
+        for i in range(t0):
+            logits, caches = self.decode_step(prompt_ids[:, i:i + 1], caches, i)
+        outs = []
+        tok = jnp.argmax(logits, axis=-1)
+        for i in range(num_tokens):
+            outs.append(tok[:, 0])
+            if i + 1 == num_tokens:
+                break
+            logits, caches = self.decode_step(tok, caches, t0 + i)
+            tok = jnp.argmax(logits, axis=-1)
+        return jnp.stack(outs, axis=1)
 
 
 def quant_transformer_tiny(bit_width: int = 8, **kw) -> QuantTransformer:

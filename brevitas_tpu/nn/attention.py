@@ -102,3 +102,33 @@ class QuantMultiheadAttention(nnx.Module, TrainToggleMixin):
                          preferred_element_type=jnp.float32).astype(x.dtype)
         out = out.reshape(*x.shape[:2], self.embed_dim)
         return self.out_proj(out)
+
+    # -- incremental decoding -------------------------------------------------
+
+    def init_decode_cache(self, batch: int, max_len: int, dtype=jnp.float32):
+        """(k_cache, v_cache) of shape (B, max_len, H, D) holding fake-quant
+        K/V values (the integer serving twin caches int8 instead)."""
+        shape = (batch, max_len, self.num_heads, self.head_dim)
+        return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+    def decode_step(self, x_t: Array, k_cache: Array, v_cache: Array, pos):
+        """Attend the single new token ``x_t`` (B, 1, E) against the cache;
+        writes this step's K/V at index ``pos`` (traced OK). Returns
+        (y_t, k_cache, v_cache). Numerics match the causal full-sequence
+        forward at the same position."""
+        q = self._split_heads(unpack(self.q_quant(self.q_proj(x_t))))
+        k_t = self._split_heads(unpack(self.k_quant(self.k_proj(x_t))))
+        v_t = self._split_heads(unpack(self.v_quant(self.v_proj(x_t))))
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k_t, (0, pos, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v_t, (0, pos, 0, 0))
+        scale = 1.0 / math.sqrt(self.head_dim)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_cache,
+                            preferred_element_type=jnp.float32) * scale
+        valid = jnp.arange(k_cache.shape[1])[None, None, None, :] <= pos
+        scores = jnp.where(valid, scores, jnp.finfo(scores.dtype).min / 2)
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = unpack(self.probs_quant(probs)).astype(v_cache.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v_cache,
+                         preferred_element_type=jnp.float32).astype(x_t.dtype)
+        out = out.reshape(x_t.shape[0], 1, self.embed_dim)
+        return self.out_proj(out), k_cache, v_cache

@@ -184,3 +184,71 @@ def test_proxyless_residual_operands_share_scale():
         (1, 8, 8, 8)).astype(np.float32)))
     y = unit(x)
     assert y.value.shape == (1, 8, 8, 8)
+
+
+# -- incremental decoding (KV cache) -------------------------------------------
+
+
+def _decode_equivalence(model, ids):
+    """Step-by-step decode logits must match the causal full-seq forward."""
+    from brevitas_tpu.utils import eval_mode
+
+    eval_mode(model)
+    b, t = ids.shape
+    full = np.asarray(model(ids, causal=True))
+    caches = model.init_decode_caches(b, t)
+    step_logits = []
+    for i in range(t):
+        logits, caches = model.decode_step(ids[:, i:i + 1], caches, i)
+        step_logits.append(np.asarray(logits[:, 0]))
+    return full, np.stack(step_logits, axis=1)
+
+
+def test_transformer_decode_matches_full_forward(rng):
+    from brevitas_tpu.models.transformer import quant_transformer_tiny
+
+    model = quant_transformer_tiny(vocab_size=50, max_len=16,
+                                   rngs=nnx.Rngs(0))
+    ids = jnp.asarray(rng.integers(0, 50, (2, 8)).astype(np.int32))
+    for _ in range(35):  # collect act stats past the two-phase window
+        model(ids)
+    full, stepped = _decode_equivalence(model, ids)
+    np.testing.assert_allclose(stepped, full, rtol=1e-4, atol=1e-4)
+
+
+def test_transformer_int8_decode_matches_full_forward(rng):
+    """After convert_integer_inference the decode path runs on an int8 KV
+    cache and must still track the converted model's full forward."""
+    from brevitas_tpu.graph import convert_integer_inference
+    from brevitas_tpu.graph.convert_int import Int8InferenceAttention
+    from brevitas_tpu.models.transformer import quant_transformer_tiny
+    from brevitas_tpu.utils import eval_mode
+
+    model = quant_transformer_tiny(vocab_size=50, max_len=16,
+                                   rngs=nnx.Rngs(0))
+    ids = jnp.asarray(rng.integers(0, 50, (2, 8)).astype(np.int32))
+    for _ in range(35):
+        model(ids)
+    eval_mode(model)
+    convert_integer_inference(model)
+    assert isinstance(model.blocks[0].attn, Int8InferenceAttention)
+    kc, vc = model.init_decode_caches(2, 8)[0]
+    assert kc.dtype == jnp.int8  # the memory win
+    full, stepped = _decode_equivalence(model, ids)
+    np.testing.assert_allclose(stepped, full, rtol=1e-3, atol=1e-3)
+
+
+def test_transformer_generate_greedy(rng):
+    from brevitas_tpu.models.transformer import quant_transformer_tiny
+
+    model = quant_transformer_tiny(vocab_size=50, max_len=32,
+                                   rngs=nnx.Rngs(0))
+    ids = jnp.asarray(rng.integers(0, 50, (2, 4)).astype(np.int32))
+    for _ in range(35):
+        model(ids)
+    from brevitas_tpu.utils import eval_mode
+
+    eval_mode(model)
+    out = model.generate(ids, num_tokens=5)
+    assert out.shape == (2, 5)
+    assert int(out.min()) >= 0 and int(out.max()) < 50
