@@ -28,6 +28,7 @@ from brevitas_tpu.graph.equalize import (
     equalize,
     sequential_regions,
 )
+from brevitas_tpu.graph.flexml import preprocess_flexml, quantize_flexml
 from brevitas_tpu.graph.per_input import (
     adaptive_avgpool_to_avgpool,
     avgpool_to_depthwise_conv,
@@ -47,6 +48,7 @@ __all__ = [
     "cache_inference_quant_weights", "clear_inference_quant_weight_cache",
     "equalize", "cross_layer_equalization", "sequential_regions",
     "quantize", "merge_batchnorms",
+    "preprocess_flexml", "quantize_flexml",
     "adaptive_avgpool_to_avgpool", "avgpool_to_depthwise_conv",
     "bn_to_quant_scale_bias",
     "convert_integer_inference", "Int8InferenceLinear", "Int8InferenceConv",

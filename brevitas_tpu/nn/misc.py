@@ -226,11 +226,15 @@ def merge_bn(layer, bn_scale: Array, bn_bias: Array, bn_mean: Array,
     """Fold BatchNorm statistics into the preceding layer's weight/bias
     in-place (reference merge_bn, nn/utils.py:24).
 
-    ``layer`` must expose ``.weight`` (output channel LAST) and ``.bias``.
+    ``layer`` must expose a weight with output channel LAST — ``.weight``
+    on quant layers, ``.kernel`` on float ``nnx.Conv``/``nnx.Linear`` (the
+    reference folds into float layers pre-quantization, flexml.py:381) —
+    and ``.bias``.
     """
     mul, add = mul_add_from_bn(bn_scale, bn_bias, bn_mean, bn_var, eps)
-    w = layer.weight[...]
-    layer.weight[...] = w * mul  # broadcast over trailing output-channel axis
+    attr = "weight" if hasattr(layer, "weight") else "kernel"
+    w = getattr(layer, attr)[...]
+    getattr(layer, attr)[...] = w * mul  # broadcast over trailing out-channel axis
     if layer.bias is not None:
         layer.bias[...] = layer.bias[...] * mul + add
     else:

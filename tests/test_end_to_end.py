@@ -85,3 +85,34 @@ def test_dryrun_multichip_8dev():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_ptq_calibrate_cli_mlp(tmp_path):
+    """Full PTQ CLI: float train -> equalize -> quantize -> calibrate ->
+    bias-correct -> QCDQ export -> integer serving (reference's flexml
+    imagenet-calibration entry point, setup.py:51)."""
+    from brevitas_tpu.examples.ptq_calibrate import main
+
+    out = main(["--model", "mlp", "--train-epochs", "3",
+                "--calib-batches", "2", "--bias-correct-batches", "1",
+                "--export", "qcdq",
+                "--export-path", str(tmp_path / "m.onnx"),
+                "--convert-int"])
+    assert out["float_acc"] > 0.8
+    assert out["ptq_acc"] > out["float_acc"] - 0.05
+    assert out["int_acc"] > out["float_acc"] - 0.05
+    assert (tmp_path / "m.onnx").exists()
+
+
+@pytest.mark.slow
+def test_ptq_calibrate_cli_convnet_fixed_point():
+    """Conv/BN variant: BN folds into float convs pre-quantization, then the
+    flexml 8-bit power-of-two pipeline holds accuracy."""
+    from brevitas_tpu.examples.ptq_calibrate import main
+
+    out = main(["--model", "convnet", "--train-epochs", "3",
+                "--fixed-point", "--calib-batches", "2",
+                "--bias-correct-batches", "1"])
+    assert out["float_acc"] > 0.75
+    assert out["preprocessed_acc"] == pytest.approx(out["float_acc"], abs=0.02)
+    assert out["ptq_acc"] > out["float_acc"] - 0.06
