@@ -24,9 +24,11 @@ from brevitas_tpu.graph.convert_int import (
     convert_integer_inference,
 )
 from brevitas_tpu.graph.equalize import (
+    absorb_bias_by_batch_norm,
     cross_layer_equalization,
     equalize,
     sequential_regions,
+    split_batch_norm,
 )
 from brevitas_tpu.graph.flexml import preprocess_flexml, quantize_flexml
 from brevitas_tpu.graph.per_input import (
@@ -47,6 +49,7 @@ __all__ = [
     "clip_float_weights",
     "cache_inference_quant_weights", "clear_inference_quant_weight_cache",
     "equalize", "cross_layer_equalization", "sequential_regions",
+    "absorb_bias_by_batch_norm", "split_batch_norm",
     "quantize", "merge_batchnorms",
     "preprocess_flexml", "quantize_flexml",
     "adaptive_avgpool_to_avgpool", "avgpool_to_depthwise_conv",

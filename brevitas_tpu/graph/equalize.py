@@ -108,3 +108,87 @@ def equalize(model: nnx.Module,
 def sequential_regions(layer_paths: Sequence[str]) -> List[Tuple[List[str], List[str]]]:
     """Adjacent-pair regions for a plain sequential stack of layers."""
     return [([a], [b]) for a, b in zip(layer_paths[:-1], layer_paths[1:])]
+
+
+def absorb_bias_by_batch_norm(
+    model: nnx.Module,
+    groups: Sequence[Tuple[str, str, Sequence[int]]],
+) -> nnx.Module:
+    """High-bias absorption (DFQ §4.2, arXiv:1906.04721).
+
+    Reference: ``AbsorbBiasByBatchNorm`` (``src/brevitas/graph/equalize.py:246``)
+    shifts the activation distribution after each BatchNorm down by
+    ``c = relu(mu - 3*sigma)`` per channel and compensates the next layer's
+    bias, shrinking the post-BN activation range that PTQ must cover.
+
+    ``groups`` entries are ``(bn_path, next_layer_path, next_input_shape)``
+    where ``next_input_shape`` is the (batch=1, channels-last) input shape of
+    the next layer. Differences from the reference, both deliberate:
+
+    * ``c`` is computed from the BN's OUTPUT distribution
+      (``relu(beta - 3*|gamma|)``, the paper's formula — a BN output has mean
+      ``beta`` and std ``|gamma|`` under its own running stats) and absorbed
+      into the BN bias, which shifts the output by exactly ``-c``. The
+      reference uses the pre-BN running stats and edits the preceding layer's
+      bias, which only matches when the BN affine is identity.
+    * The next layer's compensation is ``mean(next(c) - next(0))`` — the pure
+      linear response ``E[W c]`` — where the reference adds
+      ``mean(next(c))``, double-counting the next layer's existing bias.
+    """
+    for bn_path, next_path, next_input_shape in groups:
+        bn = get_module(model, bn_path)
+        nxt = get_module(model, next_path)
+        gamma = bn.scale[...] if bn.scale is not None else jnp.ones(bn.num_features)
+        beta = bn.bias[...] if bn.bias is not None else jnp.zeros(bn.num_features)
+        c = jnp.maximum(beta - 3.0 * jnp.abs(gamma), 0.0)
+        if not bool(jnp.any(c > 0.0)):
+            continue
+        if bn.bias is None:
+            raise ValueError(f"{bn_path}: BN has no affine bias to absorb into")
+        bn.bias[...] = beta - c
+
+        x_c = jnp.broadcast_to(c, tuple(next_input_shape)).astype(jnp.float32)
+        y_c = nxt(x_c)
+        y_0 = nxt(jnp.zeros_like(x_c))
+        y_c = getattr(y_c, "value", y_c)
+        y_0 = getattr(y_0, "value", y_0)
+        # mean over batch+spatial leaves the per-output-channel response;
+        # exact for Linear/VALID conv, a spatial-mean approximation under
+        # padding (same approximation as the reference, equalize.py:269-273)
+        comp = jnp.mean((y_c - y_0).reshape(-1, y_c.shape[-1]), axis=0)
+        bias = getattr(nxt, "bias", None)
+        if bias is None:
+            raise ValueError(f"{next_path}: next layer needs a bias to "
+                             "receive the absorbed offset")
+        bias[...] = bias[...] + comp
+    return model
+
+
+def split_batch_norm(bn: nnx.BatchNorm, sizes: Sequence[int],
+                     *, rngs: nnx.Rngs) -> List[nnx.BatchNorm]:
+    """Split one BatchNorm over channel chunks (reference
+    ``MoveSplitBatchNormBeforeCat``, ``src/brevitas/graph/fixed_point.py:27``:
+    a BN applied to ``cat(xs, channel_axis)`` equals per-chunk BNs applied
+    before the concat). NNX models call ``jnp.concatenate`` inline rather
+    than through graph nodes, so the rewrite is explicit surgery: build the
+    chunk BNs with this helper and move them ahead of the concat."""
+    if sum(sizes) != bn.num_features:
+        raise ValueError(f"chunk sizes {sizes} do not sum to {bn.num_features}")
+    chunks = []
+    start = 0
+    for n in sizes:
+        sl = slice(start, start + n)
+        chunk = nnx.BatchNorm(
+            n, epsilon=bn.epsilon, momentum=bn.momentum,
+            use_running_average=bn.use_running_average,
+            use_bias=bn.bias is not None, use_scale=bn.scale is not None,
+            rngs=rngs)
+        chunk.mean[...] = bn.mean[sl]
+        chunk.var[...] = bn.var[sl]
+        if bn.scale is not None:
+            chunk.scale[...] = bn.scale[sl]
+        if bn.bias is not None:
+            chunk.bias[...] = bn.bias[sl]
+        chunks.append(chunk)
+        start += n
+    return chunks

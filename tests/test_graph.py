@@ -134,6 +134,66 @@ def test_merge_batchnorms(rng):
     np.testing.assert_allclose(y_after, y_before, rtol=1e-3, atol=1e-4)
 
 
+def test_absorb_bias_by_batch_norm_exact_without_relu(rng):
+    class LinBNLin(nnx.Module):
+        def __init__(self, rngs):
+            self.l1 = nnx.Linear(16, 32, rngs=rngs)
+            self.bn = nnx.BatchNorm(32, use_running_average=True, rngs=rngs)
+            self.l2 = nnx.Linear(32, 8, rngs=rngs)
+
+        def __call__(self, x):
+            return self.l2(self.bn(self.l1(x)))
+
+    m = LinBNLin(rngs())
+    # large positive beta, small gamma -> c = relu(beta - 3|gamma|) > 0
+    m.bn.bias[...] = jnp.asarray(rng.uniform(2.0, 5.0, 32).astype(np.float32))
+    m.bn.scale[...] = jnp.asarray(rng.uniform(0.1, 0.5, 32).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((8, 16)).astype(np.float32))
+    y_before = m(x)
+    beta_before = np.asarray(m.bn.bias[...])
+    G.absorb_bias_by_batch_norm(m, [("bn", "l2", (1, 32))])
+    # BN output range shrank (bias absorbed)
+    assert np.all(np.asarray(m.bn.bias[...]) < beta_before)
+    # no nonlinearity between BN and l2 -> transform is exact
+    np.testing.assert_allclose(m(x), y_before, rtol=1e-4, atol=1e-5)
+
+
+def test_absorb_bias_by_batch_norm_approx_through_relu(rng):
+    class ConvBNReluConv(nnx.Module):
+        def __init__(self, rngs):
+            self.c1 = nnx.Conv(3, 8, (3, 3), padding="SAME", rngs=rngs)
+            self.bn = nnx.BatchNorm(8, use_running_average=True, rngs=rngs)
+            self.c2 = nnx.Conv(8, 4, (3, 3), padding="VALID", rngs=rngs)
+
+        def __call__(self, x):
+            return self.c2(jax.nn.relu(self.bn(self.c1(x))))
+
+    m = ConvBNReluConv(rngs())
+    m.bn.bias[...] = jnp.full(8, 4.0)     # post-BN activations ~N(4, 0.2)
+    m.bn.scale[...] = jnp.full(8, 0.2)    # => always >> c = 3.4, relu inert
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 3)).astype(np.float32))
+    y_before = m(x)
+    G.absorb_bias_by_batch_norm(m, [("bn", "c2", (1, 8, 8, 8))])
+    # VALID padding gives every output position full kernel support, so the
+    # only error left is the 3-sigma relu tail the DFQ paper accepts (the
+    # ~0.13% of shifted activations that dip below zero)
+    np.testing.assert_allclose(m(x), y_before, rtol=0.05, atol=0.05)
+
+
+def test_split_batch_norm_matches_cat_bn(rng):
+    bn = nnx.BatchNorm(12, use_running_average=True, rngs=rngs())
+    bn.mean[...] = jnp.asarray(rng.standard_normal(12).astype(np.float32))
+    bn.var[...] = jnp.abs(jnp.asarray(rng.standard_normal(12))).astype(np.float32) + 0.5
+    bn.scale[...] = jnp.asarray(rng.standard_normal(12).astype(np.float32))
+    bn.bias[...] = jnp.asarray(rng.standard_normal(12).astype(np.float32))
+    a = jnp.asarray(rng.standard_normal((4, 5, 5, 8)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((4, 5, 5, 4)).astype(np.float32))
+    bn_a, bn_b = G.split_batch_norm(bn, [8, 4], rngs=rngs())
+    y_split = jnp.concatenate([bn_a(a), bn_b(b)], axis=-1)
+    y_cat = bn(jnp.concatenate([a, b], axis=-1))
+    np.testing.assert_allclose(y_split, y_cat, rtol=1e-5, atol=1e-6)
+
+
 # ---- integer serving conversion --------------------------------------------
 
 
