@@ -9,6 +9,14 @@ from brevitas_tpu.models.melgan import MelGANGenerator, melgan_8b
 from brevitas_tpu.models.mobilenetv1 import MobileNetV1, quant_mobilenet_v1
 from brevitas_tpu.models.proxylessnas import ProxylessNAS, quant_proxylessnas_mobile14
 from brevitas_tpu.models.quartznet import QuartzNet, quartznet_15x5, quartznet_15x5_4b
+from brevitas_tpu.models.resnet import (
+    FloatResNet,
+    QuantResNet,
+    float_resnet,
+    quant_resnet18,
+    quant_resnet34,
+    quant_resnet50,
+)
 from brevitas_tpu.models.transformer import QuantTransformer, quant_transformer_tiny
 from brevitas_tpu.models.vgg import QuantVGG, quant_vgg11, quant_vgg16
 
@@ -18,5 +26,7 @@ __all__ = ["FC", "tfc", "sfc", "lfc", "CNV", "cnv",
            "ProxylessNAS", "quant_proxylessnas_mobile14",
            "QuantVGG", "quant_vgg11", "quant_vgg16",
            "QuartzNet", "quartznet_15x5", "quartznet_15x5_4b",
+           "QuantResNet", "quant_resnet18", "quant_resnet34", "quant_resnet50",
+           "FloatResNet", "float_resnet",
            "MelGANGenerator", "melgan_8b",
            "QuantTransformer", "quant_transformer_tiny"]

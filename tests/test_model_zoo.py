@@ -151,3 +151,65 @@ def test_mha_converts_to_int8_serving(rng):
     assert type(mha.q_proj).__name__ == "Int8InferenceLinear"
     y_int = mha(x)
     np.testing.assert_allclose(y_int, y_fake, rtol=2e-2, atol=2e-2)
+
+
+def test_quant_resnet18_forward_and_grads():
+    import optax
+
+    from brevitas_tpu.models import quant_resnet18
+
+    m = quant_resnet18(bit_width=8, num_classes=10, cifar_stem=True,
+                       width_mult=0.25, rngs=nnx.Rngs(0))
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 32, 32, 3)).astype(np.float32))
+    y = m(x)
+    assert y.shape == (2, 10)
+    opt = nnx.Optimizer(m, optax.adam(1e-3), wrt=nnx.Param)
+
+    @nnx.jit
+    def step(m, o, x, t):
+        loss, grads = nnx.value_and_grad(lambda mm: jnp.mean(
+            (mm(x) - t) ** 2))(m)
+        o.update(m, grads)
+        return loss
+
+    t = jnp.ones((2, 10))
+    losses = [float(step(m, opt, x, t)) for _ in range(5)]
+    assert losses[-1] < losses[0], losses  # STE grads reach the stem
+
+
+def test_quant_resnet50_bottleneck_forward():
+    from brevitas_tpu.models import quant_resnet50
+
+    m = quant_resnet50(bit_width=8, num_classes=4, width_mult=0.125,
+                       rngs=nnx.Rngs(0))
+    eval_mode(m)
+    y = m(jnp.zeros((1, 64, 64, 3)))
+    assert y.shape == (1, 4)
+
+
+def test_float_resnet_flexml_pipeline(rng):
+    """torchvision-ResNet analogue of the reference end-to-end tier
+    (tests/brevitas_end_to_end/test_torchvision_models.py): float resnet →
+    preprocess (BN fuse + equalize) → flexml 8-bit quantize → calibrate →
+    outputs track the float model."""
+    import brevitas_tpu.graph as G
+    from brevitas_tpu.graph.flexml import preprocess_flexml, quantize_flexml
+    from brevitas_tpu.models import float_resnet
+
+    m = float_resnet(18, num_classes=10, width_mult=0.125, rngs=nnx.Rngs(0))
+    x = jnp.asarray(rng.standard_normal((4, 32, 32, 3)).astype(np.float32))
+    y_float = m(x)
+    preprocess_flexml(m, bn_pairs=m.bn_pairs(),
+                      equalize_regions=m.equalize_regions(),
+                      equalize_iterations=4)
+    np.testing.assert_allclose(m(x), y_float, rtol=1e-2, atol=1e-2)
+    quantize_flexml(m, collect_stats_steps=2)
+    with G.calibration_mode(m):
+        m(x)
+        m(x)
+    eval_mode(m)
+    y_q = m(x)
+    err = float(jnp.max(jnp.abs(y_q - y_float)))
+    span = float(jnp.max(jnp.abs(y_float)))
+    assert err < 0.35 * span + 0.1, (err, span)
