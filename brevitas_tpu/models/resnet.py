@@ -37,7 +37,6 @@ from brevitas_tpu.nn import (
     QuantIdentity,
     QuantLinear,
     QuantMaxPool2d,
-    QuantReLU,
 )
 from brevitas_tpu.quant.presets import IntBias, TruncTo8bit
 from brevitas_tpu.quant.quantizers import TrainToggleMixin
@@ -52,15 +51,21 @@ _STAGE_CH = (64, 128, 256, 512)
 
 
 class _ConvBN(nnx.Module):
-    """Conv → BN (no act); the block decides what follows."""
+    """input-quant → Conv → BN. Activations are quantized at their CONSUMER
+    (the conv's ``input_quant``) rather than by standalone act modules —
+    the serving conversion (``graph/convert_int.py``) then has the input
+    grid it needs to run every conv in the integer domain. ``signed_input``
+    only for the stem (raw images); everything else follows a relu."""
 
-    def __init__(self, in_ch, out_ch, kernel, stride, weight_bit_width, *,
-                 rngs):
+    def __init__(self, in_ch, out_ch, kernel, stride, weight_bit_width,
+                 act_bit_width, *, signed_input=False, rngs):
         pad = [(kernel // 2, kernel // 2)] * 2 if kernel > 1 else "VALID"
+        input_quant = (common_int_act_quant(act_bit_width) if signed_input
+                       else common_uint_act_quant(act_bit_width))
         self.conv = QuantConv2d(
             in_ch, out_ch, kernel, stride=stride, padding=pad, use_bias=False,
             weight_quant=common_int_weight_per_channel_quant(weight_bit_width),
-            rngs=rngs)
+            input_quant=input_quant, rngs=rngs)
         self.bn = nnx.BatchNorm(out_ch, use_running_average=False, rngs=rngs)
 
     def __call__(self, x):
@@ -74,21 +79,20 @@ class BasicBlock(nnx.Module):
     expansion = 1
 
     def __init__(self, in_ch, ch, stride, bit_width, shared_act, *, rngs):
-        self.conv1 = _ConvBN(in_ch, ch, 3, stride, bit_width, rngs=rngs)
-        self.relu1 = QuantReLU(common_uint_act_quant(bit_width),
-                               return_quant_tensor=True)
-        self.conv2 = _ConvBN(ch, ch, 3, 1, bit_width, rngs=rngs)
+        self.conv1 = _ConvBN(in_ch, ch, 3, stride, bit_width, bit_width,
+                             rngs=rngs)
+        self.conv2 = _ConvBN(ch, ch, 3, 1, bit_width, bit_width, rngs=rngs)
         out_ch = ch * self.expansion
         if stride != 1 or in_ch != out_ch:
             self.downsample = _ConvBN(in_ch, out_ch, 1, stride, bit_width,
-                                      rngs=rngs)
+                                      bit_width, rngs=rngs)
         else:
             self.downsample = None
         self.shared_act = shared_act
 
     def __call__(self, x):
         identity = x if self.downsample is None else self.downsample(x)
-        y = self.conv2(self.relu1(self.conv1(x)))
+        y = self.conv2(jax.nn.relu(self.conv1(x)))
         return _aligned_residual(self.shared_act, y, identity)
 
 
@@ -110,24 +114,22 @@ class Bottleneck(nnx.Module):
     expansion = 4
 
     def __init__(self, in_ch, ch, stride, bit_width, shared_act, *, rngs):
-        self.conv1 = _ConvBN(in_ch, ch, 1, 1, bit_width, rngs=rngs)
-        self.relu1 = QuantReLU(common_uint_act_quant(bit_width),
-                               return_quant_tensor=True)
-        self.conv2 = _ConvBN(ch, ch, 3, stride, bit_width, rngs=rngs)
-        self.relu2 = QuantReLU(common_uint_act_quant(bit_width),
-                               return_quant_tensor=True)
+        self.conv1 = _ConvBN(in_ch, ch, 1, 1, bit_width, bit_width, rngs=rngs)
+        self.conv2 = _ConvBN(ch, ch, 3, stride, bit_width, bit_width,
+                             rngs=rngs)
         out_ch = ch * self.expansion
-        self.conv3 = _ConvBN(ch, out_ch, 1, 1, bit_width, rngs=rngs)
+        self.conv3 = _ConvBN(ch, out_ch, 1, 1, bit_width, bit_width,
+                             rngs=rngs)
         if stride != 1 or in_ch != out_ch:
             self.downsample = _ConvBN(in_ch, out_ch, 1, stride, bit_width,
-                                      rngs=rngs)
+                                      bit_width, rngs=rngs)
         else:
             self.downsample = None
         self.shared_act = shared_act
 
     def __call__(self, x):
         identity = x if self.downsample is None else self.downsample(x)
-        y = self.conv3(self.relu2(self.conv2(self.relu1(self.conv1(x)))))
+        y = self.conv3(jax.nn.relu(self.conv2(jax.nn.relu(self.conv1(x)))))
         return _aligned_residual(self.shared_act, y, identity)
 
 
@@ -148,14 +150,14 @@ class QuantResNet(nnx.Module, TrainToggleMixin):
         stem_ch = int(64 * width_mult)
         if cifar_stem:
             self.stem = _ConvBN(in_channels, stem_ch, 3, 1,
-                                first_layer_weight_bit_width, rngs=rngs)
+                                first_layer_weight_bit_width, 8,
+                                signed_input=True, rngs=rngs)
             self.stem_pool = None
         else:
             self.stem = _ConvBN(in_channels, stem_ch, 7, 2,
-                                first_layer_weight_bit_width, rngs=rngs)
+                                first_layer_weight_bit_width, 8,
+                                signed_input=True, rngs=rngs)
             self.stem_pool = QuantMaxPool2d(3, stride=2, padding="SAME")
-        self.stem_act = QuantReLU(common_uint_act_quant(bit_width),
-                                  return_quant_tensor=False)
 
         blocks = []
         shared_acts = []
@@ -185,7 +187,7 @@ class QuantResNet(nnx.Module, TrainToggleMixin):
             input_quant=common_int_act_quant(bit_width), rngs=rngs)
 
     def __call__(self, x):
-        x = self.stem_act(self.stem(x))
+        x = jax.nn.relu(self.stem(x))
         if self.stem_pool is not None:
             x = self.stem_pool(x)
         for blk in self.blocks:

@@ -177,6 +177,21 @@ def test_quant_resnet18_forward_and_grads():
     losses = [float(step(m, opt, x, t)) for _ in range(5)]
     assert losses[-1] < losses[0], losses  # STE grads reach the stem
 
+    # every conv carries an input quantizer -> the whole net converts to
+    # the integer serving path and reproduces the fake-quant outputs
+    import brevitas_tpu.graph as G
+
+    eval_mode(m)
+    y_fake = m(x)
+    G.convert_integer_inference(m)
+    assert len(G.find_modules(m, G.Int8InferenceConv)) == 20
+    assert len(G.find_modules(m, G.Int8InferenceLinear)) == 1
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        y_int = m(x)
+    np.testing.assert_allclose(y_int, y_fake, atol=5e-4)
+
 
 def test_quant_resnet50_bottleneck_forward():
     from brevitas_tpu.models import quant_resnet50
