@@ -25,6 +25,7 @@ from brevitas_tpu.nn.misc import (
     QuantDropout,
     QuantEmbedding,
     QuantScaleBias,
+    ScaleBias,
     batch_norm_to_quant_scale_bias,
     mul_add_from_bn,
     QuantUpsample,
@@ -70,6 +71,7 @@ __all__ = [
     "QuantEmbedding",
     "QuantDropout",
     "QuantScaleBias",
+    "ScaleBias",
     "QuantUpsample",
     "QuantUpsamplingNearest2d",
     "QuantUpsamplingBilinear2d",

@@ -151,6 +151,23 @@ class QuantUpsamplingBilinear2d(nnx.Module, QuantLayerMixin):
         return self.pack_output(QuantTensor(v, training=qt.training))
 
 
+class ScaleBias(nnx.Module):
+    """Float per-channel ``y = x * weight + bias`` (reference ScaleBias,
+    nn/quant_scale_bias.py:23). Channels-last: weight/bias broadcast over
+    the trailing feature axis."""
+
+    def __init__(self, num_features: int, use_bias: bool = True,
+                 dtype=jnp.float32):
+        self.num_features = num_features
+        self.weight = nnx.Param(jnp.ones((num_features,), dtype))
+        self.bias = nnx.Param(jnp.zeros((num_features,), dtype)) if use_bias \
+            else None
+
+    def __call__(self, x):
+        y = x * self.weight[...]
+        return y + self.bias[...] if self.bias is not None else y
+
+
 class QuantScaleBias(QuantWBIOL):
     """y = x * weight + bias with quantized per-channel weight (reference
     QuantScaleBias, nn/quant_scale_bias.py:35 — the fused form of BatchNorm)."""

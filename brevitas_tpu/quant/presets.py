@@ -94,6 +94,8 @@ Uint8ActPerTensorFixedPoint = Uint8ActPerTensorFloat.let(**_PO2)
 
 Int8ActPerTensorFloatMinMaxInit = _INT.let(
     bit_width=8, **_PARAM_FROM_MIN_MAX)
+Uint8ActPerTensorFloatMaxInit = _UINT.let(
+    bit_width=8, **_PARAM_FROM_MIN_MAX)
 Uint8ActPerTensorFixedPointMaxInit = _UINT.let(
     bit_width=8, scaling_impl=ScalingImplType.PARAMETER, **_PO2)
 
@@ -143,6 +145,8 @@ SignedTernaryActPerTensorConst = SignedTernaryWeightPerTensorConst
 NoneWeightQuant = QuantConfig(quant_type=QuantType.NONE)
 NoneActQuant = QuantConfig(quant_type=QuantType.NONE)
 NoneBiasQuant = QuantConfig(quant_type=QuantType.NONE)
+NoneTruncQuant = QuantConfig(quant_type=QuantType.NONE)
+NoneClampQuant = QuantConfig(quant_type=QuantType.NONE)
 
 # learned bit-width variants (reference core/bit_width/parameter.py usage)
 Int8WeightPerTensorFloatLearnedBitWidth = Int8WeightPerTensorFloat.let(

@@ -352,3 +352,30 @@ def test_quant_upsample_generic():
                             return_quant_tensor=True)(qt)
     assert bil.shape == (1, 3, 5, 2)
     assert bil.scale is None  # interpolation breaks integer alignment
+
+
+def test_scale_bias_float_module():
+    from brevitas_tpu.nn import ScaleBias
+
+    sb = ScaleBias(4)
+    sb.weight[...] = jnp.arange(1.0, 5.0)
+    sb.bias[...] = jnp.full(4, 0.5)
+    y = sb(jnp.ones((2, 3, 4)))
+    np.testing.assert_allclose(y[0, 0], jnp.arange(1.0, 5.0) + 0.5)
+    sb_nobias = ScaleBias(4, use_bias=False)
+    assert sb_nobias.bias is None
+
+
+def test_uint8_max_init_act_preset():
+    from brevitas_tpu.nn import QuantReLU
+    from brevitas_tpu.quant.presets import Uint8ActPerTensorFloatMaxInit
+
+    act = QuantReLU(Uint8ActPerTensorFloatMaxInit.let(collect_stats_steps=1),
+                    return_quant_tensor=True)
+    x = jnp.linspace(-1.0, 2.0, 64).reshape(8, 8)
+    qt = act(x)  # collect
+    from brevitas_tpu.utils import eval_mode
+    eval_mode(act)
+    qt = act(x)
+    assert float(qt.scale) > 0
+    assert float(jnp.min(qt.value)) >= 0.0
