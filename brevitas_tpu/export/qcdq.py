@@ -450,8 +450,11 @@ def _export_act(b: GraphBuilder, layer: QuantNonLinearActLayer, x: str) -> str:
 
 @handles(QuantMaxPool2d)
 def _export_maxpool(b: GraphBuilder, layer, x: str) -> str:
-    return b.add("MaxPool", [x], kernel_shape=list(layer.kernel_size),
-                 strides=list(layer.stride))
+    attrs: Dict[str, object] = dict(kernel_shape=list(layer.kernel_size),
+                                    strides=list(layer.stride))
+    if getattr(layer, "padding", "VALID") == "SAME":
+        attrs["auto_pad"] = "SAME_UPPER"
+    return b.add("MaxPool", [x], **attrs)
 
 
 @handles(QuantAvgPool2d)
@@ -592,12 +595,16 @@ def export_model(model, example_input, path: Optional[str] = None,
     from brevitas_tpu.utils import eval_mode
 
     eval_mode(model)
+    # one eval forward resolves shape-dependent layer state (adaptive pools
+    # bind their kernel to the example spatial dims) before handlers read it
+    model(jnp.asarray(example_input))
     if hasattr(model, "export_layers"):
         items = model.export_layers()
     else:
         items = [m for _, m in _sequential_children(model)]
     b = GraphBuilder(style)
     x = input_name
+    saved: Dict[str, str] = {}
     for item in items:
         if isinstance(item, tuple):  # glue spec
             if item[0] == "flatten":
@@ -611,6 +618,17 @@ def export_model(model, example_input, path: Optional[str] = None,
                 # export/debug.py): an Identity whose output name is stable,
                 # readable back via run_onnx(..., extra_outputs=[name])
                 x = b.add("Identity", [x], outputs=[item[1]])
+            # residual topology: remember a tensor, branch back to it, and
+            # join branches — enough to express ResNet-style skip graphs in
+            # the otherwise-sequential layer walk
+            elif item[0] == "save":
+                saved[item[1]] = x
+            elif item[0] == "load":
+                x = saved[item[1]]
+            elif item[0] == "add_saved":
+                x = b.add("Add", [x, saved[item[1]]])
+            elif item[0] == "relu":
+                x = b.add("Relu", [x])
             else:
                 raise ValueError(f"unknown glue spec {item}")
             continue

@@ -2,6 +2,7 @@
 model via the in-repo ONNX interpreter (the onnxruntime-oracle analogue of
 reference tests/brevitas_ort/)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -451,3 +452,35 @@ def test_qop_rejects_over_8bit(rng):
     eval_mode(m)
     with pytest.raises(ValueError, match="cannot be represented"):
         export_onnx_qop(m, x)
+
+
+def test_resnet_residual_export_matches_model(rng):
+    """Residual (save/load/add glue) export: trained quant ResNet →
+    QCDQ + QONNX, interpreter oracle reproduces the model."""
+    import optax
+
+    from brevitas_tpu.models import quant_resnet18
+
+    m = quant_resnet18(bit_width=8, num_classes=10, cifar_stem=True,
+                       width_mult=0.125, rngs=nnx.Rngs(0))
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    t = jax.nn.one_hot(jnp.arange(2) % 10, 10)
+    opt = nnx.Optimizer(m, optax.adam(3e-3), wrt=nnx.Param)
+
+    @nnx.jit
+    def step(m, o, x, t):
+        loss, grads = nnx.value_and_grad(
+            lambda mm: jnp.mean((mm(x) - t) ** 2))(m)
+        o.update(m, grads)
+        return loss
+
+    for _ in range(20):
+        step(m, opt, x, t)
+    eval_mode(m)
+    y = np.asarray(m(x))
+    assert np.std(y) > 0
+    xin = {"input": np.transpose(np.asarray(x), (0, 3, 1, 2))}
+    for exporter in (export_onnx_qcdq, export_qonnx):
+        blob = exporter(m, x)
+        out = run_onnx(blob, xin)[0]
+        np.testing.assert_allclose(out, y, atol=5e-4)
