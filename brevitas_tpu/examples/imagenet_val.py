@@ -22,11 +22,18 @@ import numpy as np
 from flax import nnx
 
 from brevitas_tpu.models.mobilenetv1 import quant_mobilenet_v1
+from brevitas_tpu.models.proxylessnas import quant_proxylessnas_mobile14
+from brevitas_tpu.models.resnet import quant_resnet18, quant_resnet50
 from brevitas_tpu.utils import eval_mode
 
 MODELS = {
     "mobilenet_v1_4b": lambda rngs: quant_mobilenet_v1(bit_width=4, rngs=rngs),
     "mobilenet_v1_8b": lambda rngs: quant_mobilenet_v1(bit_width=8, rngs=rngs),
+    "proxylessnas_mobile14_4b": lambda rngs: quant_proxylessnas_mobile14(
+        bit_width=4, rngs=rngs),
+    "resnet18_8b": lambda rngs: quant_resnet18(bit_width=8, rngs=rngs),
+    "resnet18_4b": lambda rngs: quant_resnet18(bit_width=4, rngs=rngs),
+    "resnet50_8b": lambda rngs: quant_resnet50(bit_width=8, rngs=rngs),
 }
 
 
