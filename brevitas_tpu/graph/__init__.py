@@ -36,7 +36,11 @@ from brevitas_tpu.graph.per_input import (
     avgpool_to_depthwise_conv,
     bn_to_quant_scale_bias,
 )
-from brevitas_tpu.graph.quantize import merge_batchnorms, quantize
+from brevitas_tpu.graph.quantize import (
+    merge_batchnorms,
+    quantize,
+    refresh_weight_quantizers,
+)
 from brevitas_tpu.graph.standardize import (
     disable_last_return_quant_tensor,
     duplicate_shared_stateless_modules,
@@ -50,7 +54,7 @@ __all__ = [
     "cache_inference_quant_weights", "clear_inference_quant_weight_cache",
     "equalize", "cross_layer_equalization", "sequential_regions",
     "absorb_bias_by_batch_norm", "split_batch_norm",
-    "quantize", "merge_batchnorms",
+    "quantize", "merge_batchnorms", "refresh_weight_quantizers",
     "preprocess_flexml", "quantize_flexml",
     "adaptive_avgpool_to_avgpool", "avgpool_to_depthwise_conv",
     "bn_to_quant_scale_bias",

@@ -83,6 +83,25 @@ def quantize(
     return model
 
 
+def refresh_weight_quantizers(model: nnx.Module) -> nnx.Module:
+    """Rebuild every layer's weight quantizer against its CURRENT weights.
+
+    Run after weight-mutating passes on an already-quantized model (BN
+    fusion, equalization): stats-initialized scales (PARAMETER_FROM_STATS)
+    were solved on the original weights and would otherwise keep stale
+    magnitudes. The act quantizers are untouched — BN folding is exact on
+    pre-activation values, so trained activation scales remain valid."""
+    from brevitas_tpu.graph.base import named_modules
+    from brevitas_tpu.quant.quantizers import ParameterQuantizer
+
+    for _, mod in named_modules(model):
+        wq = getattr(mod, "weight_quant", None)
+        if isinstance(wq, ParameterQuantizer) and hasattr(mod, "weight"):
+            mod.weight_quant = ParameterQuantizer(
+                wq.cfg, mod.weight[...], channel_axis=wq.channel_axis)
+    return model
+
+
 def merge_batchnorms(model: nnx.Module, pairs) -> nnx.Module:
     """Fold nnx.BatchNorm modules into preceding quant layers and neutralize
     them (reference MergeBatchNorm, graph/fixed_point.py:89). ``pairs`` is a

@@ -220,6 +220,20 @@ class QuantResNet(nnx.Module, TrainToggleMixin):
         x = x.reshape(x.shape[0], -1)
         return self.output(x)
 
+    def bn_pairs(self) -> Sequence[Tuple[str, str]]:
+        """(conv, bn) fusion pairs for serving-time BN folding:
+        ``graph.merge_batchnorms(m, m.bn_pairs())`` then
+        ``graph.refresh_weight_quantizers(m)`` before
+        ``convert_integer_inference``."""
+        pairs = [("stem.conv", "stem.bn")]
+        for i, blk in enumerate(self.blocks):
+            for name in ("conv1", "conv2", "conv3", "downsample"):
+                sub = getattr(blk, name, None)
+                if sub is not None:
+                    pairs.append((f"blocks.{i}.{name}.conv",
+                                  f"blocks.{i}.{name}.bn"))
+        return pairs
+
     def export_layers(self):
         """Flattened layer/glue walk for the ONNX exporter
         (``export/qcdq.py:export_model``); residual joins use save/load/add

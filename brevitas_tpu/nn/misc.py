@@ -255,7 +255,9 @@ def merge_bn(layer, bn_scale: Array, bn_bias: Array, bn_mean: Array,
     if layer.bias is not None:
         layer.bias[...] = layer.bias[...] * mul + add
     else:
-        layer.bias = nnx.Param(add)
+        # the attribute was constructed as None (static); mark the new Param
+        # as pytree data explicitly
+        layer.bias = nnx.data(nnx.Param(add))
 
 
 class TruncQuantAccumulator(nnx.Module, QuantLayerMixin):

@@ -649,3 +649,58 @@ def test_convert_integer_inference_skips_transposed_conv(rng):
     G.convert_integer_inference(m)
     assert m.deconv is deconv  # unchanged, still fake-quant
     assert m(x).shape == y_before.shape  # still upsampling
+
+
+def test_merge_bn_creates_bias_when_absent(rng):
+    conv = qnn.QuantConv2d(3, 8, 3, padding="SAME", use_bias=False,
+                           weight_quant=None, rngs=rngs())
+    assert conv.bias is None
+    from brevitas_tpu.nn import merge_bn
+
+    merge_bn(conv,
+             bn_scale=jnp.ones(8), bn_bias=jnp.full(8, 0.5),
+             bn_mean=jnp.zeros(8), bn_var=jnp.ones(8), eps=0.0)
+    assert conv.bias is not None
+    np.testing.assert_allclose(conv.bias[...], 0.5)
+    # the new bias is real pytree state: it survives split/merge
+    gd, st = nnx.split(conv)
+    conv2 = nnx.merge(gd, st)
+    np.testing.assert_allclose(conv2.bias[...], 0.5)
+
+
+def test_resnet_bn_fold_then_integer_serving(rng):
+    """Serving recipe on a residual net: fold BN → refresh weight scales →
+    convert; the integer path matches the folded fake-quant model."""
+    import optax
+
+    from brevitas_tpu.models import quant_resnet18
+    from brevitas_tpu.utils import eval_mode
+
+    m = quant_resnet18(bit_width=8, num_classes=10, cifar_stem=True,
+                       width_mult=0.125, rngs=nnx.Rngs(0))
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    t = jax.nn.one_hot(jnp.arange(2) % 10, 10)
+    opt = nnx.Optimizer(m, optax.adam(3e-3), wrt=nnx.Param)
+
+    @nnx.jit
+    def step(m, o, x, t):
+        loss, grads = nnx.value_and_grad(
+            lambda mm: jnp.mean((mm(x) - t) ** 2))(m)
+        o.update(m, grads)
+        return loss
+
+    for _ in range(20):
+        step(m, opt, x, t)
+    eval_mode(m)
+    y_fake = m(x)
+    G.merge_batchnorms(m, m.bn_pairs())
+    G.refresh_weight_quantizers(m)
+    y_merged = m(x)
+    # folding is exact on values; only the refreshed weight grid moves
+    np.testing.assert_allclose(y_merged, y_fake, atol=0.05)
+    G.convert_integer_inference(m)
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        y_int = m(x)
+    np.testing.assert_allclose(y_int, y_merged, atol=5e-4)
