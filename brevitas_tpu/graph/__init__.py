@@ -37,6 +37,7 @@ from brevitas_tpu.graph.per_input import (
     bn_to_quant_scale_bias,
 )
 from brevitas_tpu.graph.quantize import (
+    discover_bn_pairs,
     merge_batchnorms,
     quantize,
     refresh_weight_quantizers,

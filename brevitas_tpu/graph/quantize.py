@@ -83,6 +83,41 @@ def quantize(
     return model
 
 
+def discover_bn_pairs(model: nnx.Module):
+    """Best-effort (layer, BatchNorm) fusion-pair discovery.
+
+    The reference discovers fusion sites by FX-tracing the call graph
+    (``MergeBatchNorm.match_node``, graph/fixed_point.py:89). NNX module
+    trees carry no dataflow, so this uses the zoo-wide structural
+    convention instead: a BatchNorm DIRECTLY following a conv/linear child
+    within the same container (declaration order = call order in every
+    ConvBlock/Sequential-style module) normalizes that layer's output.
+    Channel counts must match; anything unconventional should pass explicit
+    pairs to :func:`merge_batchnorms`."""
+    from brevitas_tpu.graph.base import _children, named_modules
+    from brevitas_tpu.nn.conv import _QuantConvNd
+    from brevitas_tpu.nn.linear import QuantLinear as _QL
+
+    def out_channels(mod):
+        if isinstance(mod, (_QL, nnx.Linear, _QuantConvNd, nnx.Conv)):
+            w = mod.weight if hasattr(mod, "weight") else mod.kernel
+            return int(w[...].shape[-1])
+        return None
+
+    pairs = []
+    for parent_path, parent in named_modules(model):
+        kids = list(_children(parent))
+        for (name_a, a), (name_b, b) in zip(kids[:-1], kids[1:]):
+            n = out_channels(a)
+            if n is None or not isinstance(b, nnx.BatchNorm):
+                continue
+            if b.num_features != n:
+                continue
+            prefix = f"{parent_path}." if parent_path else ""
+            pairs.append((f"{prefix}{name_a}", f"{prefix}{name_b}"))
+    return pairs
+
+
 def refresh_weight_quantizers(model: nnx.Module) -> nnx.Module:
     """Rebuild every layer's weight quantizer against its CURRENT weights.
 
@@ -102,12 +137,15 @@ def refresh_weight_quantizers(model: nnx.Module) -> nnx.Module:
     return model
 
 
-def merge_batchnorms(model: nnx.Module, pairs) -> nnx.Module:
+def merge_batchnorms(model: nnx.Module, pairs=None) -> nnx.Module:
     """Fold nnx.BatchNorm modules into preceding quant layers and neutralize
     them (reference MergeBatchNorm, graph/fixed_point.py:89). ``pairs`` is a
-    list of (layer_path, bn_path)."""
+    list of (layer_path, bn_path); None runs :func:`discover_bn_pairs`."""
     from brevitas_tpu.graph.base import get_module
     from brevitas_tpu.nn import merge_bn
+
+    if pairs is None:
+        pairs = discover_bn_pairs(model)
 
     for layer_path, bn_path in pairs:
         layer = get_module(model, layer_path)

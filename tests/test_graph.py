@@ -134,6 +134,45 @@ def test_merge_batchnorms(rng):
     np.testing.assert_allclose(y_after, y_before, rtol=1e-3, atol=1e-4)
 
 
+def test_discover_bn_pairs(rng):
+    class Block(nnx.Module):
+        def __init__(self, rngs):
+            self.conv = qnn.QuantConv2d(3, 8, 3, padding="SAME",
+                                        weight_quant=None, rngs=rngs)
+            self.bn = nnx.BatchNorm(8, use_running_average=True, rngs=rngs)
+            # BN with mismatched channel count must NOT pair
+            self.bn_other = nnx.BatchNorm(4, use_running_average=True,
+                                          rngs=rngs)
+
+        def __call__(self, x):
+            return self.bn(self.conv(x))
+
+    class Net(nnx.Module):
+        def __init__(self, rngs):
+            self.block = Block(rngs)
+            self.fc = nnx.Linear(8, 16, rngs=rngs)
+            self.bn_fc = nnx.BatchNorm(16, use_running_average=True, rngs=rngs)
+
+        def __call__(self, x):
+            h = self.block(x).mean(axis=(1, 2))
+            return self.bn_fc(self.fc(h))
+
+    m = Net(rngs())
+    pairs = G.discover_bn_pairs(m)
+    assert ("block.conv", "block.bn") in pairs
+    assert ("fc", "bn_fc") in pairs
+    assert all(bn != "block.bn_other" for _, bn in pairs)
+
+    # and merge_batchnorms(pairs=None) uses them: function preserved
+    m.block.bn.mean[...] = jnp.asarray(rng.standard_normal(8).astype(np.float32))
+    m.block.bn.var[...] = jnp.abs(
+        jnp.asarray(rng.standard_normal(8).astype(np.float32))) + 0.5
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 3)).astype(np.float32))
+    y_before = m(x)
+    G.merge_batchnorms(m)
+    np.testing.assert_allclose(m(x), y_before, rtol=1e-3, atol=1e-4)
+
+
 def test_absorb_bias_by_batch_norm_exact_without_relu(rng):
     class LinBNLin(nnx.Module):
         def __init__(self, rngs):
