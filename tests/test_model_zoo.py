@@ -121,7 +121,12 @@ def test_tutorial_scripts_run():
     import sys
 
     for script in ["notebooks/01_qat_quickstart.py",
-                   "notebooks/02_ptq_pipeline.py"]:
+                   "notebooks/02_ptq_pipeline.py",
+                   "notebooks/03_quant_tensor_and_conv.py",
+                   "notebooks/04_activation_quantizers.py",
+                   "notebooks/05_anatomy_of_a_quantizer.py",
+                   "notebooks/06_onnx_export.py",
+                   "notebooks/07_quantized_recurrent.py"]:
         r = subprocess.run([sys.executable, script], capture_output=True,
                            text=True, timeout=300,
                            env={**__import__("os").environ,
