@@ -112,6 +112,13 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=128)
     p.add_argument("--calib-batches", type=int, default=4)
     p.add_argument("--bias-correct-batches", type=int, default=2)
+    p.add_argument("--learned-round", action="store_true",
+                   help="AdaRound learned weight rounding between "
+                        "calibration and bias correction")
+    p.add_argument("--learned-round-steps", type=int, default=1000)
+    p.add_argument("--gptq", action="store_true",
+                   help="GPTQ Hessian-based weight quantization between "
+                        "calibration and bias correction")
     p.add_argument("--equalize-iterations", type=int, default=10)
     p.add_argument("--no-equalize", action="store_true")
     p.add_argument("--fixed-point", action="store_true",
@@ -164,6 +171,14 @@ def main(argv=None):
     from brevitas_tpu.utils import eval_mode
 
     eval_mode(model)
+    if args.learned_round or args.gptq:
+        calib = [jnp.asarray(x_train[(i * bs) % max(len(x_train) - bs, 1):
+                                     (i * bs) % max(len(x_train) - bs, 1) + bs])
+                 for i in range(args.calib_batches)]
+        if args.gptq:
+            G.apply_gptq(model, calib)
+        if args.learned_round:
+            G.apply_learned_round(model, calib, steps=args.learned_round_steps)
     with G.bias_correction_mode(model):
         for i in range(args.bias_correct_batches):
             lo = (i * bs) % max(len(x_train) - bs, 1)
@@ -173,7 +188,8 @@ def main(argv=None):
     result = {"model": args.model, "float_acc": float_acc,
               "preprocessed_acc": pre_acc, "ptq_acc": ptq_acc,
               "bit_width": args.bit_width,
-              "fixed_point": args.fixed_point}
+              "fixed_point": args.fixed_point,
+              "learned_round": args.learned_round, "gptq": args.gptq}
 
     if args.export:
         from brevitas_tpu import export as E

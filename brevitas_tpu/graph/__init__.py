@@ -25,12 +25,18 @@ from brevitas_tpu.graph.convert_int import (
 )
 from brevitas_tpu.graph.equalize import (
     absorb_bias_by_batch_norm,
+    apply_act_equalization,
     cross_layer_equalization,
     equalize,
     sequential_regions,
     split_batch_norm,
 )
 from brevitas_tpu.graph.flexml import preprocess_flexml, quantize_flexml
+from brevitas_tpu.graph.gptq import apply_gptq, eligible_for_gptq
+from brevitas_tpu.graph.learned_round import (
+    apply_learned_round,
+    eligible_for_learned_round,
+)
 from brevitas_tpu.graph.per_input import (
     adaptive_avgpool_to_avgpool,
     avgpool_to_depthwise_conv,
@@ -54,7 +60,10 @@ __all__ = [
     "clip_float_weights",
     "cache_inference_quant_weights", "clear_inference_quant_weight_cache",
     "equalize", "cross_layer_equalization", "sequential_regions",
-    "absorb_bias_by_batch_norm", "split_batch_norm",
+    "absorb_bias_by_batch_norm", "split_batch_norm", "apply_act_equalization",
+    "apply_gptq", "eligible_for_gptq",
+    "apply_learned_round", "eligible_for_learned_round",
+    "discover_bn_pairs",
     "quantize", "merge_batchnorms", "refresh_weight_quantizers",
     "preprocess_flexml", "quantize_flexml",
     "adaptive_avgpool_to_avgpool", "avgpool_to_depthwise_conv",

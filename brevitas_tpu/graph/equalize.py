@@ -58,21 +58,11 @@ def _channel_range(x2d: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(out == 0.0, jnp.mean(out), out)
 
 
-def cross_layer_equalization(srcs: Sequence, sinks: Sequence) -> jnp.ndarray:
-    """Equalize one region in place; returns the scaling factors."""
-    src_views = []
-    for m in srcs:
-        _, out_ax = _axes(m)
-        src_views.append(_channel_view(_kernel(m)[...], out_ax))
-    sink_views = []
-    for m in sinks:
-        in_ax, _ = _axes(m)
-        sink_views.append(_channel_view(_kernel(m)[...], in_ax))
-    src_range = _channel_range(jnp.concatenate(src_views, axis=1))
-    sink_range = _channel_range(jnp.concatenate(sink_views, axis=1)) + EPSILON
-    s = jnp.sqrt(src_range / sink_range)
+def _scale_region(srcs: Sequence, sinks: Sequence, s: jnp.ndarray) -> None:
+    """Rescale a region by per-channel factors ``s``: source output channels
+    (and biases) by 1/s, sink input channels by s — function-preserving for
+    positively-homogeneous ops between them (s > 0)."""
     inv_s = 1.0 / jnp.maximum(s, EPSILON)
-
     for m in srcs:
         _, out_ax = _axes(m)
         k = _kernel(m)
@@ -88,6 +78,22 @@ def cross_layer_equalization(srcs: Sequence, sinks: Sequence) -> jnp.ndarray:
         shape = [1] * k[...].ndim
         shape[in_ax] = k[...].shape[in_ax]
         k[...] = k[...] * s.reshape(shape)
+
+
+def cross_layer_equalization(srcs: Sequence, sinks: Sequence) -> jnp.ndarray:
+    """Equalize one region in place; returns the scaling factors."""
+    src_views = []
+    for m in srcs:
+        _, out_ax = _axes(m)
+        src_views.append(_channel_view(_kernel(m)[...], out_ax))
+    sink_views = []
+    for m in sinks:
+        in_ax, _ = _axes(m)
+        sink_views.append(_channel_view(_kernel(m)[...], in_ax))
+    src_range = _channel_range(jnp.concatenate(src_views, axis=1))
+    sink_range = _channel_range(jnp.concatenate(sink_views, axis=1)) + EPSILON
+    s = jnp.sqrt(src_range / sink_range)
+    _scale_region(srcs, sinks, s)
     return s
 
 
@@ -108,6 +114,89 @@ def equalize(model: nnx.Module,
 def sequential_regions(layer_paths: Sequence[str]) -> List[Tuple[List[str], List[str]]]:
     """Adjacent-pair regions for a plain sequential stack of layers."""
     return [([a], [b]) for a, b in zip(layer_paths[:-1], layer_paths[1:])]
+
+
+def apply_act_equalization(
+    model: nnx.Module,
+    regions: List[Tuple[Sequence[str], Sequence[str]]],
+    calib_batches: Sequence,
+    *,
+    alpha: float = 0.5,
+    forward_fn=None,
+):
+    """SmoothQuant-style activation equalization (arXiv:2211.10438).
+
+    Beyond the reference snapshot (later Brevitas adds activation
+    equalization to ``graph/equalize.py``). Per region, the difficulty of
+    quantizing the sink's INPUT activations is migrated into its weights:
+    with per-channel activation maxima ``a_j`` (measured on calibration data,
+    quantization bypassed) and sink weight maxima ``w_j``,
+
+        s_j = a_j**alpha / w_j**(1 - alpha)
+
+    then source output channels scale by 1/s and sink input channels by s —
+    exact for the positively-homogeneous ops between them. Run AFTER
+    ``quantize()`` (sinks must be quant layers so inputs can be captured) and
+    BEFORE ``calibration_mode`` so activation scales are solved on the
+    smoothed distribution. Returns ``{region_index: s}``.
+    """
+    from brevitas_tpu.graph.calibrate import (
+        _restore_modes,
+        _set_disable_quant,
+        _snapshot_modes,
+    )
+    from brevitas_tpu.nn.quant_layer import QuantWBIOL
+    from brevitas_tpu.quant_tensor import QuantTensor
+    from brevitas_tpu.utils import eval_mode
+
+    snap = _snapshot_modes(model)
+    eval_mode(model)
+    _set_disable_quant(model, True)
+    probes = []
+    for _, sink_paths in regions:
+        probe = get_module(model, sink_paths[0])
+        if not isinstance(probe, QuantWBIOL):
+            raise TypeError(
+                f"{sink_paths[0]}: activation equalization captures sink "
+                "inputs through quant layers — run quantize() first")
+        probes.append(probe)
+    act_max = [None] * len(regions)
+    try:
+        for probe in probes:
+            probe._capture_input = True
+        for b in calib_batches:
+            forward_fn(model, b) if forward_fn is not None else model(b)
+            for i, probe in enumerate(probes):
+                x = probe._bc_last_input
+                if isinstance(x, QuantTensor):
+                    x = x.value
+                m = jnp.max(jnp.abs(x.reshape(-1, x.shape[-1])), axis=0)
+                act_max[i] = m if act_max[i] is None else jnp.maximum(
+                    act_max[i], m)
+    finally:
+        for probe in probes:
+            probe._capture_input = False
+            if hasattr(probe, "_bc_last_input"):
+                del probe._bc_last_input
+        _set_disable_quant(model, False)
+        _restore_modes(snap)
+
+    result = {}
+    for i, (src_paths, sink_paths) in enumerate(regions):
+        srcs = [get_module(model, p) for p in src_paths]
+        sinks = [get_module(model, p) for p in sink_paths]
+        views = []
+        for m in sinks:
+            in_ax, _ = _axes(m)
+            views.append(_channel_view(jnp.abs(_kernel(m)[...]), in_ax))
+        w_max = jnp.max(jnp.concatenate(views, axis=1), axis=1)
+        a = act_max[i]
+        s = a ** alpha / jnp.maximum(w_max, EPSILON) ** (1.0 - alpha)
+        # dead channels (no signal, or zero weight) are left unscaled
+        s = jnp.where((a <= EPSILON) | (w_max <= EPSILON), 1.0, s)
+        _scale_region(srcs, sinks, s)
+        result[i] = s
+    return result
 
 
 def absorb_bias_by_batch_norm(

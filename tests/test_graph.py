@@ -743,3 +743,65 @@ def test_resnet_bn_fold_then_integer_serving(rng):
     with pltpu.force_tpu_interpret_mode():
         y_int = m(x)
     np.testing.assert_allclose(y_int, y_merged, atol=5e-4)
+
+
+def test_act_equalization_preserves_function_and_shrinks_range(rng):
+    """SmoothQuant-style migration: sink input-activation outliers move into
+    the weights; the float function is preserved through the ReLU."""
+    class Net(nnx.Module):
+        def __init__(self, rngs):
+            self.l1 = qnn.QuantLinear(16, 32, use_bias=True,
+                                      weight_quant=None, rngs=rngs)
+            self.l2 = qnn.QuantLinear(32, 8, weight_quant=None, rngs=rngs)
+
+        def __call__(self, x):
+            return self.l2(jax.nn.relu(self.l1(x)))
+
+    m = Net(rngs())
+    # create activation outlier channels at l2's input
+    m.l1.weight[...] = m.l1.weight[...] * jnp.linspace(0.05, 20.0, 32)[None, :]
+    x = jnp.asarray(rng.standard_normal((64, 16)).astype(np.float32))
+    y_before = m(x)
+    h_before = jax.nn.relu(m.l1(x))
+    ratio_before = (np.abs(np.asarray(h_before)).max(axis=0).max()
+                    / max(np.abs(np.asarray(h_before)).max(axis=0).min(), 1e-9))
+
+    G.apply_act_equalization(m, [(["l1"], ["l2"])], [x])
+    np.testing.assert_allclose(m(x), y_before, rtol=1e-3, atol=1e-4)
+    h_after = jax.nn.relu(m.l1(x))
+    ratio_after = (np.abs(np.asarray(h_after)).max(axis=0).max()
+                   / max(np.abs(np.asarray(h_after)).max(axis=0).min(), 1e-9))
+    assert ratio_after < ratio_before  # per-channel act ranges flattened
+
+
+def test_act_equalization_improves_ptq(rng):
+    """Activation outliers wreck per-tensor act quant; smoothing first
+    recovers accuracy on the same pipeline."""
+    def build():
+        class Net(nnx.Module):
+            def __init__(self, rngs):
+                self.l1 = nnx.Linear(16, 32, rngs=rngs)
+                self.l2 = nnx.Linear(32, 8, rngs=rngs)
+
+            def __call__(self, x):
+                return self.l2(jax.nn.relu(self.l1(x)))
+
+        m = Net(nnx.Rngs(3))
+        m.l1.kernel[...] = m.l1.kernel[...] * jnp.linspace(0.05, 30.0, 32)[None, :]
+        return m
+
+    x = jnp.asarray(rng.standard_normal((128, 16)).astype(np.float32))
+    act = presets.Int8ActPerTensorFloat.let(collect_stats_steps=1, bit_width=6)
+
+    def ptq(smooth):
+        m = build()
+        y_float = m(x)
+        G.quantize(m, act_quant=act)
+        if smooth:
+            G.apply_act_equalization(m, [(["l1"], ["l2"])], [x])
+        with G.calibration_mode(m):
+            m(x)
+        eval_mode(m)
+        return float(jnp.mean((m(x) - y_float) ** 2))
+
+    assert ptq(True) < ptq(False)
