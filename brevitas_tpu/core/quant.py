@@ -173,3 +173,58 @@ def trunc_int_quant(
     y = y / trunc_scale
     y = float_to_int(y)
     return (y - zero_point) * scale
+
+
+def minifloat_max_val(exponent_bits: int, mantissa_bits: int,
+                      exponent_bias: int, *, nan_reserved: bool = True) -> float:
+    """Largest finite magnitude of a minifloat format.
+
+    ``nan_reserved`` picks the OCP "fn" convention (the all-ones exponent is
+    usable for finite values, only its top mantissa code is NaN — e4m3fn max
+    448); otherwise IEEE-style (all-ones exponent reserved for inf/NaN —
+    e5m2 max 57344). No reference analogue: the reference snapshot is
+    integer-only; later Brevitas adds FloatQuant."""
+    emax = 2 ** exponent_bits - 1 - exponent_bias
+    if nan_reserved:
+        mant_max = 2.0 - 2.0 ** (1 - mantissa_bits) if mantissa_bits > 0 \
+            else 1.0  # e8m0-style: top code would be NaN
+    else:
+        emax -= 1
+        mant_max = 2.0 - 2.0 ** (-mantissa_bits)
+    return mant_max * 2.0 ** emax
+
+
+def float_quant(
+    x: Array,
+    scale: Array,
+    *,
+    exponent_bits: int,
+    mantissa_bits: int,
+    exponent_bias: int,
+    max_val: float,
+    float_to_int: FloatToInt = round_ste,
+    clamp_fn: ClampFn = tensor_clamp,
+) -> Array:
+    """Minifloat (FP8/FP6/FP4...) fake-quantization with saturation.
+
+    ``x/scale`` is rounded to the nearest representable value of the
+    (1, exponent_bits, mantissa_bits) format with the given bias — including
+    subnormals — then clamped to ±max_val and rescaled. Rounding uses
+    ``float_to_int`` on the mantissa grid (``round_ste`` = IEEE
+    round-to-nearest-even, matching hardware casts); the exponent selection
+    is non-differentiable and runs under ``stop_gradient``."""
+    import jax
+
+    xs = x / scale
+    # power-of-two spacing of the format at each magnitude: 2^(e - m), with
+    # e floored at the subnormal exponent (1 - bias)
+    ax = jax.lax.stop_gradient(jnp.abs(xs))
+    e = jnp.floor(jnp.log2(jnp.where(ax > 0, ax, 1.0)))
+    e = jnp.maximum(e, 1.0 - exponent_bias)
+    # exact power of two via the exponent field — jnp.exp2 routes through
+    # exp(x·ln2) on some backends and returns e.g. exp2(13) = 8192.004
+    step = jnp.ldexp(jnp.ones_like(xs),
+                     (e - mantissa_bits).astype(jnp.int32)).astype(xs.dtype)
+    y = float_to_int(xs / step) * step
+    y = clamp_fn(y, jnp.asarray(-max_val, x.dtype), jnp.asarray(max_val, x.dtype))
+    return y * scale

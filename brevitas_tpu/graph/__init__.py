@@ -18,6 +18,7 @@ from brevitas_tpu.graph.calibrate import (
     finalize_collect_stats,
 )
 from brevitas_tpu.graph.convert_int import (
+    Fp8InferenceLinear,
     Int8InferenceAttention,
     Int8InferenceConv,
     Int8InferenceLinear,
@@ -69,6 +70,6 @@ __all__ = [
     "adaptive_avgpool_to_avgpool", "avgpool_to_depthwise_conv",
     "bn_to_quant_scale_bias",
     "convert_integer_inference", "Int8InferenceLinear", "Int8InferenceConv",
-    "Int8InferenceAttention",
+    "Int8InferenceAttention", "Fp8InferenceLinear",
     "duplicate_shared_stateless_modules", "disable_last_return_quant_tensor",
 ]

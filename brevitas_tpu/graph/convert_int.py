@@ -293,6 +293,74 @@ class Int8InferenceAttention(nnx.Module):
         return self.out_proj(out.astype(x_t.dtype)), k_cache, v_cache
 
 
+_FP8_DTYPES = {
+    # (exponent_bits, mantissa_bits, bias, nan_reserved) → hardware dtype
+    (4, 3, 7, True): jnp.float8_e4m3fn,
+    (5, 2, 15, False): jnp.float8_e5m2,
+}
+
+
+def _fp8_dtype(cfg):
+    key = (int(cfg.exponent_bit_width), int(cfg.mantissa_bit_width),
+           int(cfg.exponent_bias) if cfg.exponent_bias is not None
+           else 2 ** (int(cfg.exponent_bit_width) - 1) - 1,
+           bool(cfg.nan_reserved))
+    if key not in _FP8_DTYPES:
+        raise ValueError(f"no hardware float8 dtype for format {key}")
+    return _FP8_DTYPES[key]
+
+
+class Fp8InferenceLinear(nnx.Module):
+    """Serving twin of an FP8-quantized QuantLinear: weights stored as
+    hardware float8 (half the HBM footprint/traffic of bf16), compute in
+    bf16 on the MXU — every fp8 value is exactly representable in bf16 and
+    bf16×bf16 products accumulate exactly in f32, so the twin matches the
+    fake-quant model up to f32 summation order. No reference analogue
+    (integer-only snapshot)."""
+
+    def __init__(self, qlinear: QuantLinear):
+        from brevitas_tpu.core.quant import minifloat_max_val
+
+        wcfg = qlinear.weight_quant.cfg
+        if qlinear.weight_quant.quant_type != QuantType.FLOAT:
+            raise ValueError("Fp8InferenceLinear needs a FLOAT weight quant")
+        self.w_dtype = _fp8_dtype(wcfg)
+        qw = qlinear.quant_weight()
+        self.w_scale = jnp.asarray(qw.scale).reshape(-1)
+        self.w8 = jax.lax.stop_gradient(
+            (qw.value / qw.scale).astype(self.w_dtype))
+        xq = qlinear.input_quant
+        if xq.quant_type != QuantType.FLOAT:
+            raise ValueError("Fp8InferenceLinear needs a FLOAT input quant")
+        xcfg = xq.cfg
+        self.x_dtype = _fp8_dtype(xcfg)
+        xq.eval_mode()
+        self.x_scale = jnp.asarray(
+            xq(jnp.zeros((1, 1), jnp.float32)).scale).reshape(())
+        self.x_max = minifloat_max_val(
+            int(xcfg.exponent_bit_width), int(xcfg.mantissa_bit_width),
+            int(xcfg.exponent_bias), nan_reserved=xcfg.nan_reserved)
+        self.bias = (qlinear.bias[...].astype(jnp.float32)
+                     if qlinear.bias is not None else None)
+        self.out_features = self.w8.shape[1]
+        self.output_quant = _freeze_output_quant(
+            getattr(qlinear, "output_quant", None))
+
+    def __call__(self, x: Array) -> Array:
+        # saturating cast: beyond-max values become NaN (e4m3fn) or inf
+        # (e5m2) without the clip
+        x8 = jnp.clip(x / self.x_scale, -self.x_max, self.x_max) \
+            .astype(self.x_dtype)
+        y = jax.lax.dot_general(
+            x8.astype(jnp.bfloat16), self.w8.astype(jnp.bfloat16),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y = y * (self.x_scale * self.w_scale)
+        if self.bias is not None:
+            y = y + self.bias
+        return _apply_output_quant(y.astype(x.dtype), self.output_quant)
+
+
 def convert_integer_inference(model: nnx.Module) -> nnx.Module:
     """Swap every eligible trained quant layer for its integer serving twin
     in place. Layers without an INT input quantizer (no input scale/grid
@@ -310,6 +378,9 @@ def convert_integer_inference(model: nnx.Module) -> nnx.Module:
             elif isinstance(mod, QuantLinear) \
                     and mod.weight_quant.quant_type == QuantType.INT:
                 set_module(model, path, Int8InferenceLinear(mod))
+            elif isinstance(mod, QuantLinear) \
+                    and mod.weight_quant.quant_type == QuantType.FLOAT:
+                set_module(model, path, Fp8InferenceLinear(mod))
             elif isinstance(mod, _QuantConvNd) and not mod.transposed \
                     and mod.weight_quant.quant_type == QuantType.INT:
                 # transposed convs stay on the fake-quant path: the twin

@@ -25,6 +25,7 @@ class QuantType(str, enum.Enum):
     BINARY = "binary"
     TERNARY = "ternary"
     INT = "int"
+    FLOAT = "float"  # minifloat (FP8/FP6/FP4); no reference analogue
 
 
 class BitWidthImplType(str, enum.Enum):
@@ -67,6 +68,13 @@ class QuantConfig:
     # bit-width impl
     bit_width_impl: BitWidthImplType = BitWidthImplType.CONST
     min_bit_width: float = 2.0  # lower bound for learned bit-width
+
+    # minifloat format (QuantType.FLOAT): 1 + exponent + mantissa bits;
+    # nan_reserved selects the OCP "fn" convention (e4m3fn) vs IEEE inf/NaN
+    exponent_bit_width: Optional[float] = None
+    mantissa_bit_width: Optional[float] = None
+    exponent_bias: Optional[float] = None
+    nan_reserved: bool = True
 
     # float->int rounding & clamping gradient behaviour
     float_to_int: FloatToIntImpl = FloatToIntImpl.ROUND

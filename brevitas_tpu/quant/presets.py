@@ -9,6 +9,7 @@ Each is a frozen QuantConfig; compose variants with ``.let(...)`` — e.g.
 the reference's injector-subclassing idiom.
 """
 
+from brevitas_tpu.core.quant import minifloat_max_val
 from brevitas_tpu.core.restrict import FloatToIntImpl, RestrictType
 from brevitas_tpu.core.stats import StatsOp
 from brevitas_tpu.quant.config import (
@@ -153,3 +154,36 @@ Int8WeightPerTensorFloatLearnedBitWidth = Int8WeightPerTensorFloat.let(
     bit_width_impl=BitWidthImplType.PARAMETER)
 Int8ActPerTensorFloatLearnedBitWidth = Int8ActPerTensorFloat.let(
     bit_width_impl=BitWidthImplType.PARAMETER)
+
+# ---------------------------------------------------------------------------
+# minifloat (FP8) quantizers — beyond the reference snapshot (integer-only);
+# later Brevitas adds FloatQuant. e4m3fn follows the OCP convention
+# (max 448), e5m2 the IEEE one (max 57344); both bit-exact against
+# jnp.float8_* casts (tests/test_float_quant.py).
+# ---------------------------------------------------------------------------
+
+_FP8E4M3 = QuantConfig(
+    quant_type=QuantType.FLOAT, signed=True, bit_width=8,
+    exponent_bit_width=4, mantissa_bit_width=3, exponent_bias=7,
+    nan_reserved=True)
+_FP8E5M2 = _FP8E4M3.let(exponent_bit_width=5, mantissa_bit_width=2,
+                        exponent_bias=15, nan_reserved=False)
+
+Fp8e4m3WeightPerTensorFloat = _FP8E4M3.let(**_MAX_STATS)
+Fp8e4m3WeightPerChannelFloat = Fp8e4m3WeightPerTensorFloat.let(
+    scaling_per_output_channel=True)
+Fp8e5m2WeightPerTensorFloat = _FP8E5M2.let(**_MAX_STATS)
+Fp8e5m2WeightPerChannelFloat = Fp8e5m2WeightPerTensorFloat.let(
+    scaling_per_output_channel=True)
+
+Fp8e4m3ActPerTensorFloat = _FP8E4M3.let(**_PARAM_FROM_PERCENTILE)
+Fp8e5m2ActPerTensorFloat = _FP8E5M2.let(**_PARAM_FROM_PERCENTILE)
+
+# scale fixed at 1: values quantize to the raw format grid (what a direct
+# cast-to-float8 serving path consumes)
+Fp8e4m3WeightPerTensorConst = _FP8E4M3.let(
+    scaling_impl=ScalingImplType.CONST,
+    scaling_const=minifloat_max_val(4, 3, 7, nan_reserved=True))
+Fp8e5m2WeightPerTensorConst = _FP8E5M2.let(
+    scaling_impl=ScalingImplType.CONST,
+    scaling_const=minifloat_max_val(5, 2, 15, nan_reserved=False))

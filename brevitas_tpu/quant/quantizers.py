@@ -113,6 +113,23 @@ def _expand(stat: Array, bshape: Tuple[int, ...]) -> Array:
     return stat.reshape(bshape)
 
 
+def _float_quant_params(cfg: QuantConfig):
+    """Resolve (exponent_bits, mantissa_bits, bias, max_val) for
+    QuantType.FLOAT; bias defaults to the IEEE-style 2^(e-1) - 1."""
+    if cfg.exponent_bit_width is None or cfg.mantissa_bit_width is None:
+        raise ValueError("QuantType.FLOAT requires exponent_bit_width and "
+                         "mantissa_bit_width")
+    if not cfg.signed:
+        raise ValueError("minifloat formats are signed")
+    if cfg.decoupled:
+        raise ValueError("decoupled quantization is integer-only")
+    e, m = int(cfg.exponent_bit_width), int(cfg.mantissa_bit_width)
+    bias = (int(cfg.exponent_bias) if cfg.exponent_bias is not None
+            else 2 ** (e - 1) - 1)
+    mv = Qf.minifloat_max_val(e, m, bias, nan_reserved=cfg.nan_reserved)
+    return e, m, bias, mv
+
+
 # ---------------------------------------------------------------------------
 # bit-width impls
 # ---------------------------------------------------------------------------
@@ -581,6 +598,16 @@ class ParameterQuantizer(nnx.Module, TrainToggleMixin, FloatToIntMixin):
             y, bit_width = Qf.ternary_quant(w, scale, cfg.ternary_threshold)
             return QuantTensor(self.delay(w, y), scale, jnp.zeros(()), bit_width,
                                signed=True)
+        if self.quant_type == QuantType.FLOAT:
+            e, mb, bias, mv = _float_quant_params(cfg)
+            threshold = self.scaling(view)
+            scale = threshold / mv  # measured range maps to the format max
+            y = Qf.float_quant(w, scale, exponent_bits=e, mantissa_bits=mb,
+                               exponent_bias=bias, max_val=mv,
+                               float_to_int=self._float_to_int,
+                               clamp_fn=self._clamp_fn())
+            return QuantTensor(self.delay(w, y), scale, jnp.zeros(()),
+                               jnp.asarray(1.0 + e + mb), signed=True)
         bit_width = self.bit_width_impl()
         threshold = self.scaling(view)
         scale = Qf.rescaling_scale(threshold, bit_width, signed=cfg.signed,
@@ -679,6 +706,18 @@ class ActQuantizer(nnx.Module, TrainToggleMixin, FloatToIntMixin):
             y, bit_width = Qf.ternary_quant(x, scale, cfg.ternary_threshold)
             return QuantTensor(self.delay(x, y), scale, jnp.zeros(()), bit_width,
                                signed=True, training=self.training)
+        if self.quant_type == QuantType.FLOAT:
+            e, mb, bias, mv = _float_quant_params(cfg)
+            threshold = self.scaling(view)
+            scale = threshold / mv
+            y = Qf.float_quant(
+                x, scale, exponent_bits=e, mantissa_bits=mb,
+                exponent_bias=bias, max_val=mv,
+                float_to_int=self._float_to_int,
+                clamp_fn=tensor_clamp_ste if cfg.clamp_ste else tensor_clamp)
+            return QuantTensor(self.delay(x, y), scale, jnp.zeros(()),
+                               jnp.asarray(1.0 + e + mb), signed=True,
+                               training=self.training)
         threshold = self.scaling(view)
         scale = Qf.rescaling_scale(threshold, bit_width, signed=cfg.signed,
                                    narrow_range=cfg.narrow_range,
