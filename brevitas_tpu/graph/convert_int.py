@@ -80,7 +80,15 @@ class Int8InferenceLinear(nnx.Module):
     quantized GEMM."""
 
     def __init__(self, qlinear: QuantLinear, act: Optional[str] = None):
-        qw = qlinear.quant_weight()
+        if qlinear.weight_quant.cfg.accumulator_bit_width is not None:
+            # A2Q weights depend on the input grid; freeze with the input
+            # quantizer's static format
+            icfg = qlinear.input_quant.cfg
+            qw = qlinear.quant_weight(
+                input_bit_width=jnp.asarray(float(icfg.bit_width)),
+                input_signed=icfg.signed)
+        else:
+            qw = qlinear.quant_weight()
         assert float(jnp.max(qw.bit_width)) <= 8.0, "int8 path needs bw<=8"
         self.w_int = jax.lax.stop_gradient(qw.int())  # (in, out) int8
         self.w_scale = jnp.asarray(qw.scale).reshape(-1)

@@ -94,12 +94,17 @@ class QuantWBIOL(nnx.Module, QuantLayerMixin):
     # toggled recursively by set_attributes(training=...) from any parent
     training: bool = True
 
-    def quant_weight(self) -> QuantTensor:
+    def quant_weight(self, input_bit_width=None,
+                     input_signed=None) -> QuantTensor:
         cached = getattr(self, "_cached_quant_weight", None)
         if (cached is not None
                 and not self.weight_quant.disable_quant
                 and not self.training):
             return cached
+        if self.weight_quant.cfg.accumulator_bit_width is not None:
+            return self.weight_quant(self.weight[...],
+                                     input_bit_width=input_bit_width,
+                                     input_signed=input_signed)
         return self.weight_quant(self.weight[...])
 
     def cache_quant_weight(self) -> None:
@@ -109,6 +114,8 @@ class QuantWBIOL(nnx.Module, QuantLayerMixin):
         quantization is bypassed (calibration/bias-correction float twins),
         is cleared by train_mode()/clear_quant_weight_cache(), and is computed
         under eval semantics so quant-delay counters don't advance."""
+        if self.weight_quant.cfg.accumulator_bit_width is not None:
+            return  # A2Q weights depend on the runtime input bit-width
         delay = getattr(self.weight_quant, "delay", None)
         was_training = delay.training if delay is not None else None
         self.weight_quant.eval_mode()
@@ -129,7 +136,9 @@ class QuantWBIOL(nnx.Module, QuantLayerMixin):
             quant_input = self.input_quant(qt_in.value)
         else:
             quant_input = qt_in  # pass an already-quantized input through
-        quant_weight = self.quant_weight()
+        quant_weight = self.quant_weight(
+            input_bit_width=quant_input.bit_width,
+            input_signed=quant_input.signed)
 
         output_scale = None
         output_bit_width = None

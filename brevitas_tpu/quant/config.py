@@ -76,6 +76,11 @@ class QuantConfig:
     exponent_bias: Optional[float] = None
     nan_reserved: bool = True
 
+    # A2Q accumulator-aware weight quant (arXiv:2308.13504): constrain the
+    # per-channel l1 norm of the integer weights so a dot product with
+    # quantized inputs provably fits this accumulator width
+    accumulator_bit_width: Optional[float] = None
+
     # float->int rounding & clamping gradient behaviour
     float_to_int: FloatToIntImpl = FloatToIntImpl.ROUND
     clamp_ste: bool = False  # True → straight-through grads at the clip boundary

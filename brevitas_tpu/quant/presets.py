@@ -187,3 +187,18 @@ Fp8e4m3WeightPerTensorConst = _FP8E4M3.let(
 Fp8e5m2WeightPerTensorConst = _FP8E5M2.let(
     scaling_impl=ScalingImplType.CONST,
     scaling_const=minifloat_max_val(5, 2, 15, nan_reserved=False))
+
+# ---------------------------------------------------------------------------
+# A2Q accumulator-aware weight quantizers (arXiv:2308.13504) — beyond the
+# reference snapshot; later Brevitas ships AccumulatorAwareWeightQuant.
+# Pick the budget with .let(accumulator_bit_width=N); requires the layer to
+# have a quantized input (the bound is per-dot-product).
+# ---------------------------------------------------------------------------
+
+Int8AccumulatorAwareWeightPerChannelFloat = _NARROW_INT.let(
+    bit_width=8, scaling_per_output_channel=True,
+    scaling_impl=ScalingImplType.PARAMETER_FROM_STATS,
+    scaling_stats_op=StatsOp.MAX, scaling_min_val=1e-10,
+    accumulator_bit_width=32)
+Int4AccumulatorAwareWeightPerChannelFloat = \
+    Int8AccumulatorAwareWeightPerChannelFloat.let(bit_width=4)

@@ -35,7 +35,10 @@ from brevitas_tpu.core import restrict as R
 from brevitas_tpu.core import stats as S
 from brevitas_tpu.ops import (
     abs_binary_sign_grad,
+    max_int,
+    min_int,
     round_ste,
+    round_to_zero_ste,
     scalar_clamp_min_ste,
     tensor_clamp,
     tensor_clamp_ste,
@@ -579,14 +582,63 @@ class ParameterQuantizer(nnx.Module, TrainToggleMixin, FloatToIntMixin):
                                          init_stats_input=view, fan_in=fan_in)
         self.zero_point = ZeroPoint(cfg, self.bshape, runtime=False)
         self.delay = QuantDelay(cfg.quant_delay_steps)
+        # A2Q accumulator-aware weight norm (arXiv:2308.13504; no analogue in
+        # the reference snapshot, later Brevitas ships AccumulatorAwareQuant):
+        # a learned per-channel l1-norm target g, clamped at quantization time
+        # so the integer weights guarantee no accumulator overflow
+        if cfg.accumulator_bit_width is not None:
+            if self.quant_type != QuantType.INT or cfg.decoupled:
+                raise ValueError("accumulator-aware quant is plain-INT only")
+            if ZeroPointImplType(cfg.zero_point_impl) != ZeroPointImplType.ZERO:
+                raise ValueError("accumulator-aware quant is symmetric-only")
+            pc_view = stats_view(weight_init, True, channel_axis)
+            l1 = _expand(jnp.sum(jnp.abs(pc_view), axis=-1), self.bshape) \
+                if self.per_channel else jnp.sum(jnp.abs(weight_init))
+            self.g = nnx.Param(jnp.asarray(l1, jnp.float32))
 
     def _clamp_fn(self):
         return tensor_clamp_ste if self.cfg.clamp_ste else tensor_clamp
 
-    def __call__(self, w: Array) -> QuantTensor:
+    def _a2q_quant(self, w: Array, input_bit_width, input_signed):
+        """Accumulator-aware path: weight-norm w to an l1 budget that bounds
+        the accumulator, then round TOWARD ZERO so the integer l1 norm can
+        only shrink (the overflow guarantee)."""
+        cfg = self.cfg
+        if input_bit_width is None or input_signed is None:
+            raise ValueError(
+                "accumulator-aware weight quant needs input_bit_width and "
+                "input_signed (quantize the layer input)")
+        view = stats_view(w, self.stats_per_channel, self.channel_axis)
+        bit_width = self.bit_width_impl()
+        threshold = self.scaling(view)
+        scale = Qf.rescaling_scale(threshold, bit_width, signed=cfg.signed,
+                                   narrow_range=cfg.narrow_range,
+                                   po2_int_scale=cfg.po2_int_scale)
+        # accumulator budget: sum_k |w_int_k| * max|x_int| <= 2^(A-1) - 1
+        max_x = max_int(bool(input_signed), False, input_bit_width)
+        T = (2.0 ** (cfg.accumulator_bit_width - 1.0) - 1.0) / max_x
+        g = abs_binary_sign_grad(self.g[...])
+        g_eff = jnp.minimum(g, T * scale)
+        if self.per_channel:
+            l1 = _expand(jnp.sum(jnp.abs(
+                stats_view(w, True, self.channel_axis)), axis=-1), self.bshape)
+        else:
+            l1 = jnp.sum(jnp.abs(w))
+        w_norm = w * (g_eff / jnp.maximum(l1, 1e-10))
+        y_int = round_to_zero_ste(w_norm / scale)
+        y_int = self._clamp_fn()(
+            y_int, min_int(cfg.signed, cfg.narrow_range, bit_width),
+            max_int(cfg.signed, cfg.narrow_range, bit_width))
+        return QuantTensor(self.delay(w, y_int * scale), scale, jnp.zeros(()),
+                           bit_width, signed=True)
+
+    def __call__(self, w: Array, *, input_bit_width=None,
+                 input_signed=None) -> QuantTensor:
         cfg = self.cfg
         if self.quant_type == QuantType.NONE or self.disable_quant:
             return QuantTensor(w)
+        if cfg.accumulator_bit_width is not None:
+            return self._a2q_quant(w, input_bit_width, input_signed)
         view = stats_view(w, self.stats_per_channel, self.channel_axis)
         if self.quant_type == QuantType.BINARY:
             scale = self.scaling(view)
