@@ -50,6 +50,11 @@ def _freeze_act_quant(act_quantizer):
         raise ValueError(
             f"integer serving supports INT input quantizers, got "
             f"{act_quantizer.quant_type}")
+    from brevitas_tpu.quant.config import ScalingImplType
+    if ScalingImplType(act_quantizer.cfg.scaling_impl) \
+            == ScalingImplType.DYNAMIC:
+        raise ValueError("dynamic act quant has no static scale to freeze — "
+                         "use DynamicInt8InferenceLinear")
     act_quantizer.eval_mode()
     probe = jnp.zeros((1, 1), jnp.float32)
     qt = act_quantizer(probe)
@@ -301,6 +306,59 @@ class Int8InferenceAttention(nnx.Module):
         return self.out_proj(out.astype(x_t.dtype)), k_cache, v_cache
 
 
+class DynamicInt8InferenceLinear(nnx.Module):
+    """Serving twin for dynamic (per-token or per-tensor) int8 activation
+    quant: the input scale is computed from each request on the fly, the MAC
+    runs int8×int8→int32 on the MXU, and the row-wise dequant rides the
+    epilogue. The layer's own stateless ActQuantizer produces the grid, so
+    serving is numerically identical to the fake-quant model. No reference
+    analogue (the snapshot has no dynamic quant)."""
+
+    def __init__(self, qlinear: QuantLinear):
+        from brevitas_tpu.quant.config import ScalingImplType
+
+        xq = qlinear.input_quant
+        if (xq.quant_type != QuantType.INT
+                or ScalingImplType(xq.cfg.scaling_impl)
+                != ScalingImplType.DYNAMIC):
+            raise ValueError("DynamicInt8InferenceLinear needs a DYNAMIC INT "
+                             "input quantizer")
+        if not xq.cfg.signed:
+            raise ValueError("dynamic int8 serving is signed-symmetric only")
+        qw = qlinear.quant_weight()
+        assert float(jnp.max(qw.bit_width)) <= 8.0
+        self.w_int = jax.lax.stop_gradient(qw.int())
+        self.w_scale = jnp.asarray(qw.scale).reshape(-1)
+        self.input_quant = xq
+        xq.eval_mode()
+        self.bias = (qlinear.bias[...].astype(jnp.float32)
+                     if qlinear.bias is not None else None)
+        self.out_features = self.w_int.shape[1]
+        oq = getattr(qlinear, "output_quant", None)
+        if oq is not None and oq.quant_type != QuantType.NONE \
+                and ScalingImplType(oq.cfg.scaling_impl) \
+                == ScalingImplType.DYNAMIC:
+            self.output_quant = None
+            self.dynamic_output_quant = oq  # stateless, re-applied per call
+        else:
+            self.output_quant = _freeze_output_quant(oq)
+            self.dynamic_output_quant = None
+
+    def __call__(self, x: Array) -> Array:
+        qt = self.input_quant(x)  # stateless dynamic fake-quant
+        x_int = jnp.round(qt.value / qt.scale).astype(jnp.int8)
+        flat = x_int.reshape(-1, x_int.shape[-1])
+        acc = jax.lax.dot_general(flat, self.w_int, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32).reshape(*x.shape[:-1], self.out_features)
+        y = y * qt.scale * self.w_scale  # (…,1) row scale × (O,) col scale
+        if self.bias is not None:
+            y = y + self.bias
+        if self.dynamic_output_quant is not None:
+            return self.dynamic_output_quant(y).value
+        return _apply_output_quant(y, self.output_quant)
+
+
 _FP8_DTYPES = {
     # (exponent_bits, mantissa_bits, bias, nan_reserved) → hardware dtype
     (4, 3, 7, True): jnp.float8_e4m3fn,
@@ -385,7 +443,13 @@ def convert_integer_inference(model: nnx.Module) -> nnx.Module:
                 converted_prefixes.append(path)
             elif isinstance(mod, QuantLinear) \
                     and mod.weight_quant.quant_type == QuantType.INT:
-                set_module(model, path, Int8InferenceLinear(mod))
+                from brevitas_tpu.quant.config import ScalingImplType
+                if (mod.input_quant.quant_type == QuantType.INT
+                        and ScalingImplType(mod.input_quant.cfg.scaling_impl)
+                        == ScalingImplType.DYNAMIC):
+                    set_module(model, path, DynamicInt8InferenceLinear(mod))
+                else:
+                    set_module(model, path, Int8InferenceLinear(mod))
             elif isinstance(mod, QuantLinear) \
                     and mod.weight_quant.quant_type == QuantType.FLOAT:
                 set_module(model, path, Fp8InferenceLinear(mod))

@@ -43,6 +43,7 @@ class ScalingImplType(str, enum.Enum):
     STATS = "stats"
     AFFINE_STATS = "affine_stats"
     HE = "he"
+    DYNAMIC = "dynamic"  # stateless per-call stats (LLM-style dynamic quant)
 
 
 class ZeroPointImplType(str, enum.Enum):
@@ -80,6 +81,10 @@ class QuantConfig:
     # per-channel l1 norm of the integer weights so a dot product with
     # quantized inputs provably fits this accumulator width
     accumulator_bit_width: Optional[float] = None
+
+    # per-token activation scaling (one scale per leading position, reduced
+    # over the channel axis); requires scaling_impl=DYNAMIC
+    scaling_per_token: bool = False
 
     # float->int rounding & clamping gradient behaviour
     float_to_int: FloatToIntImpl = FloatToIntImpl.ROUND

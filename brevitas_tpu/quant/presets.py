@@ -202,3 +202,20 @@ Int8AccumulatorAwareWeightPerChannelFloat = _NARROW_INT.let(
     accumulator_bit_width=32)
 Int4AccumulatorAwareWeightPerChannelFloat = \
     Int8AccumulatorAwareWeightPerChannelFloat.let(bit_width=4)
+
+# ---------------------------------------------------------------------------
+# dynamic activation quantizers (stateless per-call scales; the LLM-serving
+# pattern) — beyond the reference snapshot; later Brevitas adds dynamic act
+# quant in its LLM entry point.
+# ---------------------------------------------------------------------------
+
+Int8DynamicActPerTensorFloat = _INT.let(
+    bit_width=8, scaling_impl=ScalingImplType.DYNAMIC,
+    scaling_stats_op=StatsOp.MAX, scaling_min_val=1e-10)
+Int8DynamicActPerTokenFloat = Int8DynamicActPerTensorFloat.let(
+    scaling_per_token=True)
+Fp8e4m3DynamicActPerTensorFloat = _FP8E4M3.let(
+    scaling_impl=ScalingImplType.DYNAMIC,
+    scaling_stats_op=StatsOp.MAX, scaling_min_val=1e-10)
+Fp8e4m3DynamicActPerTokenFloat = Fp8e4m3DynamicActPerTensorFloat.let(
+    scaling_per_token=True)

@@ -428,6 +428,10 @@ def build_scaling(cfg: QuantConfig, bshape: Tuple[int, ...],
         if init_stats_input is not None:
             return attach_sigma(StatsScaling(cfg, stats_fn, bshape))
         return attach_sigma(RuntimeStatsScaling(cfg, stats_fn, bshape))
+    if impl == ScalingImplType.DYNAMIC:
+        # stateless per-call stats — no EMA, no phase, nothing to train or
+        # checkpoint; the LLM dynamic-quant pattern
+        return attach_sigma(StatsScaling(cfg, stats_fn, bshape))
     raise ValueError(f"unsupported scaling impl {impl}")
 
 
@@ -722,9 +726,30 @@ class ActQuantizer(nnx.Module, TrainToggleMixin, FloatToIntMixin):
         self.stats_per_channel = self.per_channel or op in GROUP_REDUCING_STATS_OPS
         bshape = (num_channels,) if self.per_channel else ()
         self.bit_width_impl = BitWidth(cfg)
+        # per-token: one dynamic scale per leading position, reduced over the
+        # channel axis (LLM dynamic-quant; no state, bypasses self.scaling)
+        self.per_token = bool(cfg.scaling_per_token)
+        if self.per_token:
+            if ScalingImplType(cfg.scaling_impl) != ScalingImplType.DYNAMIC:
+                raise ValueError(
+                    "per-token activation scaling requires scaling_impl=DYNAMIC")
+            if self.per_channel:
+                raise ValueError("per-token and per-channel scaling are exclusive")
+            if ZeroPointImplType(cfg.zero_point_impl) != ZeroPointImplType.ZERO:
+                raise ValueError("per-token scaling is symmetric-only")
+            self._token_rc = _RestrictClamp(cfg)
+            self._token_stats = S.stats_fn(
+                op, sigma=cfg.scaling_stats_sigma,
+                high_percentile_q=cfg.high_percentile_q,
+                low_percentile_q=cfg.low_percentile_q)
         self.scaling = build_scaling(cfg, bshape)
         self.zero_point = ZeroPoint(cfg, bshape, runtime=True)
         self.delay = QuantDelay(cfg.quant_delay_steps)
+
+    def _token_threshold(self, x: Array) -> Array:
+        t = self._token_stats(x.reshape(-1, x.shape[-1]))
+        t = self._token_rc.forward(self._token_rc.preprocess_runtime(t))
+        return t.reshape(x.shape[:-1] + (1,))
 
     def __call__(self, x: Array) -> QuantTensor:
         cfg = self.cfg
@@ -734,6 +759,8 @@ class ActQuantizer(nnx.Module, TrainToggleMixin, FloatToIntMixin):
             # calibration mode: advance scaling/zero-point statistics state
             # but emit the float value unchanged (the reference achieves this
             # with post-forward hooks, graph/calibrate.py:112-133)
+            if ScalingImplType(cfg.scaling_impl) == ScalingImplType.DYNAMIC:
+                return QuantTensor(x, training=self.training)  # stateless
             view = stats_view(x, self.stats_per_channel, channel_axis=-1)
             bit_width = self.bit_width_impl()
             if self.quant_type == QuantType.INT:
@@ -760,7 +787,8 @@ class ActQuantizer(nnx.Module, TrainToggleMixin, FloatToIntMixin):
                                signed=True, training=self.training)
         if self.quant_type == QuantType.FLOAT:
             e, mb, bias, mv = _float_quant_params(cfg)
-            threshold = self.scaling(view)
+            threshold = self._token_threshold(x) if self.per_token \
+                else self.scaling(view)
             scale = threshold / mv
             y = Qf.float_quant(
                 x, scale, exponent_bits=e, mantissa_bits=mb,
@@ -770,7 +798,8 @@ class ActQuantizer(nnx.Module, TrainToggleMixin, FloatToIntMixin):
             return QuantTensor(self.delay(x, y), scale, jnp.zeros(()),
                                jnp.asarray(1.0 + e + mb), signed=True,
                                training=self.training)
-        threshold = self.scaling(view)
+        threshold = self._token_threshold(x) if self.per_token \
+            else self.scaling(view)
         scale = Qf.rescaling_scale(threshold, bit_width, signed=cfg.signed,
                                    narrow_range=cfg.narrow_range,
                                    po2_int_scale=cfg.po2_int_scale)
