@@ -58,12 +58,27 @@ def _channel_range(x2d: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(out == 0.0, jnp.mean(out), out)
 
 
+def _is_norm_source(m) -> bool:
+    """LayerNorm/RMSNorm-style elementwise affine: absorbs 1/s into its own
+    scale/bias — the canonical SmoothQuant source (LN → linear migration)."""
+    return isinstance(m, (nnx.LayerNorm, nnx.RMSNorm)) or (
+        hasattr(m, "scale") and not hasattr(m, "kernel")
+        and not hasattr(m, "weight") and not isinstance(m, nnx.BatchNorm))
+
+
 def _scale_region(srcs: Sequence, sinks: Sequence, s: jnp.ndarray) -> None:
     """Rescale a region by per-channel factors ``s``: source output channels
     (and biases) by 1/s, sink input channels by s — function-preserving for
     positively-homogeneous ops between them (s > 0)."""
     inv_s = 1.0 / jnp.maximum(s, EPSILON)
     for m in srcs:
+        if _is_norm_source(m):
+            if m.scale is not None:
+                m.scale[...] = m.scale[...] * inv_s
+            bias = getattr(m, "bias", None)
+            if bias is not None:
+                bias[...] = bias[...] * inv_s
+            continue
         _, out_ax = _axes(m)
         k = _kernel(m)
         shape = [1] * k[...].ndim

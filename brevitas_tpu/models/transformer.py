@@ -74,10 +74,17 @@ class QuantTransformer(nnx.Module, TrainToggleMixin):
 
     def __init__(self, *, vocab_size: int = 1000, dim: int = 256,
                  depth: int = 4, num_heads: int = 4, max_len: int = 512,
-                 bit_width: int = 8, rngs: nnx.Rngs):
-        wq = Int8WeightPerTensorFloat.let(bit_width=float(bit_width))
-        aq = Int8ActPerTensorFloat.let(bit_width=float(bit_width))
-        uq = Uint8ActPerTensorFloat.let(bit_width=float(bit_width))
+                 bit_width: int = 8, weight_quant=None, act_quant=None,
+                 uact_quant=None, rngs: nnx.Rngs):
+        """``weight_quant``/``act_quant``/``uact_quant`` override the default
+        int-``bit_width`` quantizers (e.g. FP8 or dynamic-per-token configs);
+        pass ``brevitas_tpu.quant.presets.None*Quant`` for a float model."""
+        wq = weight_quant if weight_quant is not None \
+            else Int8WeightPerTensorFloat.let(bit_width=float(bit_width))
+        aq = act_quant if act_quant is not None \
+            else Int8ActPerTensorFloat.let(bit_width=float(bit_width))
+        uq = uact_quant if uact_quant is not None \
+            else Uint8ActPerTensorFloat.let(bit_width=float(bit_width))
         self.embed = QuantEmbedding(vocab_size, dim, weight_quant=wq,
                                     rngs=rngs)
         self.pos = nnx.Param(

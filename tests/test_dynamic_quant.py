@@ -122,3 +122,15 @@ def test_dynamic_calibration_is_noop(rng):
 def test_per_token_requires_dynamic():
     with pytest.raises(ValueError, match="DYNAMIC"):
         ActQuantizer(presets.Int8ActPerTensorFloat.let(scaling_per_token=True))
+
+
+def test_llm_ptq_pipeline_small(rng):
+    """The LLM PTQ entry point end-to-end at tiny scale: SmoothQuant + GPTQ
+    + dynamic act quant keeps bits-per-char near float."""
+    from brevitas_tpu.examples.llm_ptq import main
+
+    r = main(["--train-steps", "40", "--depth", "1", "--dim", "32",
+              "--heads", "2", "--seq-len", "32", "--batch", "16",
+              "--gptq", "--dynamic-act", "--convert-int"])
+    assert r["quant_bpc"] < r["float_bpc"] + 0.1
+    assert r["served_bpc"] < r["float_bpc"] + 0.1
