@@ -19,6 +19,7 @@ from brevitas_tpu.graph.calibrate import (
 )
 from brevitas_tpu.graph.convert_int import (
     DynamicInt8InferenceLinear,
+    WeightOnlyInt4InferenceLinear,
     Fp8InferenceLinear,
     Int8InferenceAttention,
     Int8InferenceConv,
@@ -72,6 +73,6 @@ __all__ = [
     "bn_to_quant_scale_bias",
     "convert_integer_inference", "Int8InferenceLinear", "Int8InferenceConv",
     "Int8InferenceAttention", "Fp8InferenceLinear",
-    "DynamicInt8InferenceLinear",
+    "DynamicInt8InferenceLinear", "WeightOnlyInt4InferenceLinear",
     "duplicate_shared_stateless_modules", "disable_last_return_quant_tensor",
 ]

@@ -121,8 +121,10 @@ class Int8InferenceLinear(nnx.Module):
         # the GEMM (kernels/int4.py) — halves weight HBM footprint/traffic
         k, n = self.w_int.shape
         self.out_features = n
+        from brevitas_tpu.kernels.int4 import int4_block_shapes_ok
+
         if (config.INT4_PACKED_SERVING and float(jnp.max(qw.bit_width)) <= 4.0
-                and k % 512 == 0 and n % 512 == 0):
+                and int4_block_shapes_ok(k, n)):
             from brevitas_tpu.kernels.int4 import pack_int4_rows
 
             self.w_packed = pack_int4_rows(self.w_int)
@@ -306,6 +308,57 @@ class Int8InferenceAttention(nnx.Module):
         return self.out_proj(out.astype(x_t.dtype)), k_cache, v_cache
 
 
+class WeightOnlyInt4InferenceLinear(nnx.Module):
+    """w4a16 serving twin: activations stay bf16/f32, weights live in HBM as
+    packed int4 (4x less weight traffic than bf16) and unpack at the VMEM
+    boundary inside the GEMM (kernels/int4.py). The LLM weight-only serving
+    pattern; no reference analogue."""
+
+    def __init__(self, qlinear: QuantLinear):
+        if qlinear.input_quant.quant_type != QuantType.NONE:
+            raise ValueError("weight-only serving wants NO input quantizer")
+        qw = qlinear.quant_weight()
+        if float(jnp.max(qw.bit_width)) > 4.0:
+            raise ValueError("weight-only int4 path needs bit_width <= 4")
+        from brevitas_tpu.kernels.int4 import pack_int4_rows
+
+        w_int = jax.lax.stop_gradient(qw.int())
+        k, n = w_int.shape
+        if k % 2:
+            raise ValueError("in_features must be even to pack int4")
+        self.w_packed = pack_int4_rows(w_int)
+        self.w_scale = jnp.asarray(qw.scale).reshape(-1)
+        self.bias = (qlinear.bias[...].astype(jnp.float32)
+                     if qlinear.bias is not None else None)
+        self.out_features = n
+        self.in_features = k
+        # the Pallas path keeps x resident in VMEM — gate to block-aligned
+        # shapes, same policy as the int8 packed path
+        from brevitas_tpu.kernels.int4 import int4_block_shapes_ok
+
+        self._pallas_ok = int4_block_shapes_ok(k, n)
+        self.output_quant = _freeze_output_quant(
+            getattr(qlinear, "output_quant", None))
+
+    def __call__(self, x: Array) -> Array:
+        from brevitas_tpu.kernels.int4 import (
+            int4_weight_only_matmul,
+            int4_weight_only_matmul_reference,
+        )
+
+        flat = x.reshape(-1, self.in_features)
+        # measured on v5e (PERF.md): 1.5-1.6x over the bf16 dot at M>=32,
+        # but 0.87x at M=8 where the padded VMEM block wastes MXU passes
+        use_pallas = (jax.default_backend() == "tpu"
+                      and config.USE_PALLAS_KERNELS and self._pallas_ok
+                      and flat.shape[0] >= 16)
+        mm = int4_weight_only_matmul if use_pallas \
+            else int4_weight_only_matmul_reference
+        y = mm(flat, self.w_packed, self.w_scale, self.bias)
+        y = y.reshape(*x.shape[:-1], self.out_features).astype(x.dtype)
+        return _apply_output_quant(y, self.output_quant)
+
+
 class DynamicInt8InferenceLinear(nnx.Module):
     """Serving twin for dynamic (per-token or per-tensor) int8 activation
     quant: the input scale is computed from each request on the fly, the MAC
@@ -448,6 +501,10 @@ def convert_integer_inference(model: nnx.Module) -> nnx.Module:
                         and ScalingImplType(mod.input_quant.cfg.scaling_impl)
                         == ScalingImplType.DYNAMIC):
                     set_module(model, path, DynamicInt8InferenceLinear(mod))
+                elif mod.input_quant.quant_type == QuantType.NONE:
+                    # no input grid: the only integer serving mode is
+                    # weight-only (w4a16)
+                    set_module(model, path, WeightOnlyInt4InferenceLinear(mod))
                 else:
                     set_module(model, path, Int8InferenceLinear(mod))
             elif isinstance(mod, QuantLinear) \

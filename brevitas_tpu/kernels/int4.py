@@ -191,3 +191,111 @@ def int4_matmul_reference(x_i8: Array, w_packed: Array, x_scale: Array,
     if act == "relu":
         y = jnp.maximum(y, 0.0)
     return y
+
+
+def _int4_w16_kernel(x_ref, wp_ref, ws_ref, b_ref, o_ref, acc_ref, *,
+                     n_k_blocks, act):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # unpack in int32 VREGs (int8 vector shifts don't legalize in Mosaic),
+    # then widen to bf16 for the bf16 MXU — the weight-only a16 path
+    p32 = wp_ref[...].astype(jnp.int32)
+    lo = (jnp.left_shift(p32, 28) >> 28).astype(jnp.bfloat16)
+    hi = (p32 >> 4).astype(jnp.bfloat16)
+    bk = p32.shape[0]
+    x_lo = x_ref[:, pl.dslice(j * bk, bk)]
+    x_hi = x_ref[:, pl.dslice((n_k_blocks + j) * bk, bk)]
+    acc_ref[...] += jax.lax.dot_general(
+        x_lo, lo, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_ref[...] += jax.lax.dot_general(
+        x_hi, hi, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == n_k_blocks - 1)
+    def _():
+        # per-out-column scale commutes with the K-accumulation: y = (x @
+        # w_int) * s_col
+        y = acc_ref[...] * ws_ref[...] + b_ref[...]
+        if act == "relu":
+            y = jnp.maximum(y, 0.0)
+        o_ref[...] = y
+
+
+def int4_weight_only_matmul(x: Array, w_packed: Array, w_scale: Array,
+                            bias: Array = None, act: str = None) -> Array:
+    """w4a16 GEMM: bf16 activations × packed-int4 weights, unpacked at the
+    VMEM boundary (weights move through HBM at 4 bits). x (M, K) float,
+    w_packed (K/2, N) from :func:`pack_int4_rows`; returns (M, N) f32."""
+    m, k = x.shape
+    kp2, n = w_packed.shape
+    assert k == 2 * kp2, (k, kp2)
+    mp = max(8, m)
+    if mp % 8:
+        mp += 8 - mp % 8
+    xp = jnp.pad(x.astype(jnp.bfloat16), ((0, mp - m), (0, 0)))
+    bk = min(_BK4, kp2)
+    assert kp2 % bk == 0, "packed K/2 must divide the K block"
+    bn = min(_BN4, n)
+    assert n % bn == 0, "N must divide the N block"
+    n_k_blocks = kp2 // bk
+    ws = jnp.broadcast_to(jnp.asarray(w_scale, jnp.float32).reshape(-1), (n,))
+    b = (jnp.zeros((n,), jnp.float32) if bias is None
+         else jnp.asarray(bias, jnp.float32))
+    y = pl.pallas_call(
+        functools.partial(_int4_w16_kernel, n_k_blocks=n_k_blocks, act=act),
+        grid=(n // bn, n_k_blocks),
+        in_specs=[
+            pl.BlockSpec((mp, k), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((mp, bn), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((mp, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * n * k,
+            bytes_accessed=mp * k * 2 + kp2 * n + mp * n * 4,
+            transcendentals=0),
+    )(xp, w_packed, ws.reshape(1, n), b.reshape(1, n))
+    return y[:m]
+
+
+def int4_weight_only_matmul_reference(x: Array, w_packed: Array,
+                                      w_scale: Array, bias: Array = None,
+                                      act: str = None) -> Array:
+    """jnp reference for int4_weight_only_matmul (unpacks in HBM)."""
+    lo = (jnp.left_shift(w_packed, 4) >> 4).astype(jnp.int8)
+    hi = (w_packed >> 4).astype(jnp.int8)
+    w = jnp.concatenate([lo, hi], axis=0)
+    acc = jax.lax.dot_general(
+        x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    y = acc * jnp.asarray(w_scale, jnp.float32).reshape(1, -1)
+    if bias is not None:
+        y = y + jnp.asarray(bias, jnp.float32)
+    if act == "relu":
+        y = jnp.maximum(y, 0.0)
+    return y
+
+
+def int4_block_shapes_ok(k: int, n: int) -> bool:
+    """Whether a (K, N) weight satisfies the packed-kernel grid constraints:
+    512-aligned (measured dispatch boundary) AND the packed K/2 rows tile the
+    K block exactly (kp2 <= _BK4 or a multiple — e.g. K=2560 gives kp2=1280,
+    which is 512-aligned but does NOT tile the 1024-row block)."""
+    kp2 = k // 2
+    return (k % 512 == 0 and n % 512 == 0
+            and (kp2 <= _BK4 or kp2 % _BK4 == 0))

@@ -134,3 +134,51 @@ def test_llm_ptq_pipeline_small(rng):
               "--gptq", "--dynamic-act", "--convert-int"])
     assert r["quant_bpc"] < r["float_bpc"] + 0.1
     assert r["served_bpc"] < r["float_bpc"] + 0.1
+
+
+def test_weight_only_int4_serving(rng):
+    """w4a16: no input quantizer, packed int4 weights, bf16 activations."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    class Net(nnx.Module):
+        def __init__(self, rngs):
+            self.l1 = qnn.QuantLinear(
+                64, 32, use_bias=True,
+                weight_quant=presets.Int8WeightPerChannelFloat.let(bit_width=4),
+                input_quant=None, rngs=rngs)
+
+        def __call__(self, x):
+            return self.l1(x)
+
+    m = Net(nnx.Rngs(0))
+    x = jnp.asarray(rng.standard_normal((8, 64)).astype(np.float32))
+    eval_mode(m)
+    y_fake = m(x)
+    G.convert_integer_inference(m)
+    assert type(m.l1).__name__ == "WeightOnlyInt4InferenceLinear"
+    assert m.l1.w_packed.shape == (32, 32)  # K/2 packed rows
+    y_srv = m(x)
+    # bf16 activations: ~3 decimal digits
+    np.testing.assert_allclose(np.asarray(y_srv), np.asarray(y_fake),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_weight_only_int4_pallas_kernel_matches_reference(rng):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from brevitas_tpu.kernels.int4 import (
+        int4_weight_only_matmul,
+        int4_weight_only_matmul_reference,
+        pack_int4_rows,
+    )
+
+    w_int = jnp.asarray(rng.integers(-8, 8, (1024, 512)).astype(np.int8))
+    wp = pack_int4_rows(w_int)
+    x = jnp.asarray(rng.standard_normal((16, 1024)).astype(np.float32))
+    ws = jnp.asarray(rng.uniform(0.01, 0.1, 512).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(512).astype(np.float32))
+    ref = int4_weight_only_matmul_reference(x, wp, ws, b, act="relu")
+    with pltpu.force_tpu_interpret_mode():
+        y = int4_weight_only_matmul(x, wp, ws, b, act="relu")
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-2, atol=1e-2)
