@@ -85,15 +85,9 @@ class Int8InferenceLinear(nnx.Module):
     quantized GEMM."""
 
     def __init__(self, qlinear: QuantLinear, act: Optional[str] = None):
-        if qlinear.weight_quant.cfg.accumulator_bit_width is not None:
-            # A2Q weights depend on the input grid; freeze with the input
-            # quantizer's static format
-            icfg = qlinear.input_quant.cfg
-            qw = qlinear.quant_weight(
-                input_bit_width=jnp.asarray(float(icfg.bit_width)),
-                input_signed=icfg.signed)
-        else:
-            qw = qlinear.quant_weight()
+        # (A2Q weights freeze against the input quantizer's static format —
+        # quant_weight falls back to it when called without input info)
+        qw = qlinear.quant_weight()
         assert float(jnp.max(qw.bit_width)) <= 8.0, "int8 path needs bw<=8"
         self.w_int = jax.lax.stop_gradient(qw.int())  # (in, out) int8
         self.w_scale = jnp.asarray(qw.scale).reshape(-1)
@@ -451,6 +445,12 @@ class Fp8InferenceLinear(nnx.Module):
         xq = qlinear.input_quant
         if xq.quant_type != QuantType.FLOAT:
             raise ValueError("Fp8InferenceLinear needs a FLOAT input quant")
+        from brevitas_tpu.quant.config import ScalingImplType
+        if ScalingImplType(xq.cfg.scaling_impl) == ScalingImplType.DYNAMIC:
+            # probing a dynamic quantizer with zeros would freeze a garbage
+            # scale (scaling_min_val) and saturate every served activation
+            raise ValueError("dynamic FLOAT input quant has no static scale "
+                             "to freeze; layer stays on the fake-quant path")
         xcfg = xq.cfg
         self.x_dtype = _fp8_dtype(xcfg)
         xq.eval_mode()

@@ -73,8 +73,12 @@ def _scale_region(srcs: Sequence, sinks: Sequence, s: jnp.ndarray) -> None:
     inv_s = 1.0 / jnp.maximum(s, EPSILON)
     for m in srcs:
         if _is_norm_source(m):
-            if m.scale is not None:
-                m.scale[...] = m.scale[...] * inv_s
+            if m.scale is None:
+                # bias alone cannot absorb 1/s: norm(x) + b/s != (norm(x)+b)/s
+                raise ValueError(
+                    "norm source without an elementwise scale cannot absorb "
+                    "equalization factors (use_scale=False)")
+            m.scale[...] = m.scale[...] * inv_s
             bias = getattr(m, "bias", None)
             if bias is not None:
                 bias[...] = bias[...] * inv_s
@@ -164,17 +168,26 @@ def apply_act_equalization(
     from brevitas_tpu.quant_tensor import QuantTensor
     from brevitas_tpu.utils import eval_mode
 
-    snap = _snapshot_modes(model)
-    eval_mode(model)
-    _set_disable_quant(model, True)
+    # resolve and validate every path BEFORE touching model state, so a typo
+    # or a float sink cannot leave quantization disabled model-wide
     probes = []
-    for _, sink_paths in regions:
+    for src_paths, sink_paths in regions:
+        for p in src_paths:
+            src = get_module(model, p)
+            if _is_norm_source(src) and src.scale is None:
+                raise ValueError(
+                    f"{p}: norm source has no elementwise scale to absorb "
+                    "1/s into (use_scale=False) — equalization would change "
+                    "the function")
         probe = get_module(model, sink_paths[0])
         if not isinstance(probe, QuantWBIOL):
             raise TypeError(
                 f"{sink_paths[0]}: activation equalization captures sink "
                 "inputs through quant layers — run quantize() first")
         probes.append(probe)
+    snap = _snapshot_modes(model)
+    eval_mode(model)
+    _set_disable_quant(model, True)
     act_max = [None] * len(regions)
     try:
         for probe in probes:

@@ -29,12 +29,12 @@ from brevitas_tpu.graph.base import find_modules
 from brevitas_tpu.graph.learned_round import (
     _capture_inputs,
     eligible_for_learned_round,
+    freeze_weight_scale,
 )
 from brevitas_tpu.nn.conv import _QuantConvNd
 from brevitas_tpu.nn.linear import QuantLinear
 from brevitas_tpu.nn.quant_layer import QuantWBIOL
 from brevitas_tpu.ops import max_int, min_int
-from brevitas_tpu.quant.quantizers import ParameterScaling, stats_view
 
 Array = jnp.ndarray
 
@@ -140,14 +140,6 @@ def _scale_for_problem(layer: QuantWBIOL, group: int, groups: int):
     return s, nmin, nmax
 
 
-def _freeze_scale(layer: QuantWBIOL) -> None:
-    q = layer.weight_quant
-    w = layer.weight[...]
-    view = stats_view(w, q.stats_per_channel, q.channel_axis)
-    threshold = q.scaling(view)
-    q.scaling = ParameterScaling(q.cfg, threshold, bshape=q.bshape)
-
-
 def apply_gptq(
     model: nnx.Module,
     calib_batches: Sequence,
@@ -178,7 +170,7 @@ def apply_gptq(
             # freeze the scale BEFORE solving: the recursion moves unquantized
             # rows off their original magnitudes, and a stats-driven scale
             # would drift away from the grid the solve quantized against
-            _freeze_scale(layer)
+            freeze_weight_scale(layer)
             mse_near = mse_gptq = 0.0
             groups = getattr(layer, "groups", 1)
             for g, (W, X, write) in enumerate(_layer_matrix_problems(layer, x)):

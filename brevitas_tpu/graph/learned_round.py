@@ -73,6 +73,7 @@ def eligible_for_learned_round(layer) -> bool:
     cfg = layer.weight_quant.cfg
     return (layer.weight_quant.quant_type == QuantType.INT
             and not cfg.decoupled
+            and cfg.accumulator_bit_width is None  # A2Q grid is input-coupled
             and ZeroPointImplType(cfg.zero_point_impl) == ZeroPointImplType.ZERO)
 
 
@@ -151,6 +152,18 @@ def _optimize_layer(layer: QuantWBIOL, x: Array, *, steps: int, lr: float,
     return v, mse_nearest, mse_learned
 
 
+def freeze_weight_scale(layer: QuantWBIOL) -> None:
+    """Replace the weight quantizer's scaling with a learned parameter fixed
+    at the CURRENT threshold. Weight-rewriting PTQ passes (AdaRound, GPTQ)
+    must do this before baking: a stats-driven scale would shift once the
+    weights move off their original magnitudes and break the baked grid."""
+    q = layer.weight_quant
+    w = layer.weight[...]
+    view = stats_view(w, q.stats_per_channel, q.channel_axis)
+    threshold = q.scaling(view)
+    q.scaling = ParameterScaling(q.cfg, threshold, bshape=q.bshape)
+
+
 def _bake(layer: QuantWBIOL, v: Array) -> None:
     """Write the learned rounding into the weights and freeze the quantizer's
     scale so re-quantization reproduces the learned integers exactly."""
@@ -163,12 +176,7 @@ def _bake(layer: QuantWBIOL, v: Array) -> None:
     nmax = max_int(cfg.signed, cfg.narrow_range, bw)
     h = (_rectified_sigmoid(v) >= 0.5).astype(w.dtype)
     w_int = jnp.clip(jnp.floor(w / scale) + h, nmin, nmax)
-    # freeze the threshold FIRST (solved on the original weights) — a
-    # stats-driven scale would shift once the weights move off their
-    # original magnitudes and break the baked grid
-    view = stats_view(w, q.stats_per_channel, q.channel_axis)
-    threshold = q.scaling(view)
-    q.scaling = ParameterScaling(cfg, threshold, bshape=q.bshape)
+    freeze_weight_scale(layer)  # BEFORE the weights move off the grid basis
     layer.weight[...] = w_int * scale
     layer.clear_quant_weight_cache()
 

@@ -102,6 +102,16 @@ class QuantWBIOL(nnx.Module, QuantLayerMixin):
                 and not self.training):
             return cached
         if self.weight_quant.cfg.accumulator_bit_width is not None:
+            if input_bit_width is None:
+                # no-arg callers (export, serving conversion): fall back to
+                # the layer's own input quantizer's static format
+                icfg = self.input_quant.cfg
+                if self.input_quant.quant_type != QuantType.INT:
+                    raise ValueError(
+                        "accumulator-aware weight quant needs a quantized "
+                        "input (give the layer an INT input_quant)")
+                input_bit_width = jnp.asarray(float(icfg.bit_width))
+                input_signed = icfg.signed
             return self.weight_quant(self.weight[...],
                                      input_bit_width=input_bit_width,
                                      input_signed=input_signed)

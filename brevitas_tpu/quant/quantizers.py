@@ -618,8 +618,12 @@ class ParameterQuantizer(nnx.Module, TrainToggleMixin, FloatToIntMixin):
         scale = Qf.rescaling_scale(threshold, bit_width, signed=cfg.signed,
                                    narrow_range=cfg.narrow_range,
                                    po2_int_scale=cfg.po2_int_scale)
-        # accumulator budget: sum_k |w_int_k| * max|x_int| <= 2^(A-1) - 1
-        max_x = max_int(bool(input_signed), False, input_bit_width)
+        # accumulator budget: sum_k |w_int_k| * max|x_int| <= 2^(A-1) - 1.
+        # signed non-narrow inputs reach |-2^(b-1)| = 2^(b-1) — one MORE than
+        # max_int — so the magnitude bound is 2^(b-1), not 2^(b-1)-1
+        ibw = jnp.asarray(input_bit_width, jnp.float32)
+        max_x = jnp.where(jnp.asarray(bool(input_signed)),
+                          2.0 ** (ibw - 1.0), 2.0 ** ibw - 1.0)
         T = (2.0 ** (cfg.accumulator_bit_width - 1.0) - 1.0) / max_x
         g = abs_binary_sign_grad(self.g[...])
         g_eff = jnp.minimum(g, T * scale)

@@ -157,5 +157,12 @@ def test_a2q_requires_quantized_input(rng):
         8, 4,
         weight_quant=presets.Int8AccumulatorAwareWeightPerChannelFloat,
         rngs=nnx.Rngs(0))  # no input_quant
-    with pytest.raises(ValueError, match="input_bit_width"):
+    with pytest.raises(ValueError, match="quantized input"):
         m(jnp.ones((2, 8)))
+    # export-style no-arg quant_weight on an A2Q layer WITH an input quant
+    # resolves the budget from the quantizer's static format
+    ok = _a2q_linear(16)
+    assert ok.quant_weight().is_valid()
+    # ...and A2Q layers are excluded from the INT weight-rewriting passes
+    from brevitas_tpu.graph.gptq import eligible_for_gptq
+    assert not eligible_for_gptq(ok)

@@ -228,3 +228,28 @@ def test_fp8_serving_saturates_out_of_range_inputs(rng):
     G.convert_integer_inference(m)
     y = m(jnp.full((4, 8), 1e6, jnp.float32))  # way past the act range
     assert np.isfinite(np.asarray(y)).all()  # clamped, not NaN/inf
+
+
+def test_fp8_dynamic_input_stays_fake_quant(rng):
+    """A dynamic FLOAT input quantizer has no static scale to freeze — the
+    converter must leave the layer on the (correct) fake-quant path rather
+    than serving garbage."""
+    import brevitas_tpu.graph as G
+
+    class Net(nnx.Module):
+        def __init__(self, rngs):
+            self.l1 = qnn.QuantLinear(
+                8, 4, weight_quant=presets.Fp8e4m3WeightPerTensorFloat,
+                input_quant=presets.Fp8e4m3DynamicActPerTensorFloat,
+                rngs=rngs)
+
+        def __call__(self, x):
+            return self.l1(x)
+
+    m = Net(rngs())
+    x = jnp.asarray(rng.standard_normal((4, 8)).astype(np.float32))
+    eval_mode(m)
+    y0 = m(x)
+    G.convert_integer_inference(m)
+    assert type(m.l1).__name__ == "QuantLinear"  # untouched
+    np.testing.assert_allclose(np.asarray(m(x)), np.asarray(y0), rtol=0)
