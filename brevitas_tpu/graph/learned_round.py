@@ -74,6 +74,7 @@ def eligible_for_learned_round(layer) -> bool:
     return (layer.weight_quant.quant_type == QuantType.INT
             and not cfg.decoupled
             and cfg.accumulator_bit_width is None  # A2Q grid is input-coupled
+            and cfg.scaling_per_group is None      # MX bypasses self.scaling
             and ZeroPointImplType(cfg.zero_point_impl) == ZeroPointImplType.ZERO)
 
 

@@ -157,9 +157,11 @@ class QuantWBIOL(nnx.Module, QuantLayerMixin):
         if quant_input.bit_width is not None and quant_weight.bit_width is not None:
             output_bit_width = self.max_acc_bit_width(
                 quant_input.bit_width, quant_weight.bit_width)
-        if quant_input.scale is not None and quant_weight.scale is not None:
+        if (quant_input.scale is not None and quant_weight.scale is not None
+                and self.weight_quant.cfg.scaling_per_group is None):
             # channels-last: per-channel weight scale (1,..,O) broadcasts
-            # directly against the (N,..,O) output
+            # directly against the (N,..,O) output. Groupwise (MX) weights
+            # have no single per-output scale — output metadata stays None.
             w_scale = quant_weight.scale
             if w_scale.ndim > 1:
                 w_scale = w_scale.reshape(-1)  # (O,) broadcast over trailing dim

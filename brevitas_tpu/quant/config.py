@@ -86,6 +86,11 @@ class QuantConfig:
     # over the channel axis); requires scaling_impl=DYNAMIC
     scaling_per_token: bool = False
 
+    # groupwise (microscaling/MX) weight quantization: one scale per
+    # ``scaling_per_group`` consecutive reduction-dim elements per output
+    # channel (OCP MX = group 32 + power-of-two scale + int8/fp8/fp4 element)
+    scaling_per_group: Optional[int] = None
+
     # float->int rounding & clamping gradient behaviour
     float_to_int: FloatToIntImpl = FloatToIntImpl.ROUND
     clamp_ste: bool = False  # True → straight-through grads at the clip boundary

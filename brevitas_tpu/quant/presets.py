@@ -219,3 +219,20 @@ Fp8e4m3DynamicActPerTensorFloat = _FP8E4M3.let(
     scaling_stats_op=StatsOp.MAX, scaling_min_val=1e-10)
 Fp8e4m3DynamicActPerTokenFloat = Fp8e4m3DynamicActPerTensorFloat.let(
     scaling_per_token=True)
+
+# ---------------------------------------------------------------------------
+# groupwise / OCP microscaling (MX) weight quantizers — beyond the reference
+# snapshot; later Brevitas ships GroupwiseInt/GroupwiseFloat (MX) quantizers.
+# MX = 32-element blocks sharing a power-of-two (E8M0-style) scale.
+# ---------------------------------------------------------------------------
+
+MXInt8Weight = _NARROW_INT.let(bit_width=8, scaling_per_group=32,
+                               **_MAX_STATS, **_PO2)
+MXInt4Weight = MXInt8Weight.let(bit_width=4)
+MXFp8e4m3Weight = _FP8E4M3.let(scaling_per_group=32, **_MAX_STATS, **_PO2)
+MXFp4Weight = MXFp8e4m3Weight.let(
+    bit_width=4, exponent_bit_width=2, mantissa_bit_width=1, exponent_bias=1)
+# non-MX groupwise with float scales (GPTQ-community "g32/g128" style)
+Int8WeightPerGroupFloat = _NARROW_INT.let(bit_width=8, scaling_per_group=32,
+                                          **_MAX_STATS)
+Int4WeightPerGroupFloat = Int8WeightPerGroupFloat.let(bit_width=4)

@@ -586,6 +586,37 @@ class ParameterQuantizer(nnx.Module, TrainToggleMixin, FloatToIntMixin):
                                          init_stats_input=view, fan_in=fan_in)
         self.zero_point = ZeroPoint(cfg, self.bshape, runtime=False)
         self.delay = QuantDelay(cfg.quant_delay_steps)
+        # groupwise / microscaling (OCP MX): one scale per `scaling_per_group`
+        # consecutive reduction-dim elements per output channel. No analogue
+        # in the reference snapshot; later Brevitas ships GroupwiseInt/Float.
+        if cfg.scaling_per_group is not None:
+            if self.quant_type not in (QuantType.INT, QuantType.FLOAT):
+                raise ValueError("groupwise quant supports INT/FLOAT elements")
+            if cfg.decoupled or cfg.accumulator_bit_width is not None:
+                raise ValueError("groupwise quant excludes decoupled/A2Q")
+            if self.per_channel:
+                raise ValueError("scaling_per_group already implies "
+                                 "per-output-channel grouping")
+            if ZeroPointImplType(cfg.zero_point_impl) != ZeroPointImplType.ZERO:
+                raise ValueError("groupwise quant is symmetric-only")
+            if ScalingImplType(cfg.scaling_impl) != ScalingImplType.STATS:
+                raise ValueError("groupwise scales are weight statistics — "
+                                 "use scaling_impl=STATS")
+            if channel_axis % weight_init.ndim != weight_init.ndim - 1:
+                raise ValueError("groupwise quant expects the output channel "
+                                 "axis last (channels-last kernels)")
+            G = int(cfg.scaling_per_group)
+            red = weight_init.size // weight_init.shape[-1]
+            if red % G != 0:
+                raise ValueError(
+                    f"reduction size {red} is not divisible by the group "
+                    f"size {G}")
+            self._group_rc = _RestrictClamp(cfg)
+            self._group_stats = S.stats_fn(
+                S.StatsOp(cfg.scaling_stats_op),
+                sigma=cfg.scaling_stats_sigma,
+                high_percentile_q=cfg.high_percentile_q)
+
         # A2Q accumulator-aware weight norm (arXiv:2308.13504; no analogue in
         # the reference snapshot, later Brevitas ships AccumulatorAwareQuant):
         # a learned per-channel l1-norm target g, clamped at quantization time
@@ -602,6 +633,41 @@ class ParameterQuantizer(nnx.Module, TrainToggleMixin, FloatToIntMixin):
 
     def _clamp_fn(self):
         return tensor_clamp_ste if self.cfg.clamp_ste else tensor_clamp
+
+    def _groupwise_quant(self, w: Array) -> QuantTensor:
+        """Microscaling path: reshape the reduction dims into (K/G, G) blocks
+        per output channel, one stats-driven scale per block. The returned
+        scale is expanded to the full weight shape (exact elementwise grid —
+        QuantTensor algebra and is_valid hold unchanged)."""
+        cfg = self.cfg
+        G = int(cfg.scaling_per_group)
+        out = w.shape[-1]
+        red = w.size // out
+        blocks = w.reshape(red // G, G, out)
+        view = jnp.moveaxis(blocks, 1, -1).reshape(-1, G)  # (K/G*O, G)
+        stats = self._group_stats(view).reshape(red // G, 1, out)
+        threshold = self._group_rc.forward(
+            self._group_rc.preprocess_runtime(stats))
+        bit_width = self.bit_width_impl()
+        if self.quant_type == QuantType.FLOAT:
+            e, mb, bias, mv = _float_quant_params(cfg)
+            scale = threshold / mv
+            y = Qf.float_quant(blocks, scale, exponent_bits=e,
+                               mantissa_bits=mb, exponent_bias=bias,
+                               max_val=mv, float_to_int=self._float_to_int,
+                               clamp_fn=self._clamp_fn())
+            bit_width = jnp.asarray(1.0 + e + mb)
+        else:
+            scale = Qf.rescaling_scale(threshold, bit_width, signed=cfg.signed,
+                                       narrow_range=cfg.narrow_range,
+                                       po2_int_scale=cfg.po2_int_scale)
+            y = Qf.int_quant(blocks, scale, jnp.zeros(()), bit_width,
+                             signed=cfg.signed, narrow_range=cfg.narrow_range,
+                             float_to_int=self._float_to_int,
+                             clamp_fn=self._clamp_fn())
+        full_scale = jnp.broadcast_to(scale, blocks.shape).reshape(w.shape)
+        return QuantTensor(self.delay(w, y.reshape(w.shape)), full_scale,
+                           jnp.zeros(()), bit_width, signed=True)
 
     def _a2q_quant(self, w: Array, input_bit_width, input_signed):
         """Accumulator-aware path: weight-norm w to an l1 budget that bounds
@@ -647,6 +713,8 @@ class ParameterQuantizer(nnx.Module, TrainToggleMixin, FloatToIntMixin):
             return QuantTensor(w)
         if cfg.accumulator_bit_width is not None:
             return self._a2q_quant(w, input_bit_width, input_signed)
+        if cfg.scaling_per_group is not None:
+            return self._groupwise_quant(w)
         view = stats_view(w, self.stats_per_channel, self.channel_axis)
         if self.quant_type == QuantType.BINARY:
             scale = self.scaling(view)
