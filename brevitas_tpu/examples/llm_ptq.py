@@ -101,6 +101,11 @@ def main(argv=None):
     p.add_argument("--dynamic-act", action="store_true",
                    help="per-token dynamic act quant instead of calibrated "
                         "static scales")
+    p.add_argument("--mx", action="store_true",
+                   help="OCP-MX groupwise weights (po2 block scales) instead "
+                        "of per-channel; GPTQ does not apply to MX weights")
+    p.add_argument("--weight-group", type=int, default=32,
+                   help="MX block size along the reduction dim")
     p.add_argument("--convert-int", action="store_true",
                    help="finish with integer-serving conversion")
     p.add_argument("--text-file", type=str, default=None)
@@ -131,7 +136,12 @@ def main(argv=None):
     bpc_float = bits_per_char(model, test_x, test_y)
 
     # quantize: swap every Linear input/weight quantizer in place
-    wq = presets.Int8WeightPerChannelFloat.let(bit_width=float(args.bit_width))
+    if args.mx:
+        wq = presets.MXInt8Weight.let(bit_width=float(args.bit_width),
+                                      scaling_per_group=args.weight_group)
+    else:
+        wq = presets.Int8WeightPerChannelFloat.let(
+            bit_width=float(args.bit_width))
     aq = presets.Int8ActPerTensorFloat.let(
         bit_width=float(args.bit_width),
         collect_stats_steps=max(args.calib_batches, 1))
@@ -169,7 +179,7 @@ def main(argv=None):
     result = {"float_bpc": bpc_float, "quant_bpc": bpc_quant,
               "served_bpc": bpc_served, "bit_width": args.bit_width,
               "smoothquant": not args.no_smoothquant, "gptq": args.gptq,
-              "dynamic_act": args.dynamic_act, "vocab": vocab}
+              "dynamic_act": args.dynamic_act, "mx": args.mx, "vocab": vocab}
     print(json.dumps(result))
     return result
 
