@@ -113,3 +113,50 @@ def test_lm_trainer_learns():
                           heads=2, bit_width=8, log=logs.append)
     assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])
     assert logs and "bits/char" in logs[0]
+
+
+def test_checkpoint_roundtrip_a2q_and_frozen_scale(tmp_path, rng):
+    """New quantizer state survives save/restore: the A2Q l1 target `g` and
+    a GPTQ/AdaRound-frozen ParameterScaling threshold."""
+    import jax.numpy as jnp
+    from flax import nnx
+
+    import brevitas_tpu.nn as qnn
+    from brevitas_tpu import checkpoint as ckpt
+    from brevitas_tpu.graph.learned_round import freeze_weight_scale
+    from brevitas_tpu.quant import presets
+    from brevitas_tpu.utils import eval_mode
+
+    class Net(nnx.Module):
+        def __init__(self, rngs):
+            self.a2q = qnn.QuantLinear(
+                32, 8,
+                weight_quant=presets.Int8AccumulatorAwareWeightPerChannelFloat
+                .let(accumulator_bit_width=16),
+                input_quant=presets.Uint8ActPerTensorFloat.let(
+                    collect_stats_steps=1), rngs=rngs)
+            self.lin = qnn.QuantLinear(
+                8, 4, weight_quant=presets.Int8WeightPerChannelFloat,
+                rngs=rngs)
+
+        def __call__(self, x):
+            return self.lin(self.a2q(x))
+
+    m = Net(nnx.Rngs(0))
+    x = jnp.abs(jnp.asarray(rng.standard_normal((8, 32)).astype(np.float32)))
+    m(x)
+    freeze_weight_scale(m.lin)  # what GPTQ/AdaRound do before baking
+    m.a2q.weight_quant.g[...] = m.a2q.weight_quant.g[...] * 0.7  # "trained"
+    eval_mode(m)
+    y_ref = m(x)
+
+    path = str(tmp_path / "ptq_ckpt")
+    ckpt.save(path, m)
+    m2 = Net(nnx.Rngs(1))
+    freeze_weight_scale(m2.lin)  # same structure, different values
+    ckpt.restore(path, m2)
+    eval_mode(m2)
+    np.testing.assert_allclose(np.asarray(m2(x)), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m2.a2q.weight_quant.g[...]),
+                               np.asarray(m.a2q.weight_quant.g[...]))
