@@ -101,6 +101,9 @@ def main(argv=None):
     p.add_argument("--dynamic-act", action="store_true",
                    help="per-token dynamic act quant instead of calibrated "
                         "static scales")
+    p.add_argument("--rotate", action="store_true",
+                   help="QuaRot-style per-head Hadamard rotation on each "
+                        "block's v_proj→out_proj before calibration")
     p.add_argument("--mx", action="store_true",
                    help="OCP-MX groupwise weights (po2 block scales) instead "
                         "of per-channel; GPTQ does not apply to MX weights")
@@ -155,6 +158,9 @@ def main(argv=None):
 
     forward = lambda m, b: m(b, causal=True)  # noqa: E731
 
+    if args.rotate:
+        pairs, head_dim = G.transformer_rotation_pairs(model)
+        G.apply_rotation(model, pairs, block_size=head_dim)
     if not args.no_smoothquant:
         G.apply_act_equalization(model, smoothquant_regions(model), calib,
                                  alpha=args.smoothquant_alpha,
@@ -179,7 +185,8 @@ def main(argv=None):
     result = {"float_bpc": bpc_float, "quant_bpc": bpc_quant,
               "served_bpc": bpc_served, "bit_width": args.bit_width,
               "smoothquant": not args.no_smoothquant, "gptq": args.gptq,
-              "dynamic_act": args.dynamic_act, "mx": args.mx, "vocab": vocab}
+              "dynamic_act": args.dynamic_act, "mx": args.mx, "rotate": args.rotate,
+              "vocab": vocab}
     print(json.dumps(result))
     return result
 

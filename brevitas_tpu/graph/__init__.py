@@ -51,6 +51,12 @@ from brevitas_tpu.graph.quantize import (
     quantize,
     refresh_weight_quantizers,
 )
+from brevitas_tpu.graph.rotate import (
+    apply_rotation,
+    hadamard_matrix,
+    random_hadamard,
+    transformer_rotation_pairs,
+)
 from brevitas_tpu.graph.standardize import (
     disable_last_return_quant_tensor,
     duplicate_shared_stateless_modules,
@@ -67,6 +73,8 @@ __all__ = [
     "apply_gptq", "eligible_for_gptq",
     "apply_learned_round", "eligible_for_learned_round",
     "discover_bn_pairs",
+    "apply_rotation", "random_hadamard", "hadamard_matrix",
+    "transformer_rotation_pairs",
     "quantize", "merge_batchnorms", "refresh_weight_quantizers",
     "preprocess_flexml", "quantize_flexml",
     "adaptive_avgpool_to_avgpool", "avgpool_to_depthwise_conv",
