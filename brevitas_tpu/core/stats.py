@@ -45,6 +45,7 @@ class StatsOp(str, enum.Enum):
     PERCENTILE_INTERVAL = "percentile_interval"
     MIN = "min"                      # NegativeMinOrZero (zero-point side)
     PERCENTILE_LOW = "percentile_low"  # NegativePercentileOrZero
+    MSE = "mse"                      # grid-search threshold minimizing quant MSE
 
 
 def _maybe_all(op, x, mesh_axis):
@@ -202,6 +203,51 @@ def kl_minimizer_threshold(x: Array, bit_width: float, signed: bool,
     return jnp.asarray(best_threshold)
 
 
+DEFAULT_MSE_CANDIDATES = 80
+
+
+def mse_threshold(x: Array, *, bit_width: float, signed: bool,
+                  narrow_range: bool = False,
+                  num_candidates: int = DEFAULT_MSE_CANDIDATES,
+                  mesh_axis: Optional[str] = None) -> Array:
+    """Per-group clipping threshold minimizing the int fake-quant MSE.
+
+    Grid-searches ``num_candidates`` fractions of the per-group absmax and
+    picks, per group, the threshold whose symmetric int grid has the lowest
+    squared reconstruction error. Later-Brevitas parity (the reference
+    snapshot stops at percentile/KL; MSE joins Brevitas in the MSE stats-op
+    family) designed for XLA: the candidate sweep is a ``lax.map`` over a
+    static grid — every iterate is one fused quant-dequant pass, no
+    data-dependent shapes.
+
+    Under a mesh axis, the absmax combines with pmax and each candidate's
+    error with psum, so data-parallel calibration agrees on one threshold.
+    Unlike KL (host-side histogram search, non-jittable), this runs inside
+    jit and therefore inside collected-stats scaling loops.
+    """
+    from brevitas_tpu.core.quant import int_scaling
+    from brevitas_tpu.ops import max_int, min_int
+
+    absmax = jnp.max(jnp.abs(x), axis=-1)                    # (G,)
+    absmax = _maybe_all(jax.lax.pmax, absmax, mesh_axis)
+    bw = jnp.asarray(float(bit_width))
+    int_thr = int_scaling(bw, signed=signed, narrow_range=narrow_range)
+    n_min = min_int(signed, narrow_range, bw)
+    n_max = max_int(signed, narrow_range, bw)
+    fracs = jnp.linspace(1.0 / num_candidates, 1.0, num_candidates)
+
+    def err_for(frac):
+        thr = absmax * frac                                   # (G,)
+        scale = jnp.maximum(thr / int_thr, 1e-30)
+        q = jnp.clip(jnp.round(x / scale[:, None]), n_min, n_max)
+        e = jnp.sum((q * scale[:, None] - x) ** 2, axis=-1)   # (G,)
+        return _maybe_all(jax.lax.psum, e, mesh_axis)
+
+    errs = jax.lax.map(err_for, fracs)                        # (C, G)
+    best = jnp.argmin(errs, axis=0)                           # (G,)
+    return absmax * fracs[best]
+
+
 def _smooth(p, eps):
     import numpy as np
 
@@ -218,7 +264,11 @@ def _smooth(p, eps):
 
 def stats_fn(op: StatsOp, *, sigma: Optional[float] = None,
              high_percentile_q: Optional[float] = None,
-             low_percentile_q: Optional[float] = None):
+             low_percentile_q: Optional[float] = None,
+             bit_width: Optional[float] = None,
+             signed: Optional[bool] = None,
+             narrow_range: bool = False,
+             mse_num_candidates: Optional[int] = None):
     """Resolve a StatsOp enum to a callable ``f(x2d, mesh_axis=None) -> (groups,)``.
 
     TPU-native replacement for SolveScalingStatsOpFromEnum
@@ -253,4 +303,11 @@ def stats_fn(op: StatsOp, *, sigma: Optional[float] = None,
         assert low_percentile_q is not None and high_percentile_q is not None
         return partial(percentile_interval, low_q=low_percentile_q,
                        high_q=high_percentile_q)
+    if op == StatsOp.MSE:
+        assert bit_width is not None and signed is not None, \
+            "MSE threshold search needs the target int grid (bit_width/signed)"
+        return partial(
+            mse_threshold, bit_width=float(bit_width), signed=signed,
+            narrow_range=narrow_range,
+            num_candidates=mse_num_candidates or DEFAULT_MSE_CANDIDATES)
     raise ValueError(f"unknown stats op {op}")

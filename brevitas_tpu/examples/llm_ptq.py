@@ -98,6 +98,9 @@ def main(argv=None):
     p.add_argument("--no-smoothquant", action="store_true")
     p.add_argument("--smoothquant-alpha", type=float, default=0.5)
     p.add_argument("--gptq", action="store_true")
+    p.add_argument("--gpfq", action="store_true",
+                   help="GPFQ greedy path-following weight quantization "
+                        "(alternative to --gptq)")
     p.add_argument("--dynamic-act", action="store_true",
                    help="per-token dynamic act quant instead of calibrated "
                         "static scales")
@@ -114,6 +117,8 @@ def main(argv=None):
     p.add_argument("--text-file", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
+    if args.gptq and args.gpfq:
+        p.error("--gptq and --gpfq are alternatives; pick one")
 
     text = _CORPUS
     if args.text_file:
@@ -173,6 +178,8 @@ def main(argv=None):
                 forward(model, b)
     if args.gptq:
         G.apply_gptq(model, calib, forward_fn=forward)
+    if args.gpfq:
+        G.apply_gpfq(model, calib, forward_fn=forward)
     eval_mode(model)
     bpc_quant = bits_per_char(model, test_x, test_y)
 
@@ -185,6 +192,7 @@ def main(argv=None):
     result = {"float_bpc": bpc_float, "quant_bpc": bpc_quant,
               "served_bpc": bpc_served, "bit_width": args.bit_width,
               "smoothquant": not args.no_smoothquant, "gptq": args.gptq,
+              "gpfq": args.gpfq,
               "dynamic_act": args.dynamic_act, "mx": args.mx, "rotate": args.rotate,
               "vocab": vocab}
     print(json.dumps(result))

@@ -119,6 +119,9 @@ def main(argv=None):
     p.add_argument("--gptq", action="store_true",
                    help="GPTQ Hessian-based weight quantization between "
                         "calibration and bias correction")
+    p.add_argument("--gpfq", action="store_true",
+                   help="GPFQ greedy path-following weight quantization "
+                        "(alternative to --gptq)")
     p.add_argument("--equalize-iterations", type=int, default=10)
     p.add_argument("--no-equalize", action="store_true")
     p.add_argument("--fixed-point", action="store_true",
@@ -171,12 +174,16 @@ def main(argv=None):
     from brevitas_tpu.utils import eval_mode
 
     eval_mode(model)
-    if args.learned_round or args.gptq:
+    if args.gptq and args.gpfq:
+        p.error("--gptq and --gpfq are alternatives; pick one")
+    if args.learned_round or args.gptq or args.gpfq:
         calib = [jnp.asarray(x_train[(i * bs) % max(len(x_train) - bs, 1):
                                      (i * bs) % max(len(x_train) - bs, 1) + bs])
                  for i in range(args.calib_batches)]
         if args.gptq:
             G.apply_gptq(model, calib)
+        if args.gpfq:
+            G.apply_gpfq(model, calib)
         if args.learned_round:
             G.apply_learned_round(model, calib, steps=args.learned_round_steps)
     with G.bias_correction_mode(model):
@@ -189,7 +196,8 @@ def main(argv=None):
               "preprocessed_acc": pre_acc, "ptq_acc": ptq_acc,
               "bit_width": args.bit_width,
               "fixed_point": args.fixed_point,
-              "learned_round": args.learned_round, "gptq": args.gptq}
+              "learned_round": args.learned_round, "gptq": args.gptq,
+              "gpfq": args.gpfq}
 
     if args.export:
         from brevitas_tpu import export as E

@@ -35,6 +35,7 @@ from brevitas_tpu.graph.equalize import (
     split_batch_norm,
 )
 from brevitas_tpu.graph.flexml import preprocess_flexml, quantize_flexml
+from brevitas_tpu.graph.gpfq import apply_gpfq, eligible_for_gpfq
 from brevitas_tpu.graph.gptq import apply_gptq, eligible_for_gptq
 from brevitas_tpu.graph.learned_round import (
     apply_learned_round,
@@ -71,6 +72,7 @@ __all__ = [
     "equalize", "cross_layer_equalization", "sequential_regions",
     "absorb_bias_by_batch_norm", "split_batch_norm", "apply_act_equalization",
     "apply_gptq", "eligible_for_gptq",
+    "apply_gpfq", "eligible_for_gpfq",
     "apply_learned_round", "eligible_for_learned_round",
     "discover_bn_pairs",
     "apply_rotation", "random_hadamard", "hadamard_matrix",

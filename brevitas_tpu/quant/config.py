@@ -109,6 +109,8 @@ class QuantConfig:
     low_percentile_q: Optional[float] = None
     scaling_stats_sigma: Optional[float] = None
     scaling_affine: bool = False  # AFFINE_STATS learned affine on stats
+    # StatsOp.MSE grid resolution (None → core.stats.DEFAULT_MSE_CANDIDATES)
+    mse_search_candidates: Optional[int] = None
 
     # decoupled (pre-scale/scale split) weight quantization
     decoupled: bool = False

@@ -62,6 +62,13 @@ Int4WeightPerChannelFloat = Int8WeightPerChannelFloat.let(bit_width=4)
 Int8WeightPerTensorFixedPoint = Int8WeightPerTensorFloat.let(**_PO2)
 Int8WeightPerChannelFixedPoint = Int8WeightPerChannelFloat.let(**_PO2)
 
+# MSE-searched clipping thresholds (later-Brevitas MSE stats-op family)
+Int8WeightPerTensorFloatMSE = Int8WeightPerTensorFloat.let(
+    scaling_stats_op=StatsOp.MSE)
+Int8WeightPerChannelFloatMSE = Int8WeightPerChannelFloat.let(
+    scaling_stats_op=StatsOp.MSE)
+Int4WeightPerChannelFloatMSE = Int8WeightPerChannelFloatMSE.let(bit_width=4)
+
 ShiftedUint8WeightPerTensorFloat = _UINT.let(
     bit_width=8, **_MIN_MAX_STATS,
     zero_point_impl=ZeroPointImplType.STATS,
@@ -92,6 +99,11 @@ Int8ActPerTensorFloat = _INT.let(bit_width=8, **_PARAM_FROM_PERCENTILE)
 Uint8ActPerTensorFloat = _UINT.let(bit_width=8, **_PARAM_FROM_PERCENTILE)
 Int8ActPerTensorFixedPoint = Int8ActPerTensorFloat.let(**_PO2)
 Uint8ActPerTensorFixedPoint = Uint8ActPerTensorFloat.let(**_PO2)
+
+Int8ActPerTensorFloatMSE = Int8ActPerTensorFloat.let(
+    scaling_stats_op=StatsOp.MSE)
+Uint8ActPerTensorFloatMSE = Uint8ActPerTensorFloat.let(
+    scaling_stats_op=StatsOp.MSE)
 
 Int8ActPerTensorFloatMinMaxInit = _INT.let(
     bit_width=8, **_PARAM_FROM_MIN_MAX)

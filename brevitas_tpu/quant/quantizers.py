@@ -383,10 +383,17 @@ def build_scaling(cfg: QuantConfig, bshape: Tuple[int, ...],
         cfg = cfg.let(scaling_affine=True)
     op = S.StatsOp(cfg.scaling_stats_op)
     learned_sigma = op == S.StatsOp.MEAN_LEARN_SIGMA_STD
+    if op == S.StatsOp.MSE:
+        # the search needs a static target grid: int quant, const bit-width
+        assert QuantType(cfg.quant_type) == QuantType.INT, \
+            "StatsOp.MSE searches an int grid; use INT quant_type"
     stats_fn = S.stats_fn(
         op, sigma=cfg.scaling_stats_sigma,
         high_percentile_q=cfg.high_percentile_q,
-        low_percentile_q=cfg.low_percentile_q)
+        low_percentile_q=cfg.low_percentile_q,
+        bit_width=cfg.bit_width, signed=cfg.signed,
+        narrow_range=cfg.narrow_range,
+        mse_num_candidates=cfg.mse_search_candidates)
     if cfg.stats_reduce_mesh_axis is not None:
         base_fn, axis = stats_fn, cfg.stats_reduce_mesh_axis
         stats_fn = lambda x, **kw: base_fn(x, mesh_axis=axis, **kw)  # noqa: E731

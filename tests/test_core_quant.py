@@ -207,3 +207,67 @@ def test_distributed_stats_psum():
     out = jax.pmap(f, axis_name="d", devices=devs[:n])(x)
     expect = float(np.max(np.abs(np.asarray(x))))
     np.testing.assert_allclose(np.asarray(out), expect)
+
+
+def test_mse_threshold_clips_outliers_at_low_bits(rng):
+    x = rng.standard_normal((1, 4096)).astype(np.float32)
+    x[0, 0] = 30.0
+    thr = float(S.mse_threshold(jnp.asarray(x), bit_width=4.0, signed=True)[0])
+    assert 0.0 < thr < 15.0  # clips the lone outlier
+
+    def err(t):
+        s = t / 8.0
+        q = np.clip(np.round(x / s), -8, 7) * s
+        return ((q - x) ** 2).sum()
+
+    assert err(thr) < err(30.0)  # beats absmax scaling
+
+
+def test_mse_threshold_keeps_clean_range(rng):
+    # well-behaved data at 8 bits: threshold stays near absmax per channel
+    x = rng.standard_normal((4, 512)).astype(np.float32)
+    thr = np.asarray(S.mse_threshold(jnp.asarray(x), bit_width=8.0, signed=True))
+    absmax = np.abs(x).max(axis=1)
+    assert thr.shape == (4,)
+    assert np.all(thr > 0.5 * absmax) and np.all(thr <= absmax + 1e-6)
+
+
+def test_mse_stats_op_in_weight_quantizer(rng):
+    from flax import nnx
+
+    import brevitas_tpu.nn as qnn
+    from brevitas_tpu.quant import presets
+
+    m = qnn.QuantLinear(
+        32, 16, weight_quant=presets.Int4WeightPerChannelFloatMSE,
+        rngs=nnx.Rngs(0))
+    qt = m.quant_weight()
+    assert qt.is_valid()
+    assert qt.scale.size == 16
+    # per-channel MSE threshold never exceeds the per-channel absmax grid
+    from brevitas_tpu.core.quant import int_scaling
+
+    absmax = jnp.max(jnp.abs(m.weight[...]), axis=0)
+    int_thr = float(int_scaling(jnp.asarray(4.0), signed=True,
+                                narrow_range=True))
+    assert np.all(np.asarray(qt.scale).reshape(-1) <= np.asarray(absmax) / int_thr + 1e-6)
+
+
+def test_mse_stats_distributed_psum(rng):
+    import jax
+
+    devs = jax.devices()
+    n = min(4, len(devs))
+    x = rng.standard_normal((n, 1, 1024)).astype(np.float32)
+    x[0, 0, 0] = 25.0
+
+    def f(shard):
+        return S.mse_threshold(shard, bit_width=4.0, signed=True,
+                               mesh_axis="d")
+
+    out = np.asarray(jax.pmap(f, axis_name="d", devices=devs[:n])(jnp.asarray(x)))
+    # all shards agree on ONE global threshold
+    assert np.allclose(out, out[0])
+    ref = np.asarray(S.mse_threshold(
+        jnp.asarray(x.reshape(1, -1)), bit_width=4.0, signed=True))
+    np.testing.assert_allclose(out[0], ref, rtol=1e-5)
