@@ -19,6 +19,7 @@ from brevitas_tpu.models.resnet import (
 )
 from brevitas_tpu.models.transformer import QuantTransformer, quant_transformer_tiny
 from brevitas_tpu.models.vgg import QuantVGG, quant_vgg11, quant_vgg16
+from brevitas_tpu.models.vit import QuantViT, vit_smoothquant_regions, vit_tiny
 
 __all__ = ["FC", "tfc", "sfc", "lfc", "CNV", "cnv",
            "TensorNorm", "common_act_quant", "common_weight_quant",
@@ -29,4 +30,5 @@ __all__ = ["FC", "tfc", "sfc", "lfc", "CNV", "cnv",
            "QuantResNet", "quant_resnet18", "quant_resnet34", "quant_resnet50",
            "FloatResNet", "float_resnet",
            "MelGANGenerator", "melgan_8b",
-           "QuantTransformer", "quant_transformer_tiny"]
+           "QuantTransformer", "quant_transformer_tiny",
+           "QuantViT", "vit_tiny", "vit_smoothquant_regions"]
