@@ -207,7 +207,7 @@ DEFAULT_MSE_CANDIDATES = 80
 
 
 def mse_threshold(x: Array, *, bit_width: float, signed: bool,
-                  narrow_range: bool = False,
+                  narrow_range: bool = False, po2_int_scale: bool = False,
                   num_candidates: int = DEFAULT_MSE_CANDIDATES,
                   mesh_axis: Optional[str] = None) -> Array:
     """Per-group clipping threshold minimizing the int fake-quant MSE.
@@ -225,13 +225,18 @@ def mse_threshold(x: Array, *, bit_width: float, signed: bool,
     Unlike KL (host-side histogram search, non-jittable), this runs inside
     jit and therefore inside collected-stats scaling loops.
     """
-    from brevitas_tpu.core.quant import int_scaling
+    from brevitas_tpu.core.quant import int_scaling, po2_int_scaling
     from brevitas_tpu.ops import max_int, min_int
 
     absmax = jnp.max(jnp.abs(x), axis=-1)                    # (G,)
     absmax = _maybe_all(jax.lax.pmax, absmax, mesh_axis)
     bw = jnp.asarray(float(bit_width))
-    int_thr = int_scaling(bw, signed=signed, narrow_range=narrow_range)
+    # same threshold->scale divisor as rescaling_scale so the searched grid
+    # is the grid the quantizer will actually use
+    if po2_int_scale:
+        int_thr = po2_int_scaling(bw, signed=signed)
+    else:
+        int_thr = int_scaling(bw, signed=signed, narrow_range=narrow_range)
     n_min = min_int(signed, narrow_range, bw)
     n_max = max_int(signed, narrow_range, bw)
     fracs = jnp.linspace(1.0 / num_candidates, 1.0, num_candidates)
@@ -240,10 +245,11 @@ def mse_threshold(x: Array, *, bit_width: float, signed: bool,
         thr = absmax * frac                                   # (G,)
         scale = jnp.maximum(thr / int_thr, 1e-30)
         q = jnp.clip(jnp.round(x / scale[:, None]), n_min, n_max)
-        e = jnp.sum((q * scale[:, None] - x) ** 2, axis=-1)   # (G,)
-        return _maybe_all(jax.lax.psum, e, mesh_axis)
+        return jnp.sum((q * scale[:, None] - x) ** 2, axis=-1)  # (G,)
 
     errs = jax.lax.map(err_for, fracs)                        # (C, G)
+    # ONE collective over the stacked errors (not one per candidate)
+    errs = _maybe_all(jax.lax.psum, errs, mesh_axis)
     best = jnp.argmin(errs, axis=0)                           # (G,)
     return absmax * fracs[best]
 
@@ -268,6 +274,7 @@ def stats_fn(op: StatsOp, *, sigma: Optional[float] = None,
              bit_width: Optional[float] = None,
              signed: Optional[bool] = None,
              narrow_range: bool = False,
+             po2_int_scale: bool = False,
              mse_num_candidates: Optional[int] = None):
     """Resolve a StatsOp enum to a callable ``f(x2d, mesh_axis=None) -> (groups,)``.
 
@@ -308,6 +315,6 @@ def stats_fn(op: StatsOp, *, sigma: Optional[float] = None,
             "MSE threshold search needs the target int grid (bit_width/signed)"
         return partial(
             mse_threshold, bit_width=float(bit_width), signed=signed,
-            narrow_range=narrow_range,
+            narrow_range=narrow_range, po2_int_scale=po2_int_scale,
             num_candidates=mse_num_candidates or DEFAULT_MSE_CANDIDATES)
     raise ValueError(f"unknown stats op {op}")

@@ -28,16 +28,10 @@ from brevitas_tpu.utils import eval_mode
 
 
 def smoothquant_regions(model: QuantTransformer):
-    """The canonical SmoothQuant migration sites: each block's LN1 feeds the
-    attention in-projections, LN2 feeds the MLP up-projection."""
-    regions = []
-    for i in range(len(model.blocks)):
-        b = f"blocks.{i}"
-        regions.append(([f"{b}.ln1"], [f"{b}.attn.q_proj",
-                                       f"{b}.attn.k_proj",
-                                       f"{b}.attn.v_proj"]))
-        regions.append(([f"{b}.ln2"], [f"{b}.fc1"]))
-    return regions
+    """The canonical SmoothQuant migration sites (shared transformer helper)."""
+    from brevitas_tpu.models.transformer import transformer_smoothquant_regions
+
+    return transformer_smoothquant_regions(model)
 
 
 def bits_per_char(model, xs, ys) -> float:

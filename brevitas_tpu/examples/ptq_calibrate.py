@@ -136,6 +136,8 @@ def main(argv=None):
     p.add_argument("--export-path", default="ptq_model.onnx")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
+    if args.gptq and args.gpfq:
+        p.error("--gptq and --gpfq are alternatives; pick one")
 
     x_train, y_train = load_digits_upscaled("train")
     x_test, y_test = load_digits_upscaled("test")
@@ -174,8 +176,6 @@ def main(argv=None):
     from brevitas_tpu.utils import eval_mode
 
     eval_mode(model)
-    if args.gptq and args.gpfq:
-        p.error("--gptq and --gpfq are alternatives; pick one")
     if args.learned_round or args.gptq or args.gpfq:
         calib = [jnp.asarray(x_train[(i * bs) % max(len(x_train) - bs, 1):
                                      (i * bs) % max(len(x_train) - bs, 1) + bs])

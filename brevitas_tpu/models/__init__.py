@@ -17,7 +17,11 @@ from brevitas_tpu.models.resnet import (
     quant_resnet34,
     quant_resnet50,
 )
-from brevitas_tpu.models.transformer import QuantTransformer, quant_transformer_tiny
+from brevitas_tpu.models.transformer import (
+    QuantTransformer,
+    quant_transformer_tiny,
+    transformer_smoothquant_regions,
+)
 from brevitas_tpu.models.vgg import QuantVGG, quant_vgg11, quant_vgg16
 from brevitas_tpu.models.vit import QuantViT, vit_smoothquant_regions, vit_tiny
 
@@ -31,4 +35,5 @@ __all__ = ["FC", "tfc", "sfc", "lfc", "CNV", "cnv",
            "FloatResNet", "float_resnet",
            "MelGANGenerator", "melgan_8b",
            "QuantTransformer", "quant_transformer_tiny",
+           "transformer_smoothquant_regions",
            "QuantViT", "vit_tiny", "vit_smoothquant_regions"]

@@ -145,6 +145,21 @@ class QuantTransformer(nnx.Module, TrainToggleMixin):
         return jnp.stack(outs, axis=1)
 
 
+def transformer_smoothquant_regions(model) -> list:
+    """The canonical SmoothQuant migration sites for any model carrying
+    ``blocks`` of :class:`QuantTransformerBlock` (QuantTransformer, QuantViT):
+    each block's LN1 feeds the attention in-projections, LN2 feeds the MLP
+    up-projection — the LN elementwise affine absorbs ``1/s`` exactly."""
+    regions = []
+    for i in range(len(model.blocks)):
+        b = f"blocks.{i}"
+        regions.append(([f"{b}.ln1"], [f"{b}.attn.q_proj",
+                                       f"{b}.attn.k_proj",
+                                       f"{b}.attn.v_proj"]))
+        regions.append(([f"{b}.ln2"], [f"{b}.fc1"]))
+    return regions
+
+
 def quant_transformer_tiny(bit_width: int = 8, **kw) -> QuantTransformer:
     kw.setdefault("dim", 128)
     kw.setdefault("depth", 2)

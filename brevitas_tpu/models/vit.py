@@ -84,17 +84,11 @@ class QuantViT(nnx.Module, TrainToggleMixin):
 
 
 def vit_smoothquant_regions(model: QuantViT):
-    """SmoothQuant migration sites, mirroring the LM helper
-    (examples/llm_ptq.py smoothquant_regions): each block's LN1 feeds the
-    attention in-projections, LN2 feeds the MLP up-projection."""
-    regions = []
-    for i in range(len(model.blocks)):
-        b = f"blocks.{i}"
-        regions.append(([f"{b}.ln1"], [f"{b}.attn.q_proj",
-                                       f"{b}.attn.k_proj",
-                                       f"{b}.attn.v_proj"]))
-        regions.append(([f"{b}.ln2"], [f"{b}.fc1"]))
-    return regions
+    """SmoothQuant migration sites — QuantViT carries the same blocks as the
+    LM, so this is the shared transformer helper by another name."""
+    from brevitas_tpu.models.transformer import transformer_smoothquant_regions
+
+    return transformer_smoothquant_regions(model)
 
 
 def vit_tiny(*, image_size: int = 28, patch_size: int = 7,

@@ -385,14 +385,18 @@ def build_scaling(cfg: QuantConfig, bshape: Tuple[int, ...],
     learned_sigma = op == S.StatsOp.MEAN_LEARN_SIGMA_STD
     if op == S.StatsOp.MSE:
         # the search needs a static target grid: int quant, const bit-width
+        # (a learned bit-width would silently leave the search optimizing
+        # the initial grid while quantization happens on the trained one)
         assert QuantType(cfg.quant_type) == QuantType.INT, \
             "StatsOp.MSE searches an int grid; use INT quant_type"
+        assert BitWidthImplType(cfg.bit_width_impl) == BitWidthImplType.CONST, \
+            "StatsOp.MSE needs a CONST bit-width (learned widths move the grid)"
     stats_fn = S.stats_fn(
         op, sigma=cfg.scaling_stats_sigma,
         high_percentile_q=cfg.high_percentile_q,
         low_percentile_q=cfg.low_percentile_q,
         bit_width=cfg.bit_width, signed=cfg.signed,
-        narrow_range=cfg.narrow_range,
+        narrow_range=cfg.narrow_range, po2_int_scale=cfg.po2_int_scale,
         mse_num_candidates=cfg.mse_search_candidates)
     if cfg.stats_reduce_mesh_axis is not None:
         base_fn, axis = stats_fn, cfg.stats_reduce_mesh_axis

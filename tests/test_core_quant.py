@@ -271,3 +271,16 @@ def test_mse_stats_distributed_psum(rng):
     ref = np.asarray(S.mse_threshold(
         jnp.asarray(x.reshape(1, -1)), bit_width=4.0, signed=True))
     np.testing.assert_allclose(out[0], ref, rtol=1e-5)
+
+
+def test_mse_rejects_learned_bit_width():
+    from flax import nnx
+
+    import brevitas_tpu.nn as qnn
+    from brevitas_tpu.quant import presets
+    from brevitas_tpu.quant.config import StatsOp
+
+    bad = presets.Int8WeightPerTensorFloatLearnedBitWidth.let(
+        scaling_stats_op=StatsOp.MSE)
+    with np.testing.assert_raises(AssertionError):
+        qnn.QuantLinear(8, 4, weight_quant=bad, rngs=nnx.Rngs(0))
