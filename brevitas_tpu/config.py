@@ -30,3 +30,7 @@ VERBOSE: bool = env_to_bool("BREVITAS_TPU_VERBOSE", False)
 # VMEM inside the GEMM (kernels/int4.py int4_matmul): halves weight HBM
 # footprint; ~1.05x at decode shapes on v5e (PERF.md).
 INT4_PACKED_SERVING: bool = env_to_bool("BREVITAS_TPU_INT4_PACKED", True)
+
+# pack the decode KV cache two-positions-per-byte when the K/V quantizers
+# are <= 4-bit (2x less cache memory + HBM traffic than int8; exact)
+INT4_KV_CACHE: bool = env_to_bool("BREVITAS_TPU_INT4_KV", True)

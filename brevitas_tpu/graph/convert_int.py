@@ -235,6 +235,12 @@ class Int8InferenceAttention(nnx.Module):
                              "zero-point (softmax output is [0, 1])")
         self.p_scale = jnp.asarray(p_s).reshape(())
         self.p_levels = int(p_hi)
+        # <=4-bit K/V codes fit a nibble: pack the decode cache two positions
+        # per byte (2x less cache HBM than int8, exact — codes are lossless)
+        from brevitas_tpu import config as _cfg
+        self.kv_int4 = (_cfg.INT4_KV_CACHE
+                        and self.k_lo >= -8.0 and self.k_hi <= 7.0
+                        and self.v_lo >= -8.0 and self.v_hi <= 7.0)
 
     def _to_int8(self, x: Array, name: str) -> Array:
         """Straight to the integer domain — no fake-quant round trip."""
@@ -274,13 +280,29 @@ class Int8InferenceAttention(nnx.Module):
     # codes is EXACT — and costs 2x less HBM than bf16, 4x less than f32.
 
     def init_decode_cache(self, batch: int, max_len: int):
-        shape = (batch * self.num_heads, max_len, self.head_dim)
+        bh = batch * self.num_heads
+        if self.kv_int4:
+            # split-halves packed bytes: position r and r + l_half per byte;
+            # l_half 128-aligned so the Pallas decode kernel tiles cleanly
+            # (short caches skip the alignment — the decode dispatch falls
+            # back to the XLA path there, and 8x over-allocating a 16-token
+            # cache would defeat the memory win)
+            l_half = -(-max_len // 2)
+            if max_len >= 256:
+                l_half += (-l_half) % 128
+            shape = (bh, l_half, self.head_dim)
+        else:
+            shape = (bh, max_len, self.head_dim)
         return jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8)
 
     def decode_step(self, x_t: Array, k_cache: Array, v_cache: Array, pos):
-        """One token (B, 1, E) against the int8 cache; writes K/V at ``pos``
-        (traced OK). Returns (y_t, k_cache, v_cache)."""
-        from brevitas_tpu.kernels import int8_decode_attention
+        """One token (B, 1, E) against the int8 (or int4-packed) cache;
+        writes K/V at ``pos`` (traced OK). Returns (y_t, k_cache, v_cache)."""
+        from brevitas_tpu.kernels import (
+            int4kv_decode_attention,
+            int8_decode_attention,
+            update_kv_packed,
+        )
 
         b = x_t.shape[0]
         h, d = self.num_heads, self.head_dim
@@ -292,11 +314,20 @@ class Int8InferenceAttention(nnx.Module):
         q = heads(self._to_int8(self.q_proj(x_t), "q"))
         k_t = heads(self._to_int8(self.k_proj(x_t), "k"))
         v_t = heads(self._to_int8(self.v_proj(x_t), "v"))
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k_t, (0, pos, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v_t, (0, pos, 0))
-        out = int8_decode_attention(
-            q, k_cache, v_cache, pos, self.q_scale, self.k_scale,
-            self.v_scale, self.p_scale, head_dim=d, p_levels=self.p_levels)
+        if self.kv_int4:
+            k_cache = update_kv_packed(k_cache, k_t, pos)
+            v_cache = update_kv_packed(v_cache, v_t, pos)
+            out = int4kv_decode_attention(
+                q, k_cache, v_cache, pos, self.q_scale, self.k_scale,
+                self.v_scale, self.p_scale, head_dim=d,
+                p_levels=self.p_levels)
+        else:
+            k_cache = jax.lax.dynamic_update_slice(k_cache, k_t, (0, pos, 0))
+            v_cache = jax.lax.dynamic_update_slice(v_cache, v_t, (0, pos, 0))
+            out = int8_decode_attention(
+                q, k_cache, v_cache, pos, self.q_scale, self.k_scale,
+                self.v_scale, self.p_scale, head_dim=d,
+                p_levels=self.p_levels)
         out = out.reshape(b, h, 1, d).transpose(0, 2, 1, 3) \
             .reshape(b, 1, self.embed_dim)
         return self.out_proj(out.astype(x_t.dtype)), k_cache, v_cache

@@ -14,11 +14,15 @@
 
 from brevitas_tpu.kernels.fake_quant import fake_quant, fake_quant_reference
 from brevitas_tpu.kernels.int8_attention import (
+    int4kv_decode_attention,
     int8_attention,
     int8_attention_dispatch,
     int8_attention_reference,
     int8_decode_attention,
+    pack_kv_halves,
     quant_attention_serving,
+    unpack_kv_halves,
+    update_kv_packed,
 )
 from brevitas_tpu.kernels.int4 import (
     int4_matmul,
@@ -33,6 +37,8 @@ __all__ = ["fake_quant", "fake_quant_reference",
            "int8_matmul", "int8_matmul_reference",
            "int8_attention", "int8_attention_dispatch", "int8_attention_reference",
            "int8_decode_attention",
+           "int4kv_decode_attention", "pack_kv_halves", "unpack_kv_halves",
+           "update_kv_packed",
            "quant_attention_serving",
            "int4_matmul", "int4_matmul_reference", "pack_int4",
            "pack_int4_rows", "unpack_int4"]

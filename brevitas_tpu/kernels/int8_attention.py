@@ -223,3 +223,164 @@ def int8_decode_attention(q_i8: Array, k_cache: Array, v_cache: Array,
         preferred_element_type=jnp.float32)
     return out * (jnp.asarray(p_scale, jnp.float32)
                   * jnp.asarray(v_scale, jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# int4 KV-cache decode — packed nibbles unpacked at the VMEM boundary
+# ---------------------------------------------------------------------------
+#
+# Decode attention is KV-cache-bandwidth-bound: per step the whole (L, D)
+# cache crosses HBM while the compute is one score row per head. With 4-bit
+# K/V quantizers the cache stores two positions per byte (split halves over
+# POSITIONS, like the int4 GEMM's split-halves over rows, kernels/int4.py:
+# byte row r holds position r in its low nibble and position r + Lh in its
+# high nibble — an interleave would force a Mosaic relayout), so HBM sees
+# half the int8 traffic and a quarter of bf16, and the cache itself is 2x
+# (4x) smaller. The nibbles unpack in int32 VREGs inside the kernel; an
+# XLA-level unpack would round-trip the unpacked cache through HBM and lose
+# the bandwidth win (PERF.md, int4 GEMM section).
+#
+# Numerics are EXACT vs the 4-bit fake-quant model: the codes are the
+# quantizer's own integers, packing is lossless, and the score/probs/PV
+# pipeline is the same requantized grid as int8_decode_attention.
+
+_NEG_HALF = float(jnp.finfo(jnp.float32).min) / 2
+
+
+def pack_kv_halves(codes: Array, l_half: int) -> Array:
+    """Pack int4 codes (BH, L, D), L <= 2*l_half, into (BH, l_half, D) bytes
+    (position r low nibble, position r + l_half high nibble)."""
+    bh, l, d = codes.shape
+    pad = 2 * l_half - l
+    c = jnp.pad(jnp.asarray(codes, jnp.int8), ((0, 0), (0, pad), (0, 0)))
+    lo = c[:, :l_half] & 0x0F
+    hi = (c[:, l_half:] & 0x0F) << 4
+    return (lo | hi).astype(jnp.int8)
+
+
+def unpack_kv_halves(packed: Array) -> Array:
+    """Inverse of :func:`pack_kv_halves` → (BH, 2*l_half, D) int8 codes."""
+    p = jnp.asarray(packed, jnp.int8)
+    lo = (p << 4) >> 4
+    hi = p >> 4
+    return jnp.concatenate([lo, hi], axis=1)
+
+
+def update_kv_packed(packed: Array, codes_t: Array, pos) -> Array:
+    """Write one token's codes (BH, 1, D) at position ``pos`` (traced OK)
+    into a packed cache (BH, l_half, D): read-modify-write of one byte row,
+    touching only the nibble that owns the position."""
+    l_half = packed.shape[1]
+    r = jnp.mod(pos, l_half)
+    is_lo = pos < l_half
+    row = jax.lax.dynamic_slice(packed, (0, r, 0),
+                                (packed.shape[0], 1, packed.shape[2]))
+    c = jnp.asarray(codes_t, jnp.int8) & 0x0F
+    new = jnp.where(is_lo,
+                    (row & ~jnp.int8(0x0F)) | c,
+                    (row & jnp.int8(0x0F)) | (c << 4)).astype(jnp.int8)
+    return jax.lax.dynamic_update_slice(packed, new, (0, r, 0))
+
+
+def _int4kv_decode_kernel(scales_ref, pos_ref, q_ref, kp_ref, vp_ref, o_ref,
+                          *, l_half, p_levels):
+    qk_scale, p_scale, v_scale = (scales_ref[0], scales_ref[1], scales_ref[2])
+    pos = pos_ref[0]
+    q = q_ref[0]                              # (8, Dp) int8 (row 0 is real)
+    kp32 = kp_ref[0].astype(jnp.int32)        # (Lh, Dp) packed bytes
+    # int8 vector shifts don't legalize in Mosaic — unpack in int32 VREGs
+    k_lo = (jnp.left_shift(kp32, 28) >> 28).astype(jnp.int8)
+    k_hi = (kp32 >> 4).astype(jnp.int8)
+    s_lo = jax.lax.dot_general(               # (8, Lh) int32 on the MXU
+        q, k_lo, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(jnp.float32) * qk_scale
+    s_hi = jax.lax.dot_general(
+        q, k_hi, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(jnp.float32) * qk_scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s_lo.shape, 1)
+    s_lo = jnp.where(col <= pos, s_lo, _NEG_HALF)
+    s_hi = jnp.where(col + l_half <= pos, s_hi, _NEG_HALF)
+    s = jnp.concatenate([s_lo, s_hi], axis=1)  # (8, 2*Lh)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    p_q = jnp.clip(jnp.round(p / p_scale), 0.0, float(p_levels))
+    vp32 = vp_ref[0].astype(jnp.int32)
+    v_lo = (jnp.left_shift(vp32, 28) >> 28).astype(jnp.float32)
+    v_hi = (vp32 >> 4).astype(jnp.float32)
+    out = jax.lax.dot_general(                # exact f32 integer matmul
+        p_q[:, :l_half], v_lo, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out += jax.lax.dot_general(
+        p_q[:, l_half:], v_hi, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = out * (p_scale * v_scale)
+
+
+def int4kv_decode_attention(q_i8: Array, k_packed: Array, v_packed: Array,
+                            pos, q_scale, k_scale, v_scale, p_scale,
+                            head_dim: int, p_levels: int = 255,
+                            use_pallas: Optional[bool] = None) -> Array:
+    """One decode step against an int4-packed KV cache.
+
+    q_i8: (BH, 1, D) int8; k_packed/v_packed: (BH, Lh, D) packed bytes from
+    :func:`pack_kv_halves`/:func:`update_kv_packed` (valid through position
+    ``pos`` inclusive, positions split low/high nibble at Lh). Returns
+    (BH, 1, D) f32 on the same requantized grid as the int8 paths.
+    """
+    bh, _, d = q_i8.shape
+    l_half = k_packed.shape[1]
+    qk_scale = (jnp.asarray(q_scale, jnp.float32)
+                * jnp.asarray(k_scale, jnp.float32)) / math.sqrt(head_dim)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and l_half % 128 == 0
+    if not use_pallas:
+        k_cache = unpack_kv_halves(k_packed)
+        v_cache = unpack_kv_halves(v_packed)
+        s = jax.lax.dot_general(
+            q_i8, k_cache, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32).astype(jnp.float32) * qk_scale
+        valid = jnp.arange(k_cache.shape[1])[None, None, :] <= pos
+        s = jnp.where(valid, s, _NEG_HALF)
+        p = jax.nn.softmax(s, axis=-1)
+        p_q = jnp.clip(jnp.round(p / jnp.asarray(p_scale, jnp.float32)),
+                       0, p_levels)
+        out = jax.lax.dot_general(
+            p_q, v_cache.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        return out * (jnp.asarray(p_scale, jnp.float32)
+                      * jnp.asarray(v_scale, jnp.float32))
+
+    dp = (-d) % 128
+    qp = jnp.pad(q_i8[:, 0, :], ((0, 0), (0, dp)))          # (BH, Dp)
+    qp = jnp.pad(qp[:, None, :], ((0, 0), (0, 7), (0, 0)))  # (BH, 8, Dp)
+    kp = jnp.pad(k_packed, ((0, 0), (0, 0), (0, dp)))
+    vp = jnp.pad(v_packed, ((0, 0), (0, 0), (0, dp)))
+    scales = jnp.stack([qk_scale.reshape(()),
+                        jnp.asarray(p_scale, jnp.float32).reshape(()),
+                        jnp.asarray(v_scale, jnp.float32).reshape(())])
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+    dpad = d + dp
+    out = pl.pallas_call(
+        functools.partial(_int4kv_decode_kernel, l_half=l_half,
+                          p_levels=int(p_levels)),
+        grid=(bh,),
+        in_specs=[
+            pl.BlockSpec((3,), lambda b: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda b: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, dpad), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l_half, dpad), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l_half, dpad), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, dpad), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, 8, dpad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * 8 * 2 * l_half * dpad,
+            bytes_accessed=bh * (8 * dpad + 2 * l_half * dpad + 8 * dpad * 4),
+            transcendentals=bh * 8 * 2 * l_half),
+    )(scales, pos_arr, qp, kp, vp)
+    return out[:, :1, :d]
