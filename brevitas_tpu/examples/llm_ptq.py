@@ -108,6 +108,11 @@ def main(argv=None):
                    help="MX block size along the reduction dim")
     p.add_argument("--convert-int", action="store_true",
                    help="finish with integer-serving conversion")
+    p.add_argument("--kv-bits", type=int, default=0,
+                   help="quantize attention activations: q/probs at 8 bits, "
+                        "K/V at this width (<=4 auto-packs the decode KV "
+                        "cache two positions per byte under --convert-int); "
+                        "0 leaves attention unquantized")
     p.add_argument("--text-file", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
@@ -155,6 +160,21 @@ def main(argv=None):
                                               channel_axis=1)
         mod.input_quant = ActQuantizer(aq.let())
 
+    if args.kv_bits:
+        # quantize the attention core too: q and softmax probs at 8 bits,
+        # K/V at --kv-bits (<=4 makes the serving twin pack the decode
+        # cache two positions per byte — see PERF.md int4 KV section)
+        from brevitas_tpu.nn.attention import QuantMultiheadAttention
+
+        kvq = aq.let(bit_width=float(args.kv_bits))
+        uq = presets.Uint8ActPerTensorFloat.let(
+            collect_stats_steps=max(args.calib_batches, 1))
+        for _, mha in G.find_modules(model, QuantMultiheadAttention):
+            mha.q_quant = ActQuantizer(aq.let())
+            mha.k_quant = ActQuantizer(kvq.let())
+            mha.v_quant = ActQuantizer(kvq.let())
+            mha.probs_quant = ActQuantizer(uq.let())
+
     forward = lambda m, b: m(b, causal=True)  # noqa: E731
 
     if args.rotate:
@@ -188,7 +208,7 @@ def main(argv=None):
               "smoothquant": not args.no_smoothquant, "gptq": args.gptq,
               "gpfq": args.gpfq,
               "dynamic_act": args.dynamic_act, "mx": args.mx, "rotate": args.rotate,
-              "vocab": vocab}
+              "kv_bits": args.kv_bits, "vocab": vocab}
     print(json.dumps(result))
     return result
 

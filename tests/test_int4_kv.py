@@ -138,3 +138,15 @@ def test_serving_twin_long_cache_is_kernel_aligned(rng):
     twin = Int8InferenceAttention(mha)
     kc, _ = twin.init_decode_cache(1, 1000)
     assert kc.shape[1] % 128 == 0  # Pallas-eligible split half
+
+
+def test_llm_ptq_kv_bits_pipeline(rng):
+    """The LLM PTQ CLI with quantized attention + 4-bit KV: bpc stays near
+    float and the converted attention packs its decode cache."""
+    from brevitas_tpu.examples.llm_ptq import main
+
+    r = main(["--train-steps", "40", "--depth", "1", "--dim", "32",
+              "--heads", "2", "--seq-len", "32", "--batch", "16",
+              "--kv-bits", "4", "--convert-int"])
+    assert r["quant_bpc"] < r["float_bpc"] + 0.1
+    assert r["served_bpc"] < r["float_bpc"] + 0.1
