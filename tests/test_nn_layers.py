@@ -379,3 +379,44 @@ def test_uint8_max_init_act_preset():
     qt = act(x)
     assert float(qt.scale) > 0
     assert float(jnp.min(qt.value)) >= 0.0
+
+
+def test_trunc_quant_accumulator_drops_lsbs():
+    """TruncQuantAccumulator (reference nn/quant_accumulator.py:16): ints
+    shift right by (in_bw - out_bw) on the SAME scale grid."""
+    from brevitas_tpu.nn import TruncQuantAccumulator
+    from brevitas_tpu.quant.presets import TruncTo8bit
+
+    acc = TruncQuantAccumulator(TruncTo8bit)
+    scale = 0.5
+    ints = jnp.arange(-512.0, 512.0, 7.0)  # 11-bit signed accumulator values
+    qt = QuantTensor(ints * scale, jnp.asarray(scale), jnp.asarray(0.0),
+                     jnp.asarray(11.0), signed=True)
+    out = acc(qt)
+    assert float(out.bit_width) == 8.0
+    # value = floor(int / 2^(11-8)) * scale — still on the input grid
+    # (TruncTo8bit uses FLOOR, reference quant/scaled_int.py:196)
+    expect = jnp.floor(ints / 8.0) * scale
+    np.testing.assert_allclose(np.asarray(out.value), np.asarray(expect),
+                               atol=1e-6)
+    assert float(out.scale) == scale
+
+
+def test_clamp_quant_accumulator_msb_clamp():
+    """ClampQuantAccumulator (reference nn/quant_accumulator.py:43): clamps
+    to the smaller bit-width's range keeping scale (MsbClampBitWidth)."""
+    from brevitas_tpu.nn import ClampQuantAccumulator
+    from brevitas_tpu.quant import QuantConfig
+
+    cfg = QuantConfig(bit_width=8.0, signed=True)
+    acc = ClampQuantAccumulator(cfg)
+    scale = 0.25
+    ints = jnp.asarray([-300.0, -128.0, -5.0, 0.0, 100.0, 127.0, 400.0])
+    qt = QuantTensor(ints * scale, jnp.asarray(scale), jnp.asarray(0.0),
+                     jnp.asarray(16.0), signed=True)
+    out = acc(qt)
+    assert float(out.bit_width) == 8.0
+    expect = jnp.clip(ints, -128, 127) * scale
+    np.testing.assert_allclose(np.asarray(out.value), np.asarray(expect),
+                               atol=1e-6)
+    assert float(out.scale) == scale
