@@ -74,6 +74,72 @@ def build_int8_model(rngs: nnx.Rngs):
     return model
 
 
+def decode_demo(args):
+    """Token-generation serving: greedy decode on the quant transformer's
+    integer twins with an int8 — or, with ``--kv-bits 4``, int4-packed — KV
+    cache. The whole generation runs as ONE jitted ``lax.scan`` over
+    positions (dispatch-per-token would dominate the measurement)."""
+    from brevitas_tpu.models import QuantTransformer
+    from brevitas_tpu.quant.quantizers import ActQuantizer
+
+    max_len = args.decode_tokens + 8
+    aq = presets.Int8ActPerTensorFloat.let(collect_stats_steps=2)
+    uq = presets.Uint8ActPerTensorFloat.let(collect_stats_steps=2)
+    model = QuantTransformer(
+        vocab_size=256, dim=args.decode_dim, depth=2, num_heads=4,
+        max_len=max_len, act_quant=aq, uact_quant=uq, rngs=nnx.Rngs(0))
+    if args.kv_bits:
+        kvq = aq.let(bit_width=float(args.kv_bits))
+        for blk in model.blocks:
+            blk.attn.k_quant = ActQuantizer(kvq.let())
+            blk.attn.v_quant = ActQuantizer(kvq.let())
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 256, (args.decode_batch, 16)), jnp.int32)
+    with G.calibration_mode(model):
+        model(ids)
+        model(jnp.roll(ids, 1, axis=1))
+    eval_mode(model)
+    if args.integer:
+        G.convert_integer_inference(model)
+
+    graphdef, state = nnx.split(model)
+    caches0 = model.init_decode_caches(args.decode_batch, max_len)
+    tok0 = ids[:, :1]
+
+    @jax.jit
+    def generate(state, tok0, caches):
+        def body(carry, pos):
+            tok, caches = carry
+            m = nnx.merge(graphdef, state)
+            logits, caches = m.decode_step(tok, caches, pos)
+            nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+            return (nxt, caches), nxt[:, 0]
+        (_, _), toks = jax.lax.scan(
+            body, (tok0, caches), jnp.arange(args.decode_tokens))
+        return toks
+
+    jax.device_get(generate(state, tok0, caches0))  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_get(generate(state, tok0, caches0))
+        best = min(best, time.perf_counter() - t0)
+    n_tok = args.decode_batch * args.decode_tokens
+    out = {
+        "mode": "decode",
+        "tokens": n_tok,
+        "tokens_per_sec": n_tok / best,
+        "ms_per_token_step": best / args.decode_tokens * 1e3,
+        "kv_bits": args.kv_bits,
+        "kv_cache_bytes": sum(int(k.size + v.size) for k, v in
+                              model.init_decode_caches(args.decode_batch,
+                                                       max_len)),
+        "integer_path": args.integer,
+    }
+    print(json.dumps(out))
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("brevitas_tpu int8 serving demo")
     p.add_argument("--requests", type=int, default=512)
@@ -82,7 +148,18 @@ def main(argv=None):
                    help="0 = all local devices")
     p.add_argument("--float", dest="integer", action="store_false",
                    help="serve the fake-quant path instead of int8 twins")
+    p.add_argument("--decode", action="store_true",
+                   help="token-generation serving on the quant transformer "
+                        "instead of image classification")
+    p.add_argument("--decode-tokens", type=int, default=128)
+    p.add_argument("--decode-batch", type=int, default=32)
+    p.add_argument("--decode-dim", type=int, default=128)
+    p.add_argument("--kv-bits", type=int, default=0,
+                   help="decode mode: quantize K/V at this width (<=4 packs "
+                        "the cache two positions per byte)")
     args = p.parse_args(argv)
+    if args.decode:
+        return decode_demo(args)
 
     n_dev = args.data_axis_size or len(jax.devices())
     mesh = make_mesh([("data", n_dev)])

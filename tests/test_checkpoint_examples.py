@@ -160,3 +160,17 @@ def test_checkpoint_roundtrip_a2q_and_frozen_scale(tmp_path, rng):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(m2.a2q.weight_quant.g[...]),
                                np.asarray(m.a2q.weight_quant.g[...]))
+
+
+def test_serve_demo_decode_mode():
+    """Token-generation serving: int twins + packed int4 KV cache decode."""
+    from brevitas_tpu.examples.serve import main
+
+    r8 = main(["--decode", "--decode-tokens", "12", "--decode-batch", "2",
+               "--decode-dim", "32"])
+    r4 = main(["--decode", "--decode-tokens", "12", "--decode-batch", "2",
+               "--decode-dim", "32", "--kv-bits", "4"])
+    assert r8["tokens"] == r4["tokens"] == 24
+    assert r8["tokens_per_sec"] > 0 and r4["tokens_per_sec"] > 0
+    # nibble packing halves the cache allocation
+    assert r4["kv_cache_bytes"] * 2 == r8["kv_cache_bytes"]
