@@ -57,4 +57,8 @@ def quantize_flexml(model: nnx.Module, *, rngs: Optional[nnx.Rngs] = None,
         weight_quant=FLEXML_WEIGHT_QUANT,
         act_quant=FLEXML_ACT_QUANT.let(collect_stats_steps=collect_stats_steps),
         bias_quant=FLEXML_BIAS_QUANT,
-        rngs=rngs)
+        rngs=rngs,
+        # standalone BatchNorms (anything merge_batchnorms could not fold)
+        # become QuantScaleBias, as in the reference wbiol handler
+        # (flexml.py:338)
+        bn_to_scale_bias=True)

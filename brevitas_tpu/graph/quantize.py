@@ -30,11 +30,21 @@ def quantize(
     act_quant: Optional[QuantConfig] = Int8ActPerTensorFloat,
     bias_quant: Optional[QuantConfig] = Int32Bias,
     rngs: Optional[nnx.Rngs] = None,
+    bn_to_scale_bias: bool = False,
 ) -> nnx.Module:
     """Replace nnx.Linear / nnx.Conv with Quant equivalents in place,
     preserving trained weights; each quant layer gets an input act
     quantizer (the flexml structure: activations quantize between layers,
-    and the bias quantizer receives input_scale * weight_scale)."""
+    and the bias quantizer receives input_scale * weight_scale).
+
+    ``bn_to_scale_bias=True`` additionally converts standalone
+    ``nnx.BatchNorm`` modules (anything :func:`merge_batchnorms` could not
+    fold, e.g. DenseNet's pre-activation BNs) into equivalent
+    :class:`~brevitas_tpu.nn.QuantScaleBias` layers — the reference flexml
+    wbiol handler's ``BatchNorm2d → BatchNorm2dToQuantScaleBias`` mapping
+    (``src/brevitas/graph/target/flexml.py:338``, quantizer map
+    ``flexml.py:41``). BNs already neutralized by :func:`merge_batchnorms`
+    (tagged ``folded_away``) are skipped."""
     rngs = rngs or nnx.Rngs(0)
 
     from brevitas_tpu.graph.base import replace_modules_by_class
@@ -80,6 +90,17 @@ def quantize(
 
     replace_modules_by_class(model, nnx.Linear, linear_factory)
     replace_modules_by_class(model, nnx.Conv, conv_factory)
+    if bn_to_scale_bias:
+        from brevitas_tpu.nn import batch_norm_to_quant_scale_bias
+
+        def bn_factory(path, bn):
+            if getattr(bn, "folded_away", False):
+                return None
+            return batch_norm_to_quant_scale_bias(
+                bn, weight_quant=weight_quant, bias_quant=bias_quant,
+                input_quant=act_quant, return_quant_tensor=False)
+
+        replace_modules_by_class(model, nnx.BatchNorm, bn_factory)
     return model
 
 
@@ -163,4 +184,7 @@ def merge_batchnorms(model: nnx.Module, pairs=None) -> nnx.Module:
         if bn.bias is not None:
             bn.bias[...] = jnp.zeros_like(bn.bias[...])
         bn.use_running_average = True
+        # mark as an identity so quantize(bn_to_scale_bias=True) skips it
+        # (the reference's MergeBatchNorm removes the node outright)
+        bn.folded_away = True
     return model

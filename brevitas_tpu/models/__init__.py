@@ -17,6 +17,18 @@ from brevitas_tpu.models.resnet import (
     quant_resnet34,
     quant_resnet50,
 )
+from brevitas_tpu.models.torchvision_zoo import (
+    adaptive_avg_pool2d,
+    float_alexnet,
+    float_deeplabv3,
+    float_densenet,
+    float_fcn,
+    float_googlenet,
+    float_mnasnet,
+    float_mobilenet_v2,
+    float_regnetx,
+    float_squeezenet,
+)
 from brevitas_tpu.models.transformer import (
     QuantTransformer,
     quant_transformer_tiny,
@@ -33,6 +45,10 @@ __all__ = ["FC", "tfc", "sfc", "lfc", "CNV", "cnv",
            "QuartzNet", "quartznet_15x5", "quartznet_15x5_4b",
            "QuantResNet", "quant_resnet18", "quant_resnet34", "quant_resnet50",
            "FloatResNet", "float_resnet",
+           "float_alexnet", "float_squeezenet", "float_mobilenet_v2",
+           "float_mnasnet", "float_googlenet", "float_densenet",
+           "float_regnetx", "float_fcn", "float_deeplabv3",
+           "adaptive_avg_pool2d",
            "MelGANGenerator", "melgan_8b",
            "QuantTransformer", "quant_transformer_tiny",
            "transformer_smoothquant_regions",

@@ -258,6 +258,11 @@ def merge_bn(layer, bn_scale: Array, bn_bias: Array, bn_mean: Array,
         # the attribute was constructed as None (static); mark the new Param
         # as pytree data explicitly
         layer.bias = nnx.data(nnx.Param(add))
+        # float nnx.Conv/nnx.Linear gate the bias add on `self.use_bias`,
+        # not on `bias is not None` — without this the folded BN shift is
+        # silently dropped
+        if hasattr(layer, "use_bias"):
+            layer.use_bias = True
 
 
 class TruncQuantAccumulator(nnx.Module, QuantLayerMixin):
