@@ -90,10 +90,22 @@ def _conv_transpose(x, w, b, strides, pads, dilations):
     return out
 
 
-def _pool(x, kernel, strides, op):
+def _pool(x, kernel, strides, op, auto_pad=None):
     n, c, h, w = x.shape
     kh, kw = kernel
     sh, sw = strides
+    if auto_pad in ("SAME_UPPER", "SAME_LOWER"):
+        # SAME_UPPER places the extra pad at the end (lax 'SAME' convention);
+        # max pooling pads with -inf so padding never wins
+        def pad_amounts(size, k, s):
+            total = max((-(-size // s) - 1) * s + k - size, 0)
+            lo = total // 2 if auto_pad == "SAME_UPPER" else -(-total // 2)
+            return lo, total - lo
+        ph = pad_amounts(h, kh, sh)
+        pw = pad_amounts(w, kw, sw)
+        fill = -np.inf if op == "max" else 0.0
+        x = np.pad(x, [(0, 0), (0, 0), ph, pw], constant_values=fill)
+        n, c, h, w = x.shape
     oh = (h - kh) // sh + 1
     ow = (w - kw) // sw + 1
     out = np.empty((n, c, oh, ow), x.dtype)
@@ -102,6 +114,24 @@ def _pool(x, kernel, strides, op):
             win = x[:, :, i * sh:i * sh + kh, j * sw:j * sw + kw]
             out[:, :, i, j] = win.max((2, 3)) if op == "max" else win.mean((2, 3))
     return out
+
+
+def _resize_linear_axis(x, axis, scale):
+    """1-D linear interpolation along ``axis`` with ONNX half_pixel
+    coordinates (matches jax.image.resize bilinear for upsampling)."""
+    n_in = x.shape[axis]
+    n_out = int(round(n_in * scale))
+    src = (np.arange(n_out) + 0.5) / scale - 0.5
+    lo = np.floor(src).astype(np.int64)
+    frac = (src - lo).astype(np.float32)
+    lo0 = np.clip(lo, 0, n_in - 1)
+    lo1 = np.clip(lo + 1, 0, n_in - 1)
+    a = np.take(x, lo0, axis=axis)
+    b = np.take(x, lo1, axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = n_out
+    frac = frac.reshape(shape)
+    return a * (1.0 - frac) + b * frac
 
 
 def _quant_lstm_layer(x, w_ih, w_hh, bias, a):
@@ -214,9 +244,28 @@ def run_onnx(model_bytes: bytes, inputs: Dict[str, np.ndarray],
                 a.get("pads", [0] * (2 * spatial)),
                 a.get("dilations", [1] * spatial))
         elif n.op_type == "MaxPool":
-            out = _pool(i[0], a["kernel_shape"], a["strides"], "max")
+            out = _pool(i[0], a["kernel_shape"], a["strides"], "max",
+                        auto_pad=a.get("auto_pad"))
         elif n.op_type == "AveragePool":
-            out = _pool(i[0], a["kernel_shape"], a["strides"], "avg")
+            out = _pool(i[0], a["kernel_shape"], a["strides"], "avg",
+                        auto_pad=a.get("auto_pad"))
+        elif n.op_type == "GlobalAveragePool":
+            out = i[0].mean(axis=tuple(range(2, i[0].ndim)), keepdims=True)
+        elif n.op_type == "Transpose":
+            out = np.transpose(i[0], a["perm"])
+        elif n.op_type == "Resize":
+            x_r, scales = i[0], np.asarray(i[1], np.float64).reshape(-1)
+            assert a.get("mode", "nearest") == "linear", a
+            out = x_r
+            for ax, s in enumerate(scales):
+                if s != 1.0:
+                    out = _resize_linear_axis(out, ax, float(s))
+        elif n.op_type == "Shape":
+            out = np.asarray(i[0].shape, np.int64)
+        elif n.op_type == "Expand":
+            target = tuple(int(v) for v in i[1].tolist())
+            out = np.broadcast_to(
+                i[0], np.broadcast_shapes(i[0].shape, target)).copy()
         elif n.op_type == "BatchNormalization":
             x, scale, bias, mean, var = i
             shape = [1, -1] + [1] * (x.ndim - 2)
@@ -265,7 +314,7 @@ def run_onnx(model_bytes: bytes, inputs: Dict[str, np.ndarray],
         else:
             raise NotImplementedError(f"op {n.op_type}")
         env[n.outputs[0]] = np.asarray(out, dtype=np.float32) \
-            if n.op_type not in ("QuantizeLinear", "Clip", "Reshape",
+            if n.op_type not in ("QuantizeLinear", "Clip", "Reshape", "Shape",
                                  "QLinearConv", "QLinearMatMul") else out
 
     return [env[name] for name in g.outputs] + \

@@ -35,7 +35,7 @@ from brevitas_tpu.nn import (
     QuantTanh,
 )
 from brevitas_tpu.nn.activation import QuantHardTanh, QuantNonLinearActLayer
-from brevitas_tpu.nn.misc import QuantDropout
+from brevitas_tpu.nn.misc import FoldedBatchNorm, QuantDropout, QuantScaleBias
 from brevitas_tpu.models.common import TensorNorm
 from brevitas_tpu.quant.config import QuantType
 from brevitas_tpu.quant_tensor import QuantTensor
@@ -282,13 +282,45 @@ def _qop_conv(b: GraphBuilder, layer, x: str) -> str:
     return _qop_finish(b, y_q, out_qt, y_s, y_z)
 
 
+def _exported_bias(layer, in_qt: Optional[QuantTensor],
+                   qw: Optional[QuantTensor]) -> np.ndarray:
+    """The bias exactly as the NNX forward law quantizes it
+    (``nn/quant_layer.py forward_quant``: ``bias_quant(b | in_scale*w_scale,
+    acc_bit_width)``). Exporting the RAW float bias instead perturbs every
+    output by up to half an accumulator LSB, which flips downstream act-quant
+    roundings that sit on grid boundaries — the exported graph then disagrees
+    with the fake-quant model by whole activation LSBs."""
+    bias = np.asarray(layer.bias[...], np.float32)
+    output_scale = None
+    output_bit_width = None
+    if (in_qt is not None and in_qt.bit_width is not None
+            and qw is not None and qw.bit_width is not None):
+        output_bit_width = layer.max_acc_bit_width(in_qt.bit_width,
+                                                   qw.bit_width)
+    if (in_qt is not None and in_qt.scale is not None
+            and qw is not None and qw.scale is not None
+            and layer.weight_quant.cfg.scaling_per_group is None):
+        w_scale = qw.scale
+        if w_scale.ndim > 1:
+            w_scale = w_scale.reshape(-1)
+        output_scale = w_scale * in_qt.scale
+    cfg = layer.bias_quant.cfg
+    if cfg.requires_input_scale and output_scale is None:
+        return bias  # law cannot quantize either; forward uses raw bias
+    qb = layer.bias_quant(layer.bias[...], input_scale=output_scale,
+                          input_bit_width=output_bit_width)
+    return np.asarray(qb.value, np.float32)
+
+
 @handles(QuantLinear)
 def _export_linear(b: GraphBuilder, layer: QuantLinear, x: str) -> str:
     if b.style == "qop":
         return _qop_linear(b, layer, x)
+    in_qt = None
     if layer.input_quant.quant_type != QuantType.NONE:
         probe = jnp.zeros((1, layer.in_features), jnp.float32)
-        x = b.qdq(x, layer.input_quant(probe), "act",
+        in_qt = layer.input_quant(probe)
+        x = b.qdq(x, in_qt, "act",
                   narrow=layer.input_quant.cfg.narrow_range,
                   quant_type=layer.input_quant.quant_type)
     qw = layer.quant_weight()
@@ -303,7 +335,7 @@ def _export_linear(b: GraphBuilder, layer: QuantLinear, x: str) -> str:
                        narrow=layer.weight_quant.cfg.narrow_range)
     y = b.add("MatMul", [x, w_name])
     if layer.bias is not None:
-        b_name = b.init_tensor("bias", np.asarray(layer.bias[...], np.float32))
+        b_name = b.init_tensor("bias", _exported_bias(layer, in_qt, qw))
         y = b.add("Add", [y, b_name])
     if layer.output_quant.quant_type != QuantType.NONE:
         probe = jnp.zeros((1, layer.out_features), jnp.float32)
@@ -317,9 +349,11 @@ def _export_linear(b: GraphBuilder, layer: QuantLinear, x: str) -> str:
 def _export_conv(b: GraphBuilder, layer, x: str) -> str:
     if b.style == "qop":
         return _qop_conv(b, layer, x)
+    in_qt = None
     if layer.input_quant.quant_type != QuantType.NONE:
         probe = jnp.zeros((1,) + (8,) * layer.spatial_dims + (layer.in_channels,))
-        x = b.qdq(x, layer.input_quant(probe), "act",
+        in_qt = layer.input_quant(probe)
+        x = b.qdq(x, in_qt, "act",
                   narrow=layer.input_quant.cfg.narrow_range,
                   quant_type=layer.input_quant.quant_type)
     # NHWC → ONNX is NCHW; exporter wraps the graph with transposes at the
@@ -338,7 +372,7 @@ def _export_conv(b: GraphBuilder, layer, x: str) -> str:
         w_name = _qdq_axis0(b, w_name, qt, layer.weight_quant.cfg.narrow_range)
     pads = _onnx_pads(layer)
     y = b.add("Conv", [x, w_name] + (
-        [b.init_tensor("bias", np.asarray(layer.bias[...], np.float32))]
+        [b.init_tensor("bias", _exported_bias(layer, in_qt, qw))]
         if layer.bias is not None else []),
         kernel_shape=list(layer.kernel_size), strides=list(layer.stride),
         dilations=list(layer.dilation), group=layer.groups, pads=pads)
@@ -391,9 +425,11 @@ def _export_convtranspose(b: GraphBuilder, layer, x: str) -> str:
     REMOVE output pixels — the same semantics as this layer's stored
     torch-style padding (reference QuantConvTranspose1d/2d,
     nn/quant_convtranspose.py:25,114)."""
+    in_qt = None
     if layer.input_quant.quant_type != QuantType.NONE:
         probe = jnp.zeros((1,) + (8,) * layer.spatial_dims + (layer.in_channels,))
-        x = b.qdq(x, layer.input_quant(probe), "act",
+        in_qt = layer.input_quant(probe)
+        x = b.qdq(x, in_qt, "act",
                   narrow=layer.input_quant.cfg.narrow_range,
                   quant_type=layer.input_quant.quant_type)
     qw = layer.quant_weight()
@@ -410,7 +446,7 @@ def _export_convtranspose(b: GraphBuilder, layer, x: str) -> str:
         w_name = _qdq_axis0(b, w_name, qt, layer.weight_quant.cfg.narrow_range,
                             axis=1)
     y = b.add("ConvTranspose", [x, w_name] + (
-        [b.init_tensor("bias", np.asarray(layer.bias[...], np.float32))]
+        [b.init_tensor("bias", _exported_bias(layer, in_qt, qw))]
         if layer.bias is not None else []),
         kernel_shape=list(layer.kernel_size), strides=list(layer.stride),
         dilations=list(layer.dilation), group=layer.groups,
@@ -585,6 +621,52 @@ def _export_dropout(b: GraphBuilder, layer, x: str) -> str:
     return x  # eval-mode export
 
 
+@handles(nnx.Dropout)
+def _export_float_dropout(b: GraphBuilder, layer, x: str) -> str:
+    return x  # eval-mode export
+
+
+@handles(FoldedBatchNorm)
+def _export_folded_bn(b: GraphBuilder, layer, x: str) -> str:
+    return x  # already folded into the preceding layer's weights
+
+
+@handles(QuantScaleBias)
+def _export_scale_bias(b: GraphBuilder, layer: QuantScaleBias, x: str) -> str:
+    """Per-channel Mul/Add with QDQ'd weight — the exported form of a
+    standalone BatchNorm converted by quantize(bn_to_scale_bias=True)
+    (reference BatchNorm2dToQuantScaleBias + its QCDQ proxy handlers).
+    Emitted for a spatial NCHW tensor: the (C,) weight/bias broadcast as
+    (C, 1, 1)."""
+    in_qt = None
+    if layer.input_quant.quant_type != QuantType.NONE:
+        probe = jnp.zeros((1, 8, 8, layer.num_features), jnp.float32)
+        in_qt = layer.input_quant(probe)
+        x = b.qdq(x, in_qt, "act",
+                  narrow=layer.input_quant.cfg.narrow_range,
+                  quant_type=layer.input_quant.quant_type)
+    qw = layer.quant_weight()
+    w = np.asarray(qw.value, np.float32).reshape(-1, 1, 1)
+    w_name = b.init_tensor("sb_weight", w)
+    if qw.scale is not None and layer.weight_quant.quant_type == QuantType.INT:
+        scale = np.asarray(qw.scale).reshape(-1)
+        qt = QuantTensor(jnp.asarray(w),
+                         jnp.asarray(scale if scale.size > 1
+                                     else scale.reshape(())),
+                         qw.zero_point, qw.bit_width, qw.signed)
+        w_name = _qdq_axis0(b, w_name, qt, layer.weight_quant.cfg.narrow_range)
+    y = b.add("Mul", [x, w_name])
+    if layer.bias is not None:
+        y = b.add("Add", [y, b.init_tensor(
+            "sb_bias", _exported_bias(layer, in_qt, qw).reshape(-1, 1, 1))])
+    if layer.output_quant.quant_type != QuantType.NONE:
+        probe = jnp.zeros((1, 8, 8, layer.num_features), jnp.float32)
+        y = b.qdq(y, layer.output_quant(probe), "act",
+                  narrow=layer.output_quant.cfg.narrow_range,
+                  quant_type=layer.output_quant.quant_type)
+    return y
+
+
 def export_model(model, example_input, path: Optional[str] = None,
                  style: str = "qcdq", input_name: str = "input",
                  output_name: str = "output") -> bytes:
@@ -629,6 +711,50 @@ def export_model(model, example_input, path: Optional[str] = None,
                 x = b.add("Add", [x, saved[item[1]]])
             elif item[0] == "relu":
                 x = b.add("Relu", [x])
+            elif item[0] == "relu6":
+                x = b.add("Clip", [
+                    x, b.init_tensor("relu6_lo", np.asarray(0.0, np.float32)),
+                    b.init_tensor("relu6_hi", np.asarray(6.0, np.float32))])
+            # concat topology: join the current tensor ("@") with saved ones
+            # on the channel axis (NCHW → axis 1) — DenseNet/Inception/Fire
+            elif item[0] == "concat":
+                x = b.add("Concat",
+                          [x if n == "@" else saved[n] for n in item[1]],
+                          axis=1)
+            # functional pools (models that pool between layers without a
+            # pool module): ("maxpool", k, s, "SAME"/"VALID"),
+            # ("avgpool", k, s), ("gap",) = GlobalAveragePool
+            elif item[0] == "maxpool":
+                _, k, s, pad = item
+                attrs: Dict[str, object] = dict(
+                    kernel_shape=[k, k], strides=[s, s])
+                if pad == "SAME":
+                    attrs["auto_pad"] = "SAME_UPPER"
+                x = b.add("MaxPool", [x], **attrs)
+            elif item[0] == "avgpool":
+                _, k, s = item
+                x = b.add("AveragePool", [x], kernel_shape=[k, k],
+                          strides=[s, s])
+            elif item[0] == "gap":
+                x = b.add("GlobalAveragePool", [x])
+            # flatten in NHWC element order (models that reshape a spatial
+            # NHWC tensor straight into a Linear, e.g. AlexNet's 6x6 head)
+            elif item[0] == "flatten_hwc":
+                x = b.add("Transpose", [x], perm=[0, 2, 3, 1])
+                x = b.add("Flatten", [x], axis=1)
+            # bilinear upsample by a static factor (segmentation heads)
+            elif item[0] == "resize_scale":
+                _, sh, sw = item
+                scales = b.init_tensor(
+                    "resize_scales",
+                    np.asarray([1.0, 1.0, sh, sw], np.float32))
+                x = b.add("Resize", [x, "", scales], mode="linear",
+                          coordinate_transformation_mode="half_pixel")
+            # broadcast (B,C,1,1) to a saved tensor's spatial dims (ASPP
+            # image pooling)
+            elif item[0] == "expand_like":
+                shp = b.add("Shape", [saved[item[1]]])
+                x = b.add("Expand", [x, shp])
             else:
                 raise ValueError(f"unknown glue spec {item}")
             continue

@@ -159,11 +159,13 @@ def refresh_weight_quantizers(model: nnx.Module) -> nnx.Module:
 
 
 def merge_batchnorms(model: nnx.Module, pairs=None) -> nnx.Module:
-    """Fold nnx.BatchNorm modules into preceding quant layers and neutralize
-    them (reference MergeBatchNorm, graph/fixed_point.py:89). ``pairs`` is a
-    list of (layer_path, bn_path); None runs :func:`discover_bn_pairs`."""
-    from brevitas_tpu.graph.base import get_module
+    """Fold nnx.BatchNorm modules into preceding quant layers and replace
+    them with identities (reference MergeBatchNorm, graph/fixed_point.py:89,
+    which deletes the BN node from the FX graph). ``pairs`` is a list of
+    (layer_path, bn_path); None runs :func:`discover_bn_pairs`."""
+    from brevitas_tpu.graph.base import get_module, set_module
     from brevitas_tpu.nn import merge_bn
+    from brevitas_tpu.nn.misc import FoldedBatchNorm
 
     if pairs is None:
         pairs = discover_bn_pairs(model)
@@ -175,16 +177,8 @@ def merge_batchnorms(model: nnx.Module, pairs=None) -> nnx.Module:
                  bn_scale=bn.scale[...] if bn.scale is not None else jnp.ones(bn.num_features),
                  bn_bias=bn.bias[...] if bn.bias is not None else jnp.zeros(bn.num_features),
                  bn_mean=bn.mean[...], bn_var=bn.var[...], eps=bn.epsilon)
-        # neutralize the BN in place (var = 1 - eps so sqrt(var + eps) == 1
-        # exactly; plain var=1 would leave a 1/sqrt(1+eps) residual scale)
-        bn.mean[...] = jnp.zeros_like(bn.mean[...])
-        bn.var[...] = jnp.full_like(bn.var[...], 1.0 - bn.epsilon)
-        if bn.scale is not None:
-            bn.scale[...] = jnp.ones_like(bn.scale[...])
-        if bn.bias is not None:
-            bn.bias[...] = jnp.zeros_like(bn.bias[...])
-        bn.use_running_average = True
-        # mark as an identity so quantize(bn_to_scale_bias=True) skips it
-        # (the reference's MergeBatchNorm removes the node outright)
-        bn.folded_away = True
+        # the call site survives in NNX, so the module becomes a train-proof
+        # identity (a neutralized BatchNorm would re-collect batch stats the
+        # next time calibration/training mode runs)
+        set_module(model, bn_path, FoldedBatchNorm(bn.num_features))
     return model

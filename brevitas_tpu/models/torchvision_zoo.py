@@ -120,6 +120,23 @@ class _ConvBNAct(nnx.Module):
             return jnp.minimum(jax.nn.relu(x), 6.0)
         return x
 
+    def export_layers(self):
+        items = [self.conv] + _bn_items(self.bn)
+        if self.act == "relu":
+            items.append(("relu",))
+        elif self.act == "relu6":
+            items.append(("relu6",))
+        return items
+
+
+def _bn_items(bn):
+    """ONNX items for a (possibly folded / converted) BatchNorm slot: folded
+    BNs are identities and emit nothing; an unfolded nnx.BatchNorm or a
+    converted QuantScaleBias emits itself (both have export handlers)."""
+    if getattr(bn, "folded_away", False):
+        return []
+    return [bn]
+
 
 # ---------------------------------------------------------------- AlexNet ---
 
@@ -154,6 +171,17 @@ class FloatAlexNet(nnx.Module):
         x = jax.nn.relu(self.fc2(self.drop2(x, deterministic=deterministic)))
         return self.fc3(x)
 
+    def export_layers(self):
+        """ONNX walk (export assumes an input size whose feature map is
+        already 6x6 at the classifier, e.g. 224 — the adaptive pool is then
+        the identity and the flatten happens in NHWC element order)."""
+        return [self.conv1, ("relu",), ("maxpool", 3, 2, "VALID"),
+                self.conv2, ("relu",), ("maxpool", 3, 2, "VALID"),
+                self.conv3, ("relu",), self.conv4, ("relu",),
+                self.conv5, ("relu",), ("maxpool", 3, 2, "VALID"),
+                ("flatten_hwc",),
+                self.fc1, ("relu",), self.fc2, ("relu",), self.fc3]
+
 
 def float_alexnet(**kw) -> FloatAlexNet:
     return FloatAlexNet(**kw)
@@ -176,6 +204,12 @@ class _Fire(nnx.Module):
         return jnp.concatenate(
             [jax.nn.relu(self.expand1(s)), jax.nn.relu(self.expand3(s))],
             axis=-1)
+
+    def export_layers(self, tag):
+        s, e1 = f"fire{tag}s", f"fire{tag}e1"
+        return [self.squeeze, ("relu",), ("save", s),
+                self.expand1, ("relu",), ("save", e1), ("load", s),
+                self.expand3, ("relu",), ("concat", [e1, "@"])]
 
 
 class FloatSqueezeNet(nnx.Module):
@@ -209,6 +243,14 @@ class FloatSqueezeNet(nnx.Module):
         x = jax.nn.relu(self.classifier(x))
         return jnp.mean(x, axis=(1, 2))
 
+    def export_layers(self):
+        items = [self.stem, ("relu",), ("maxpool", 3, 2, "VALID")]
+        for i, fire in enumerate(self.fires):
+            items += fire.export_layers(i)
+            if i in self.pool_after:
+                items.append(("maxpool", 3, 2, "VALID"))
+        return items + [self.classifier, ("relu",), ("gap",), ("flatten",)]
+
 
 def float_squeezenet(**kw) -> FloatSqueezeNet:
     return FloatSqueezeNet(**kw)
@@ -236,6 +278,16 @@ class _InvertedResidual(nnx.Module):
         y = x if self.expand is None else self.expand(x)
         y = self.project(self.depthwise(y))
         return x + y if self.use_residual else y
+
+    def export_layers(self, tag):
+        items = [("save", f"ir{tag}")] if self.use_residual else []
+        if self.expand is not None:
+            items += self.expand.export_layers()
+        items += self.depthwise.export_layers()
+        items += self.project.export_layers()
+        if self.use_residual:
+            items.append(("add_saved", f"ir{tag}"))
+        return items
 
 
 class FloatMobileNetV2(nnx.Module):
@@ -268,6 +320,13 @@ class FloatMobileNetV2(nnx.Module):
             x = blk(x)
         x = jnp.mean(self.head(x), axis=(1, 2))
         return self.classifier(self.drop(x, deterministic=deterministic))
+
+    def export_layers(self):
+        items = self.stem.export_layers()
+        for i, blk in enumerate(self.blocks):
+            items += blk.export_layers(i)
+        return items + self.head.export_layers() + [
+            ("gap",), ("flatten",), self.classifier]
 
 
 def float_mobilenet_v2(**kw) -> FloatMobileNetV2:
@@ -312,6 +371,14 @@ class FloatMNASNet(nnx.Module):
         x = jnp.mean(self.head(x), axis=(1, 2))
         return self.classifier(self.drop(x, deterministic=deterministic))
 
+    def export_layers(self):
+        items = (self.stem.export_layers() + self.sep_dw.export_layers()
+                 + self.sep_pw.export_layers())
+        for i, blk in enumerate(self.blocks):
+            items += blk.export_layers(i)
+        return items + self.head.export_layers() + [
+            ("gap",), ("flatten",), self.classifier]
+
 
 def float_mnasnet(**kw) -> FloatMNASNet:
     return FloatMNASNet(**kw)
@@ -340,6 +407,20 @@ class _Inception(nnx.Module):
             self.branch3b(self.branch3a(x)),
             self.branch4(_max_pool(x, 3, 1, padding="SAME")),
         ], axis=-1)
+
+    def export_layers(self, tag):
+        t = f"inc{tag}"
+        items = [("save", f"{t}i")]
+        items += self.branch1.export_layers() + [
+            ("save", f"{t}b1"), ("load", f"{t}i")]
+        items += (self.branch2a.export_layers()
+                  + self.branch2b.export_layers()
+                  + [("save", f"{t}b2"), ("load", f"{t}i")])
+        items += (self.branch3a.export_layers()
+                  + self.branch3b.export_layers()
+                  + [("save", f"{t}b3"), ("load", f"{t}i")])
+        items += [("maxpool", 3, 1, "SAME")] + self.branch4.export_layers()
+        return items + [("concat", [f"{t}b1", f"{t}b2", f"{t}b3", "@"])]
 
 
 class FloatGoogLeNet(nnx.Module):
@@ -379,6 +460,16 @@ class FloatGoogLeNet(nnx.Module):
         x = jnp.mean(x, axis=(1, 2))
         return self.classifier(self.drop(x, deterministic=deterministic))
 
+    def export_layers(self):
+        items = self.stem1.export_layers() + [("maxpool", 3, 2, "SAME")]
+        items += self.stem2.export_layers() + self.stem3.export_layers()
+        items.append(("maxpool", 3, 2, "SAME"))
+        for i, inc in enumerate(self.inceptions):
+            items += inc.export_layers(i)
+            if i in self.POOL_AFTER:
+                items.append(("maxpool", 3, 2, "SAME"))
+        return items + [("gap",), ("flatten",), self.classifier]
+
 
 def float_googlenet(**kw) -> FloatGoogLeNet:
     return FloatGoogLeNet(**kw)
@@ -403,6 +494,11 @@ class _DenseLayer(nnx.Module):
         y = self.conv1(jax.nn.relu(self.bn1(x)))
         return self.conv2(jax.nn.relu(self.bn2(y)))
 
+    def export_layers(self, tag):
+        return ([("save", f"dl{tag}")] + _bn_items(self.bn1) + [("relu",),
+                self.conv1] + _bn_items(self.bn2) + [("relu",), self.conv2,
+                ("concat", [f"dl{tag}", "@"])])
+
 
 class _Transition(nnx.Module):
     def __init__(self, in_ch, out_ch, *, rngs):
@@ -412,6 +508,9 @@ class _Transition(nnx.Module):
     def __call__(self, x):
         x = self.conv(jax.nn.relu(self.bn(x)))
         return nnx.avg_pool(x, (2, 2), strides=(2, 2))
+
+    def export_layers(self):
+        return _bn_items(self.bn) + [("relu",), self.conv, ("avgpool", 2, 2)]
 
 
 class FloatDenseNet(nnx.Module):
@@ -453,6 +552,17 @@ class FloatDenseNet(nnx.Module):
         x = jax.nn.relu(self.final_bn(x))
         return self.classifier(jnp.mean(x, axis=(1, 2)))
 
+    def export_layers(self):
+        items = [self.stem_conv] + _bn_items(self.stem_bn) + [
+            ("relu",), ("maxpool", 3, 2, "SAME")]
+        for bi, block in enumerate(self.blocks):
+            for li, layer in enumerate(block):
+                items += layer.export_layers(f"{bi}_{li}")
+            if bi < len(self.transitions):
+                items += self.transitions[bi].export_layers()
+        return items + _bn_items(self.final_bn) + [
+            ("relu",), ("gap",), ("flatten",), self.classifier]
+
 
 def float_densenet(**kw) -> FloatDenseNet:
     return FloatDenseNet(**kw)
@@ -478,6 +588,18 @@ class _XBlock(nnx.Module):
     def __call__(self, x):
         identity = x if self.proj is None else self.proj(x)
         return jax.nn.relu(self.conv3(self.conv2(self.conv1(x))) + identity)
+
+    def export_layers(self, tag):
+        t = f"xb{tag}"
+        items = [("save", f"{t}i")]
+        items += (self.conv1.export_layers() + self.conv2.export_layers()
+                  + self.conv3.export_layers())
+        if self.proj is not None:
+            items += ([("save", f"{t}y"), ("load", f"{t}i")]
+                      + self.proj.export_layers() + [("add_saved", f"{t}y")])
+        else:
+            items.append(("add_saved", f"{t}i"))
+        return items + [("relu",)]
 
 
 class FloatRegNetX(nnx.Module):
@@ -508,6 +630,12 @@ class FloatRegNetX(nnx.Module):
             x = blk(x)
         return self.classifier(jnp.mean(x, axis=(1, 2)))
 
+    def export_layers(self):
+        items = self.stem.export_layers()
+        for i, blk in enumerate(self.blocks):
+            items += blk.export_layers(i)
+        return items + [("gap",), ("flatten",), self.classifier]
+
 
 def float_regnetx(**kw) -> FloatRegNetX:
     return FloatRegNetX(**kw)
@@ -528,6 +656,9 @@ class _FCNHead(nnx.Module):
     def __call__(self, x, *, deterministic: bool = True):
         return self.classifier(
             self.drop(self.conv(x), deterministic=deterministic))
+
+    def export_layers(self):
+        return self.conv.export_layers() + [self.classifier]
 
 
 class _ASPP(nnx.Module):
@@ -551,6 +682,22 @@ class _ASPP(nnx.Module):
             pooled, pooled.shape[:1] + x.shape[1:3] + pooled.shape[3:]))
         y = self.project(jnp.concatenate(feats, axis=-1))
         return self.drop(y, deterministic=deterministic)
+
+    def export_layers(self):
+        items = [("save", "aspp_in")]
+        items += self.branch0.export_layers() + [
+            ("save", "aspp_b0"), ("load", "aspp_in")]
+        names = ["aspp_b0"]
+        for k, br in enumerate(self.branches):
+            items += br.export_layers() + [
+                ("save", f"aspp_b{k + 1}"), ("load", "aspp_in")]
+            names.append(f"aspp_b{k + 1}")
+        # image pooling: global pool → 1x1 conv → broadcast back to the
+        # branch spatial dims
+        items += [("gap",)] + self.image_pool.export_layers() + [
+            ("expand_like", "aspp_b0")]
+        items.append(("concat", names + ["@"]))
+        return items + self.project.export_layers()
 
 
 class FloatSegmentation(nnx.Module):
@@ -600,6 +747,31 @@ class FloatSegmentation(nnx.Module):
         x = self.head(x, deterministic=deterministic)
         return jax.image.resize(
             x, x.shape[:1] + in_hw + x.shape[3:], method="bilinear")
+
+    def export_layers(self):
+        items = [self.stem.conv] + _bn_items(self.stem.bn) + [
+            ("relu",), ("maxpool", 3, 2, "SAME")]
+        for i, blk in enumerate(self.blocks):
+            items += _float_basic_block_items(blk, i)
+        if self.head_kind == "deeplabv3":
+            items += self.aspp.export_layers()
+        items += self.head.export_layers()
+        # backbone output stride is 8 (stem /2, maxpool /2, stage-1 /2)
+        return items + [("resize_scale", 8.0, 8.0)]
+
+
+def _float_basic_block_items(blk, tag):
+    """ONNX items for a ``models.resnet._FloatBasicBlock`` (possibly already
+    quantized in place): conv-BN pairs with residual save/add glue."""
+    t = f"fbb{tag}"
+    items = [("save", f"{t}i"), blk.conv1.conv] + _bn_items(blk.conv1.bn) + [
+        ("relu",), blk.conv2.conv] + _bn_items(blk.conv2.bn)
+    if blk.downsample is not None:
+        items += ([("save", f"{t}y"), ("load", f"{t}i"), blk.downsample.conv]
+                  + _bn_items(blk.downsample.bn) + [("add_saved", f"{t}y")])
+    else:
+        items.append(("add_saved", f"{t}i"))
+    return items + [("relu",)]
 
 
 def float_fcn(**kw) -> FloatSegmentation:

@@ -238,6 +238,26 @@ def batch_norm_to_quant_scale_bias(bn: "nnx.BatchNorm",
                           **scale_bias_kwargs)
 
 
+class FoldedBatchNorm(nnx.Module):
+    """Identity left in place of a BatchNorm folded into its preceding layer.
+
+    The reference's MergeBatchNorm deletes the BN node from the FX graph
+    (``src/brevitas/graph/fixed_point.py:89``); NNX call sites persist, so
+    the module itself must become a train-proof identity. (A neutralized
+    BatchNorm is NOT enough: calibration/training mode flips
+    ``use_running_average`` and the next forward would re-collect batch
+    statistics, silently resurrecting the folded normalization.)
+    """
+
+    folded_away = True
+
+    def __init__(self, num_features: int):
+        self.num_features = num_features
+
+    def __call__(self, x, *args, **kwargs):
+        return x
+
+
 def merge_bn(layer, bn_scale: Array, bn_bias: Array, bn_mean: Array,
              bn_var: Array, eps: float = 1e-5) -> None:
     """Fold BatchNorm statistics into the preceding layer's weight/bias

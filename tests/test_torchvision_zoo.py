@@ -142,14 +142,13 @@ def test_densenet_standalone_bns_become_quant_scale_bias(rng):
     kinds = [type(mod).__name__ for _, mod in named_modules(m)]
     n_sb = sum(k == "QuantScaleBias" for k in kinds)
     n_bn = sum(isinstance(mod, nnx.BatchNorm) for _, mod in named_modules(m))
+    n_folded = sum(k == "FoldedBatchNorm" for k in kinds)
     # 4 dense-layer input BNs + 1 transition BN (bn→conv order) + final BN
-    # = 6 conversions; the folded ones (stem + per-layer bn2) stay as
-    # neutralized BatchNorms
+    # = 6 conversions; the folded ones (stem + per-layer bn2) become
+    # identities (the reference removes the BN node outright)
     assert n_sb == 6, kinds
-    assert n_bn == 5  # 1 stem + 4 bn2, all tagged folded_away
-    assert all(getattr(mod, "folded_away", False)
-               for _, mod in named_modules(m)
-               if isinstance(mod, nnx.BatchNorm))
+    assert n_bn == 0, kinds
+    assert n_folded == 5  # 1 stem + 4 bn2
 
     with G.calibration_mode(m):
         m(x)
@@ -159,6 +158,42 @@ def test_densenet_standalone_bns_become_quant_scale_bias(rng):
     err = float(np.max(np.abs(y_q - y_float)))
     span = float(np.max(np.abs(y_float)))
     assert err < 0.35 * span + 0.1, (err, span)
+
+
+def _quantize_for_export(name, rng):
+    builder, kwargs, hw = ZOO[name]
+    if name == "alexnet":
+        hw = 224  # canonical size: the 6x6 adaptive pool is the identity
+    m = builder(rngs=nnx.Rngs(0), **kwargs)
+    _randomize_bn_stats(m, rng)
+    preprocess_flexml(m, bn_pairs=discover_bn_pairs(m))
+    quantize_flexml(m, collect_stats_steps=2)
+    x = jnp.asarray(rng.standard_normal((2, hw, hw, 3)).astype(np.float32))
+    with G.calibration_mode(m):
+        m(x)
+        m(x)
+    eval_mode(m)
+    return m, x
+
+
+@pytest.mark.parametrize("name", sorted(ZOO))
+def test_flexml_qcdq_export(name, rng):
+    """Quantize each zoo architecture and export QCDQ ONNX; the in-repo
+    interpreter (the onnxruntime-oracle analogue, export/interp.py) must
+    reproduce the fake-quant model's outputs. Mirrors the reference
+    test_torchvision_graph_quantization_flexml_qcdq_onnx."""
+    from brevitas_tpu.export import export_onnx_qcdq
+    from brevitas_tpu.export.interp import run_onnx
+
+    m, x = _quantize_for_export(name, rng)
+    y_model = np.asarray(m(x))
+    blob = export_onnx_qcdq(m, x)
+    (y_onnx,) = run_onnx(blob, {"input": np.asarray(x).transpose(0, 3, 1, 2)})
+    if y_model.ndim == 4:  # segmentation heads return NHWC maps
+        y_model = y_model.transpose(0, 3, 1, 2)
+    assert y_onnx.shape == y_model.shape, (y_onnx.shape, y_model.shape)
+    span = float(np.max(np.abs(y_model))) + 1e-6
+    np.testing.assert_allclose(y_onnx, y_model, atol=2e-2 * span + 1e-4)
 
 
 def test_adaptive_avg_pool_matches_torch_bins(rng):
