@@ -41,6 +41,26 @@ def tensor_parallel_conv_rules(model_axis: str = "model",
     ]
 
 
+def tensor_parallel_int_serving_rules(model_axis: str = "model",
+                                      prefix: str = "") -> List[Tuple[str, P]]:
+    """Column-parallel INTEGER-SERVING twins (``graph/convert_int.py``):
+    the cached int8 kernel shards over output channels, and everything
+    per-output-channel follows — the dequant ``w_scale``, the folded
+    ``bias`` (which absorbs the zero-point colsum correction), and the
+    packed-int4 bytes. The per-tensor input scale / clip bounds replicate.
+    GSPMD inserts the all-gather (or converts to a row-parallel psum) where
+    a following layer consumes the feature-sharded output — integer
+    accumulation stays per-shard, only the fp32 epilogue crosses the mesh."""
+    p = prefix
+    return [
+        (rf"{p}.*w_int$", P(None, model_axis)),              # linear (in, O)
+        (rf"{p}.*w_int$", P(None, None, None, model_axis)),  # conv HWIO
+        (rf"{p}.*w_packed$", P(None, model_axis)),
+        (rf"{p}.*w_scale$", P(model_axis)),
+        (rf"{p}.*bias$", P(model_axis)),
+    ]
+
+
 def expert_parallel_rules(expert_axis: str = "expert",
                           prefix: str = "") -> List[Tuple[str, P]]:
     """QuantMoE expert parallelism: the stacked expert weights (E, D, H) /

@@ -178,3 +178,94 @@ def test_pipeline_parallel_matches_sequential(rng):
         lambda p: jax.device_put(p, NamedSharding(mesh, P("stage"))), stacked)
     y_pipe = pipeline_apply(stage_fn, stacked, x, n_micro=4, mesh=mesh)
     np.testing.assert_allclose(y_pipe, y_seq, rtol=1e-5, atol=1e-5)
+
+
+def test_tensor_parallel_int8_serving_matches_unsharded(rng):
+    """Integer-serving twins shard column-parallel over the model axis
+    (w_int over output channels; dequant scale + folded bias follow) and
+    the sharded jit output equals the single-device serving output."""
+    import brevitas_tpu.graph as G
+    from brevitas_tpu.parallel.rules import tensor_parallel_int_serving_rules
+    from brevitas_tpu.utils import eval_mode
+
+    act = presets.Int8ActPerTensorFloat.let(collect_stats_steps=1)
+
+    class MLP(nnx.Module):
+        def __init__(self, rngs):
+            self.l1 = qnn.QuantLinear(
+                32, 64, use_bias=True, rngs=rngs,
+                weight_quant=presets.Int8WeightPerChannelFloat,
+                input_quant=act)
+            self.l2 = qnn.QuantLinear(
+                64, 16, use_bias=True, rngs=rngs,
+                weight_quant=presets.Int8WeightPerChannelFloat,
+                input_quant=act.let())
+
+        def __call__(self, x):
+            return self.l2(jax.nn.relu(self.l1(x)))
+
+    m = MLP(nnx.Rngs(0))
+    x = jnp.asarray(rng.standard_normal((8, 32)).astype(np.float32))
+    m(x)  # collect act stats
+    eval_mode(m)
+    G.convert_integer_inference(m)
+    assert type(m.l1).__name__ == "Int8InferenceLinear"
+
+    graphdef, state = nnx.split(m)
+
+    def fwd(state, x):
+        return nnx.merge(graphdef, state)(x)
+
+    y_ref = np.asarray(jax.jit(fwd)(state, x))
+
+    mesh = make_mesh([("model", 8)])
+    sharded = shard_model_by_rules(m, mesh, tensor_parallel_int_serving_rules())
+    assert any(p.endswith("w_int") for p in sharded), sharded
+    assert any(p.endswith("w_scale") for p in sharded), sharded
+    _, state_sh = nnx.split(m)
+    y_tp = np.asarray(jax.jit(fwd)(state_sh, x))
+    np.testing.assert_allclose(y_tp, y_ref, rtol=1e-6, atol=1e-6)
+
+
+def test_tensor_parallel_int8_conv_serving_matches_unsharded(rng):
+    """Conv serving twins: HWIO int8 kernels shard over O with their
+    per-channel scales; sharded == unsharded."""
+    import brevitas_tpu.graph as G
+    from brevitas_tpu.parallel.rules import tensor_parallel_int_serving_rules
+    from brevitas_tpu.utils import eval_mode
+
+    act = presets.Int8ActPerTensorFloat.let(collect_stats_steps=1)
+
+    class Net(nnx.Module):
+        def __init__(self, rngs):
+            self.c1 = qnn.QuantConv2d(
+                3, 16, 3, padding=[(1, 1), (1, 1)], use_bias=True, rngs=rngs,
+                weight_quant=presets.Int8WeightPerChannelFloat,
+                input_quant=act)
+            self.c2 = qnn.QuantConv2d(
+                16, 8, 1, use_bias=False, rngs=rngs,
+                weight_quant=presets.Int8WeightPerChannelFloat,
+                input_quant=act.let())
+
+        def __call__(self, x):
+            return self.c2(jax.nn.relu(self.c1(x)))
+
+    m = Net(nnx.Rngs(0))
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 3)).astype(np.float32))
+    m(x)
+    eval_mode(m)
+    G.convert_integer_inference(m)
+    assert type(m.c1).__name__ == "Int8InferenceConv"
+
+    graphdef, state = nnx.split(m)
+
+    def fwd(state, x):
+        return nnx.merge(graphdef, state)(x)
+
+    y_ref = np.asarray(jax.jit(fwd)(state, x))
+    mesh = make_mesh([("model", 8)])
+    sharded = shard_model_by_rules(m, mesh, tensor_parallel_int_serving_rules())
+    assert any(p.endswith("w_int") for p in sharded), sharded
+    _, state_sh = nnx.split(m)
+    y_tp = np.asarray(jax.jit(fwd)(state_sh, x))
+    np.testing.assert_allclose(y_tp, y_ref, rtol=1e-6, atol=1e-6)
