@@ -61,6 +61,25 @@ def tensor_parallel_int_serving_rules(model_axis: str = "model",
     ]
 
 
+def tensor_parallel_attention_serving_rules(
+        model_axis: str = "model", prefix: str = "") -> List[Tuple[str, P]]:
+    """Head-parallel Int8InferenceAttention (Megatron layout): q/k/v
+    projection int8 kernels shard column-parallel over output features —
+    head-major, so whole heads land per shard — and out_proj shards
+    row-parallel over its input features. The int32 out_proj accumulation
+    is psum'd by GSPMD BEFORE the fp32 dequant epilogue, so the result is
+    bit-equal to single-device serving. out_proj's per-output scale/bias
+    and the per-tensor q/k/v/probs scales replicate."""
+    p = prefix
+    return [
+        (rf"{p}.*(q|k|v)_proj/w_int$", P(None, model_axis)),
+        (rf"{p}.*(q|k|v)_proj/w_packed$", P(None, model_axis)),
+        (rf"{p}.*(q|k|v)_proj/w_scale$", P(model_axis)),
+        (rf"{p}.*(q|k|v)_proj/bias$", P(model_axis)),
+        (rf"{p}.*out_proj/w_int$", P(model_axis, None)),
+    ]
+
+
 def expert_parallel_rules(expert_axis: str = "expert",
                           prefix: str = "") -> List[Tuple[str, P]]:
     """QuantMoE expert parallelism: the stacked expert weights (E, D, H) /

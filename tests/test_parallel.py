@@ -269,3 +269,54 @@ def test_tensor_parallel_int8_conv_serving_matches_unsharded(rng):
     _, state_sh = nnx.split(m)
     y_tp = np.asarray(jax.jit(fwd)(state_sh, x))
     np.testing.assert_allclose(y_tp, y_ref, rtol=1e-6, atol=1e-6)
+
+
+def test_head_parallel_int8_attention_serving_matches_unsharded(rng):
+    """Int8InferenceAttention shards head-parallel (q/k/v column-parallel
+    head-major, out_proj row-parallel) and stays bit-equal: the int32
+    out_proj accumulation is psum'd before the fp32 dequant epilogue."""
+    import brevitas_tpu.graph as G
+    from brevitas_tpu.graph.convert_int import Int8InferenceAttention
+    from brevitas_tpu.nn import QuantMultiheadAttention
+    from brevitas_tpu.parallel.rules import (
+        tensor_parallel_attention_serving_rules,
+    )
+    from brevitas_tpu.utils import eval_mode
+
+    E, H = 64, 8  # one head per device on the 8-way mesh
+    a8 = presets.Int8ActPerTensorFloat.let(collect_stats_steps=2)
+    mha = QuantMultiheadAttention(
+        E, H, weight_quant=presets.Int8WeightPerChannelFloat,
+        in_proj_input_quant=a8.let(), q_quant=a8.let(),
+        k_quant=a8.let(), v_quant=a8.let(),
+        attn_probs_quant=presets.Uint8ActPerTensorFloat.let(
+            collect_stats_steps=2),
+        out_proj_input_quant=a8.let(), rngs=nnx.Rngs(0))
+    x = jnp.asarray(rng.standard_normal((2, 12, E)).astype(np.float32))
+    with G.calibration_mode(mha):
+        mha(x, causal=True)
+        mha(x * 0.7, causal=True)
+    eval_mode(mha)
+    twin = Int8InferenceAttention(mha)
+
+    graphdef, state = nnx.split(twin)
+
+    def fwd(state, x):
+        return nnx.merge(graphdef, state)(x, causal=True)
+
+    y_ref = np.asarray(jax.jit(fwd)(state, x))
+
+    mesh = make_mesh([("model", 8)])
+    sharded = shard_model_by_rules(
+        twin, mesh, tensor_parallel_attention_serving_rules())
+    assert any("q_proj/w_int" in p for p in sharded), sharded
+    assert any("out_proj/w_int" in p for p in sharded), sharded
+    _, state_sh = nnx.split(twin)
+    y_tp = np.asarray(jax.jit(fwd)(state_sh, x))
+    np.testing.assert_allclose(y_tp, y_ref, rtol=1e-6, atol=1e-6)
+
+    # decode path: int8 KV cache decode under the same sharding
+    kc, vc = twin.init_decode_cache(2, 16)
+    y0, kc, vc = twin.decode_step(x[:, :1], kc, vc, 0)
+    y1, _, _ = twin.decode_step(x[:, 1:2], kc, vc, 1)
+    assert np.isfinite(np.asarray(y0)).all() and np.isfinite(np.asarray(y1)).all()
