@@ -27,10 +27,16 @@ from brevitas_tpu.quant import presets
 from brevitas_tpu.utils import eval_mode
 
 
-def smoothquant_regions(model: QuantTransformer):
-    """The canonical SmoothQuant migration sites (shared transformer helper)."""
+def smoothquant_regions(model):
+    """The canonical SmoothQuant migration sites for either architecture."""
+    from brevitas_tpu.models.llama import (
+        QuantLlama,
+        llama_smoothquant_regions,
+    )
     from brevitas_tpu.models.transformer import transformer_smoothquant_regions
 
+    if isinstance(model, QuantLlama):
+        return llama_smoothquant_regions(model)
     return transformer_smoothquant_regions(model)
 
 
@@ -80,6 +86,9 @@ def use_dynamic_act_quant(model: nnx.Module, bit_width: int = 8) -> int:
 
 def main(argv=None):
     p = argparse.ArgumentParser("brevitas_tpu LLM-style PTQ")
+    p.add_argument("--arch", choices=("gpt", "llama"), default="gpt",
+                   help="gpt = LayerNorm/GELU-style QuantTransformer; "
+                        "llama = RMSNorm + RoPE + SwiGLU QuantLlama")
     p.add_argument("--train-steps", type=int, default=300)
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--seq-len", type=int, default=64)
@@ -131,13 +140,19 @@ def main(argv=None):
     test_x = xs[args.train_steps + args.calib_batches:]
     test_y = ys[args.train_steps + args.calib_batches:]
 
-    # float model: the quant transformer with quantization disabled
-    model = QuantTransformer(
-        vocab_size=vocab, dim=args.dim, depth=args.depth,
-        num_heads=args.heads, max_len=args.seq_len,
-        weight_quant=presets.NoneWeightQuant,
-        act_quant=presets.NoneActQuant, uact_quant=presets.NoneActQuant,
-        rngs=nnx.Rngs(args.seed))
+    # float model: the quant architecture with quantization disabled
+    float_kw = dict(vocab_size=vocab, dim=args.dim, depth=args.depth,
+                    num_heads=args.heads,
+                    weight_quant=presets.NoneWeightQuant,
+                    act_quant=presets.NoneActQuant,
+                    uact_quant=presets.NoneActQuant,
+                    rngs=nnx.Rngs(args.seed))
+    if args.arch == "llama":
+        from brevitas_tpu.models.llama import QuantLlama
+
+        model = QuantLlama(**float_kw)
+    else:
+        model = QuantTransformer(max_len=args.seq_len, **float_kw)
     _train_float(model, train_x, train_y, args.lr)
     eval_mode(model)
     bpc_float = bits_per_char(model, test_x, test_y)
@@ -203,7 +218,8 @@ def main(argv=None):
         served = True
     bpc_served = bits_per_char(model, test_x, test_y) if served else None
 
-    result = {"float_bpc": bpc_float, "quant_bpc": bpc_quant,
+    result = {"arch": args.arch,
+              "float_bpc": bpc_float, "quant_bpc": bpc_quant,
               "served_bpc": bpc_served, "bit_width": args.bit_width,
               "smoothquant": not args.no_smoothquant, "gptq": args.gptq,
               "gpfq": args.gpfq,

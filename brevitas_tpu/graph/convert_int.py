@@ -216,6 +216,8 @@ class Int8InferenceAttention(nnx.Module):
         self.num_heads = mha.num_heads
         self.head_dim = mha.head_dim
         self.embed_dim = mha.embed_dim
+        self.use_rope = getattr(mha, "use_rope", False)
+        self.rope_theta = getattr(mha, "rope_theta", 10000.0)
         self.q_proj = Int8InferenceLinear(mha.q_proj)
         self.k_proj = Int8InferenceLinear(mha.k_proj)
         self.v_proj = Int8InferenceLinear(mha.v_proj)
@@ -265,8 +267,19 @@ class Int8InferenceAttention(nnx.Module):
             return y.reshape(b, -1, h, d).transpose(0, 2, 1, 3) \
                 .reshape(b * h, -1, d)
 
-        q = heads(self._to_int8(self.q_proj(x), "q"))
-        k = heads(self._to_int8(self.k_proj(kv), "k"))
+        q_f, k_f = self.q_proj(x), self.k_proj(kv)
+        if self.use_rope:
+            from brevitas_tpu.nn.attention import apply_rope
+
+            # rotation is a float epilogue of the projection; the int8 codes
+            # are codes of the ROTATED values (same as the fake-quant model)
+            q_f = apply_rope(q_f.reshape(b, -1, h, d), jnp.arange(t),
+                             self.rope_theta).reshape(b, -1, h * d)
+            k_f = apply_rope(k_f.reshape(b, -1, h, d),
+                             jnp.arange(kv.shape[1]),
+                             self.rope_theta).reshape(b, -1, h * d)
+        q = heads(self._to_int8(q_f, "q"))
+        k = heads(self._to_int8(k_f, "k"))
         v = heads(self._to_int8(self.v_proj(kv), "v"))
         out = int8_attention_dispatch(
             q, k, v, self.q_scale, self.k_scale, self.v_scale, self.p_scale,
@@ -311,8 +324,17 @@ class Int8InferenceAttention(nnx.Module):
             return y.reshape(b, 1, h, d).transpose(0, 2, 1, 3) \
                 .reshape(b * h, 1, d)
 
-        q = heads(self._to_int8(self.q_proj(x_t), "q"))
-        k_t = heads(self._to_int8(self.k_proj(x_t), "k"))
+        q_f, k_f = self.q_proj(x_t), self.k_proj(x_t)
+        if self.use_rope:
+            from brevitas_tpu.nn.attention import apply_rope
+
+            pos_arr = jnp.asarray(pos).reshape(1)
+            q_f = apply_rope(q_f.reshape(b, 1, h, d), pos_arr,
+                             self.rope_theta).reshape(b, 1, h * d)
+            k_f = apply_rope(k_f.reshape(b, 1, h, d), pos_arr,
+                             self.rope_theta).reshape(b, 1, h * d)
+        q = heads(self._to_int8(q_f, "q"))
+        k_t = heads(self._to_int8(k_f, "k"))
         v_t = heads(self._to_int8(self.v_proj(x_t), "v"))
         if self.kv_int4:
             k_cache = update_kv_packed(k_cache, k_t, pos)

@@ -5,6 +5,11 @@ QuartzNet, text_to_speech MelGAN."""
 from brevitas_tpu.models.cnv import CNV, cnv
 from brevitas_tpu.models.common import TensorNorm, common_act_quant, common_weight_quant
 from brevitas_tpu.models.fc import FC, lfc, sfc, tfc
+from brevitas_tpu.models.llama import (
+    QuantLlama,
+    llama_smoothquant_regions,
+    quant_llama_tiny,
+)
 from brevitas_tpu.models.melgan import MelGANGenerator, melgan_8b
 from brevitas_tpu.models.mobilenetv1 import MobileNetV1, quant_mobilenet_v1
 from brevitas_tpu.models.proxylessnas import ProxylessNAS, quant_proxylessnas_mobile14
@@ -52,4 +57,5 @@ __all__ = ["FC", "tfc", "sfc", "lfc", "CNV", "cnv",
            "MelGANGenerator", "melgan_8b",
            "QuantTransformer", "quant_transformer_tiny",
            "transformer_smoothquant_regions",
+           "QuantLlama", "quant_llama_tiny", "llama_smoothquant_regions",
            "QuantViT", "vit_tiny", "vit_smoothquant_regions"]

@@ -32,6 +32,22 @@ from brevitas_tpu.quant_tensor import unpack
 Array = jnp.ndarray
 
 
+def apply_rope(x: Array, positions: Array, theta: float = 10000.0) -> Array:
+    """Rotary position embedding, Llama rotate-half convention, on
+    (B, T, H, D) with ``positions`` (T,) (traced scalars OK after reshape).
+    Applied to Q/K BEFORE their activation quantizers, so the int8 serving
+    codes are codes of the rotated values (rotation is a float epilogue of
+    the projection GEMM)."""
+    d = x.shape[-1]
+    inv = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    ang = positions.reshape(-1, 1).astype(jnp.float32) * inv  # (T, D/2)
+    cos = jnp.cos(ang)[None, :, None, :]
+    sin = jnp.sin(ang)[None, :, None, :]
+    x1, x2 = x[..., : d // 2], x[..., d // 2:]
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1).astype(x.dtype)
+
+
 class QuantMultiheadAttention(nnx.Module, TrainToggleMixin):
 
     def __init__(
@@ -47,12 +63,16 @@ class QuantMultiheadAttention(nnx.Module, TrainToggleMixin):
         v_quant: Optional[QuantConfig] = Int8ActPerTensorFloat,
         attn_probs_quant: Optional[QuantConfig] = Uint8ActPerTensorFloat,
         out_proj_input_quant: Optional[QuantConfig] = Int8ActPerTensorFloat,
+        use_rope: bool = False,
+        rope_theta: float = 10000.0,
         rngs: nnx.Rngs,
     ):
         assert embed_dim % num_heads == 0
         self.embed_dim = embed_dim
         self.num_heads = num_heads
         self.head_dim = embed_dim // num_heads
+        self.use_rope = use_rope
+        self.rope_theta = rope_theta
 
         def lin():
             return QuantLinear(embed_dim, embed_dim, use_bias=use_bias,
@@ -81,8 +101,13 @@ class QuantMultiheadAttention(nnx.Module, TrainToggleMixin):
                  mask: Optional[Array] = None,
                  causal: bool = False) -> Array:
         kv = x if kv is None else kv
-        q = self._split_heads(unpack(self.q_quant(self.q_proj(x))))
-        k = self._split_heads(unpack(self.k_quant(self.k_proj(kv))))
+        q_f = self._split_heads(self.q_proj(x))
+        k_f = self._split_heads(self.k_proj(kv))
+        if self.use_rope:
+            q_f = apply_rope(q_f, jnp.arange(x.shape[1]), self.rope_theta)
+            k_f = apply_rope(k_f, jnp.arange(kv.shape[1]), self.rope_theta)
+        q = unpack(self.q_quant(q_f))
+        k = unpack(self.k_quant(k_f))
         v = self._split_heads(unpack(self.v_quant(self.v_proj(kv))))
         scale = 1.0 / math.sqrt(self.head_dim)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
@@ -116,8 +141,14 @@ class QuantMultiheadAttention(nnx.Module, TrainToggleMixin):
         writes this step's K/V at index ``pos`` (traced OK). Returns
         (y_t, k_cache, v_cache). Numerics match the causal full-sequence
         forward at the same position."""
-        q = self._split_heads(unpack(self.q_quant(self.q_proj(x_t))))
-        k_t = self._split_heads(unpack(self.k_quant(self.k_proj(x_t))))
+        q_f = self._split_heads(self.q_proj(x_t))
+        k_f = self._split_heads(self.k_proj(x_t))
+        if self.use_rope:
+            pos_arr = jnp.asarray(pos).reshape(1)
+            q_f = apply_rope(q_f, pos_arr, self.rope_theta)
+            k_f = apply_rope(k_f, pos_arr, self.rope_theta)
+        q = unpack(self.q_quant(q_f))
+        k_t = unpack(self.k_quant(k_f))
         v_t = self._split_heads(unpack(self.v_quant(self.v_proj(x_t))))
         k_cache = jax.lax.dynamic_update_slice(k_cache, k_t, (0, pos, 0, 0))
         v_cache = jax.lax.dynamic_update_slice(v_cache, v_t, (0, pos, 0, 0))
