@@ -218,6 +218,10 @@ class Int8InferenceAttention(nnx.Module):
         self.embed_dim = mha.embed_dim
         self.use_rope = getattr(mha, "use_rope", False)
         self.rope_theta = getattr(mha, "rope_theta", 10000.0)
+        # GQA: the int8 cache stores only the KV heads (H/KVH x smaller) and
+        # codes expand to the full head count at attention time (exact —
+        # repetition of int8 codes)
+        self.num_kv_heads = getattr(mha, "num_kv_heads", mha.num_heads)
         self.q_proj = Int8InferenceLinear(mha.q_proj)
         self.k_proj = Int8InferenceLinear(mha.k_proj)
         self.v_proj = Int8InferenceLinear(mha.v_proj)
@@ -241,6 +245,7 @@ class Int8InferenceAttention(nnx.Module):
         # per byte (2x less cache HBM than int8, exact — codes are lossless)
         from brevitas_tpu import config as _cfg
         self.kv_int4 = (_cfg.INT4_KV_CACHE
+                        and self.num_kv_heads == self.num_heads
                         and self.k_lo >= -8.0 and self.k_hi <= 7.0
                         and self.v_lo >= -8.0 and self.v_hi <= 7.0)
 
@@ -249,6 +254,16 @@ class Int8InferenceAttention(nnx.Module):
         s = getattr(self, f"{name}_scale")
         return jnp.clip(jnp.round(x / s), getattr(self, f"{name}_lo"),
                         getattr(self, f"{name}_hi")).astype(jnp.int8)
+
+    def _expand_kv_codes(self, y: Array, b: int) -> Array:
+        """(B*KVH, T, D) int8 codes → (B*H, T, D): repeat each KV head for
+        its query group (exact)."""
+        groups = self.num_heads // self.num_kv_heads
+        if groups == 1:
+            return y
+        t, d = y.shape[1], y.shape[2]
+        return jnp.repeat(y.reshape(b, self.num_kv_heads, t, d), groups,
+                          axis=1).reshape(b * self.num_heads, t, d)
 
     def __call__(self, x: Array, kv: Optional[Array] = None,
                  mask: Optional[Array] = None, causal: bool = False) -> Array:
@@ -261,11 +276,12 @@ class Int8InferenceAttention(nnx.Module):
         kv = x if kv is None else kv
         b, t, _ = x.shape
         h, d = self.num_heads, self.head_dim
+        kvh = self.num_kv_heads
 
-        def heads(y):
-            # (B, T, E) → (B*H, T, D)
-            return y.reshape(b, -1, h, d).transpose(0, 2, 1, 3) \
-                .reshape(b * h, -1, d)
+        def heads(y, n=h):
+            # (B, T, n*D) → (B*n, T, D)
+            return y.reshape(b, -1, n, d).transpose(0, 2, 1, 3) \
+                .reshape(b * n, -1, d)
 
         q_f, k_f = self.q_proj(x), self.k_proj(kv)
         if self.use_rope:
@@ -275,12 +291,13 @@ class Int8InferenceAttention(nnx.Module):
             # are codes of the ROTATED values (same as the fake-quant model)
             q_f = apply_rope(q_f.reshape(b, -1, h, d), jnp.arange(t),
                              self.rope_theta).reshape(b, -1, h * d)
-            k_f = apply_rope(k_f.reshape(b, -1, h, d),
+            k_f = apply_rope(k_f.reshape(b, -1, kvh, d),
                              jnp.arange(kv.shape[1]),
-                             self.rope_theta).reshape(b, -1, h * d)
+                             self.rope_theta).reshape(b, -1, kvh * d)
         q = heads(self._to_int8(q_f, "q"))
-        k = heads(self._to_int8(k_f, "k"))
-        v = heads(self._to_int8(self.v_proj(kv), "v"))
+        k = self._expand_kv_codes(heads(self._to_int8(k_f, "k"), kvh), b)
+        v = self._expand_kv_codes(
+            heads(self._to_int8(self.v_proj(kv), "v"), kvh), b)
         out = int8_attention_dispatch(
             q, k, v, self.q_scale, self.k_scale, self.v_scale, self.p_scale,
             head_dim=d, p_levels=self.p_levels, causal=causal)
@@ -293,7 +310,7 @@ class Int8InferenceAttention(nnx.Module):
     # codes is EXACT — and costs 2x less HBM than bf16, 4x less than f32.
 
     def init_decode_cache(self, batch: int, max_len: int):
-        bh = batch * self.num_heads
+        bh = batch * self.num_kv_heads
         if self.kv_int4:
             # split-halves packed bytes: position r and r + l_half per byte;
             # l_half 128-aligned so the Pallas decode kernel tiles cleanly
@@ -319,10 +336,11 @@ class Int8InferenceAttention(nnx.Module):
 
         b = x_t.shape[0]
         h, d = self.num_heads, self.head_dim
+        kvh = self.num_kv_heads
 
-        def heads(y):
-            return y.reshape(b, 1, h, d).transpose(0, 2, 1, 3) \
-                .reshape(b * h, 1, d)
+        def heads(y, n=h):
+            return y.reshape(b, 1, n, d).transpose(0, 2, 1, 3) \
+                .reshape(b * n, 1, d)
 
         q_f, k_f = self.q_proj(x_t), self.k_proj(x_t)
         if self.use_rope:
@@ -331,11 +349,11 @@ class Int8InferenceAttention(nnx.Module):
             pos_arr = jnp.asarray(pos).reshape(1)
             q_f = apply_rope(q_f.reshape(b, 1, h, d), pos_arr,
                              self.rope_theta).reshape(b, 1, h * d)
-            k_f = apply_rope(k_f.reshape(b, 1, h, d), pos_arr,
-                             self.rope_theta).reshape(b, 1, h * d)
+            k_f = apply_rope(k_f.reshape(b, 1, kvh, d), pos_arr,
+                             self.rope_theta).reshape(b, 1, kvh * d)
         q = heads(self._to_int8(q_f, "q"))
-        k_t = heads(self._to_int8(k_f, "k"))
-        v_t = heads(self._to_int8(self.v_proj(x_t), "v"))
+        k_t = heads(self._to_int8(k_f, "k"), kvh)
+        v_t = heads(self._to_int8(self.v_proj(x_t), "v"), kvh)
         if self.kv_int4:
             k_cache = update_kv_packed(k_cache, k_t, pos)
             v_cache = update_kv_packed(v_cache, v_t, pos)
@@ -344,11 +362,14 @@ class Int8InferenceAttention(nnx.Module):
                 self.v_scale, self.p_scale, head_dim=d,
                 p_levels=self.p_levels)
         else:
+            # cache stays at KVH heads (H/KVH x less HBM under GQA); codes
+            # expand to the full head count only at attention time
             k_cache = jax.lax.dynamic_update_slice(k_cache, k_t, (0, pos, 0))
             v_cache = jax.lax.dynamic_update_slice(v_cache, v_t, (0, pos, 0))
             out = int8_decode_attention(
-                q, k_cache, v_cache, pos, self.q_scale, self.k_scale,
-                self.v_scale, self.p_scale, head_dim=d,
+                q, self._expand_kv_codes(k_cache, b),
+                self._expand_kv_codes(v_cache, b), pos, self.q_scale,
+                self.k_scale, self.v_scale, self.p_scale, head_dim=d,
                 p_levels=self.p_levels)
         out = out.reshape(b, h, 1, d).transpose(0, 2, 1, 3) \
             .reshape(b, 1, self.embed_dim)

@@ -57,14 +57,16 @@ class QuantLlamaBlock(nnx.Module):
 
     def __init__(self, dim: int, num_heads: int, hidden: int, *,
                  weight_quant: QuantConfig, act_quant: QuantConfig,
-                 uact_quant: QuantConfig, rope_theta: float, rngs: nnx.Rngs):
+                 uact_quant: QuantConfig, rope_theta: float,
+                 num_kv_heads: Optional[int] = None, rngs: nnx.Rngs):
         self.attn_norm = nnx.RMSNorm(dim, rngs=rngs)
         self.attn = QuantMultiheadAttention(
             dim, num_heads, use_bias=False, weight_quant=weight_quant,
             in_proj_input_quant=act_quant, q_quant=act_quant,
             k_quant=act_quant, v_quant=act_quant,
             attn_probs_quant=uact_quant, out_proj_input_quant=act_quant,
-            use_rope=True, rope_theta=rope_theta, rngs=rngs)
+            use_rope=True, rope_theta=rope_theta,
+            num_kv_heads=num_kv_heads, rngs=rngs)
         self.res1 = QuantIdentity(act_quant)
         self.mlp_norm = nnx.RMSNorm(dim, rngs=rngs)
         self.mlp = QuantSwiGLU(dim, hidden, weight_quant=weight_quant,
@@ -92,6 +94,7 @@ class QuantLlama(nnx.Module, TrainToggleMixin):
 
     def __init__(self, *, vocab_size: int = 1000, dim: int = 256,
                  depth: int = 4, num_heads: int = 4,
+                 num_kv_heads: Optional[int] = None,
                  hidden: Optional[int] = None, rope_theta: float = 10000.0,
                  bit_width: int = 8, weight_quant=None, act_quant=None,
                  uact_quant=None, rngs: nnx.Rngs):
@@ -109,7 +112,8 @@ class QuantLlama(nnx.Module, TrainToggleMixin):
         self.blocks = nnx.List([
             QuantLlamaBlock(dim, num_heads, hidden, weight_quant=wq,
                             act_quant=aq, uact_quant=uq,
-                            rope_theta=rope_theta, rngs=rngs)
+                            rope_theta=rope_theta,
+                            num_kv_heads=num_kv_heads, rngs=rngs)
             for _ in range(depth)])
         self.final_norm = nnx.RMSNorm(dim, rngs=rngs)
         self.head = QuantLinear(dim, vocab_size, use_bias=False,

@@ -65,6 +65,7 @@ class QuantMultiheadAttention(nnx.Module, TrainToggleMixin):
         out_proj_input_quant: Optional[QuantConfig] = Int8ActPerTensorFloat,
         use_rope: bool = False,
         rope_theta: float = 10000.0,
+        num_kv_heads: Optional[int] = None,
         rngs: nnx.Rngs,
     ):
         assert embed_dim % num_heads == 0
@@ -73,15 +74,21 @@ class QuantMultiheadAttention(nnx.Module, TrainToggleMixin):
         self.head_dim = embed_dim // num_heads
         self.use_rope = use_rope
         self.rope_theta = rope_theta
+        # grouped-query attention: K/V project to fewer heads and each KV
+        # head serves num_heads/num_kv_heads query heads — the KV cache
+        # shrinks by that factor (net-new vs reference, like everything here)
+        self.num_kv_heads = num_kv_heads or num_heads
+        assert num_heads % self.num_kv_heads == 0
+        kv_dim = self.num_kv_heads * self.head_dim
 
-        def lin():
-            return QuantLinear(embed_dim, embed_dim, use_bias=use_bias,
+        def lin(out_dim=embed_dim):
+            return QuantLinear(embed_dim, out_dim, use_bias=use_bias,
                                weight_quant=weight_quant,
                                input_quant=in_proj_input_quant, rngs=rngs)
 
         self.q_proj = lin()
-        self.k_proj = lin()
-        self.v_proj = lin()
+        self.k_proj = lin(kv_dim)
+        self.v_proj = lin(kv_dim)
         self.out_proj = QuantLinear(embed_dim, embed_dim, use_bias=use_bias,
                                     weight_quant=weight_quant,
                                     input_quant=out_proj_input_quant,
@@ -95,7 +102,14 @@ class QuantMultiheadAttention(nnx.Module, TrainToggleMixin):
 
     def _split_heads(self, x: Array) -> Array:
         b, t, _ = x.shape
-        return x.reshape(b, t, self.num_heads, self.head_dim)
+        return x.reshape(b, t, -1, self.head_dim)
+
+    def _expand_kv(self, x: Array) -> Array:
+        """(B, T, KVH, D) → (B, T, H, D): each KV head repeats for its query
+        group. Applied AFTER the K/V quantizers — repetition of quantized
+        values is exact, and the serving cache stores only KVH heads."""
+        groups = self.num_heads // self.num_kv_heads
+        return jnp.repeat(x, groups, axis=2) if groups > 1 else x
 
     def __call__(self, x: Array, kv: Optional[Array] = None,
                  mask: Optional[Array] = None,
@@ -107,8 +121,9 @@ class QuantMultiheadAttention(nnx.Module, TrainToggleMixin):
             q_f = apply_rope(q_f, jnp.arange(x.shape[1]), self.rope_theta)
             k_f = apply_rope(k_f, jnp.arange(kv.shape[1]), self.rope_theta)
         q = unpack(self.q_quant(q_f))
-        k = unpack(self.k_quant(k_f))
-        v = self._split_heads(unpack(self.v_quant(self.v_proj(kv))))
+        k = self._expand_kv(unpack(self.k_quant(k_f)))
+        v = self._expand_kv(self._split_heads(unpack(self.v_quant(
+            self.v_proj(kv)))))
         scale = 1.0 / math.sqrt(self.head_dim)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32) * scale
@@ -131,9 +146,10 @@ class QuantMultiheadAttention(nnx.Module, TrainToggleMixin):
     # -- incremental decoding -------------------------------------------------
 
     def init_decode_cache(self, batch: int, max_len: int, dtype=jnp.float32):
-        """(k_cache, v_cache) of shape (B, max_len, H, D) holding fake-quant
-        K/V values (the integer serving twin caches int8 instead)."""
-        shape = (batch, max_len, self.num_heads, self.head_dim)
+        """(k_cache, v_cache) of shape (B, max_len, KVH, D) holding fake-quant
+        K/V values (the integer serving twin caches int8 instead). Under GQA
+        the cache holds only the KV heads — H/KVH times smaller."""
+        shape = (batch, max_len, self.num_kv_heads, self.head_dim)
         return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
     def decode_step(self, x_t: Array, k_cache: Array, v_cache: Array, pos):
@@ -152,14 +168,16 @@ class QuantMultiheadAttention(nnx.Module, TrainToggleMixin):
         v_t = self._split_heads(unpack(self.v_quant(self.v_proj(x_t))))
         k_cache = jax.lax.dynamic_update_slice(k_cache, k_t, (0, pos, 0, 0))
         v_cache = jax.lax.dynamic_update_slice(v_cache, v_t, (0, pos, 0, 0))
+        k_full = self._expand_kv(k_cache)
+        v_full = self._expand_kv(v_cache)
         scale = 1.0 / math.sqrt(self.head_dim)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_cache,
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_full,
                             preferred_element_type=jnp.float32) * scale
         valid = jnp.arange(k_cache.shape[1])[None, None, None, :] <= pos
         scores = jnp.where(valid, scores, jnp.finfo(scores.dtype).min / 2)
         probs = jax.nn.softmax(scores, axis=-1)
-        probs = unpack(self.probs_quant(probs)).astype(v_cache.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v_cache,
+        probs = unpack(self.probs_quant(probs)).astype(v_full.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v_full,
                          preferred_element_type=jnp.float32).astype(x_t.dtype)
         out = out.reshape(x_t.shape[0], 1, self.embed_dim)
         return self.out_proj(out), k_cache, v_cache

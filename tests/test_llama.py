@@ -145,3 +145,42 @@ def test_llm_ptq_cli_llama_smoke():
     assert res["served_bpc"] is not None and np.isfinite(res["served_bpc"])
     # PTQ int8 should stay within ~1.5 bits/char of float on this tiny setup
     assert res["quant_bpc"] < res["float_bpc"] + 1.5
+
+
+def test_llama_gqa_decode_and_serving(rng):
+    """Grouped-query attention: 4 query heads sharing 2 KV heads — the KV
+    cache is half-size, decode matches the full forward, and the int8
+    serving twin (cache at KV heads, codes expanded at attention time)
+    reproduces the fake-quant model."""
+    m = _tiny(num_heads=4, num_kv_heads=2)
+    ids = jnp.asarray(rng.integers(0, 64, (2, 8)))
+    with G.calibration_mode(m):
+        m(ids)
+        m(ids[:, ::-1])
+    eval_mode(m)
+
+    # fake-quant: cache holds only KV heads
+    caches = m.init_decode_caches(2, 8)
+    assert caches[0][0].shape == (2, 8, 2, 8)  # (B, L, KVH, D)
+    full = np.asarray(m(ids, causal=True))
+    for t in range(8):
+        logits_t, caches = m.decode_step(ids[:, t:t + 1], caches, t)
+        np.testing.assert_allclose(np.asarray(logits_t[:, 0]), full[:, t],
+                                   atol=1e-4, rtol=1e-4)
+
+    y_fake = np.asarray(m(ids, causal=True))
+    G.convert_integer_inference(m)
+    twin = m.blocks[0].attn
+    assert twin.num_kv_heads == 2
+    y_int = np.asarray(m(ids, causal=True))
+    span = np.max(np.abs(y_fake)) + 1e-6
+    assert np.max(np.abs(y_int - y_fake)) < 0.1 * span
+
+    # int8 serving decode: cache at KV heads (B*KVH, L, D)
+    caches = m.init_decode_caches(2, 8)
+    assert caches[0][0].shape == (4, 8, 8)
+    full = np.asarray(m(ids, causal=True))
+    for t in range(6):
+        logits_t, caches = m.decode_step(ids[:, t:t + 1], caches, t)
+        np.testing.assert_allclose(np.asarray(logits_t[:, 0]), full[:, t],
+                                   atol=1e-4, rtol=1e-4)
