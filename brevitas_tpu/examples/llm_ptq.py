@@ -100,6 +100,9 @@ def main(argv=None):
     p.add_argument("--calib-batches", type=int, default=4)
     p.add_argument("--no-smoothquant", action="store_true")
     p.add_argument("--smoothquant-alpha", type=float, default=0.5)
+    p.add_argument("--awq", action="store_true",
+                   help="AWQ per-region alpha search instead of fixed-alpha "
+                        "SmoothQuant (implies --no-smoothquant)")
     p.add_argument("--gptq", action="store_true")
     p.add_argument("--gpfq", action="store_true",
                    help="GPFQ greedy path-following weight quantization "
@@ -195,7 +198,10 @@ def main(argv=None):
     if args.rotate:
         pairs, head_dim = G.transformer_rotation_pairs(model)
         G.apply_rotation(model, pairs, block_size=head_dim)
-    if not args.no_smoothquant:
+    if args.awq:
+        G.apply_awq(model, smoothquant_regions(model), calib,
+                    forward_fn=forward)
+    elif not args.no_smoothquant:
         G.apply_act_equalization(model, smoothquant_regions(model), calib,
                                  alpha=args.smoothquant_alpha,
                                  forward_fn=forward)
@@ -221,7 +227,8 @@ def main(argv=None):
     result = {"arch": args.arch,
               "float_bpc": bpc_float, "quant_bpc": bpc_quant,
               "served_bpc": bpc_served, "bit_width": args.bit_width,
-              "smoothquant": not args.no_smoothquant, "gptq": args.gptq,
+              "smoothquant": not args.no_smoothquant and not args.awq,
+              "awq": args.awq, "gptq": args.gptq,
               "gpfq": args.gpfq,
               "dynamic_act": args.dynamic_act, "mx": args.mx, "rotate": args.rotate,
               "kv_bits": args.kv_bits, "vocab": vocab}

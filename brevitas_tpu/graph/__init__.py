@@ -36,6 +36,7 @@ from brevitas_tpu.graph.equalize import (
 )
 from brevitas_tpu.graph.flexml import preprocess_flexml, quantize_flexml
 from brevitas_tpu.graph.gpfq import apply_gpfq, eligible_for_gpfq
+from brevitas_tpu.graph.awq import apply_awq
 from brevitas_tpu.graph.gptq import apply_gptq, eligible_for_gptq
 from brevitas_tpu.graph.learned_round import (
     apply_learned_round,
@@ -71,7 +72,7 @@ __all__ = [
     "cache_inference_quant_weights", "clear_inference_quant_weight_cache",
     "equalize", "cross_layer_equalization", "sequential_regions",
     "absorb_bias_by_batch_norm", "split_batch_norm", "apply_act_equalization",
-    "apply_gptq", "eligible_for_gptq",
+    "apply_gptq", "eligible_for_gptq", "apply_awq",
     "apply_gpfq", "eligible_for_gpfq",
     "apply_learned_round", "eligible_for_learned_round",
     "discover_bn_pairs",
