@@ -245,7 +245,6 @@ class Int8InferenceAttention(nnx.Module):
         # per byte (2x less cache HBM than int8, exact — codes are lossless)
         from brevitas_tpu import config as _cfg
         self.kv_int4 = (_cfg.INT4_KV_CACHE
-                        and self.num_kv_heads == self.num_heads
                         and self.k_lo >= -8.0 and self.k_hi <= 7.0
                         and self.v_lo >= -8.0 and self.v_hi <= 7.0)
 
@@ -355,11 +354,15 @@ class Int8InferenceAttention(nnx.Module):
         k_t = heads(self._to_int8(k_f, "k"), kvh)
         v_t = heads(self._to_int8(self.v_proj(x_t), "v"), kvh)
         if self.kv_int4:
+            # cache stays packed at KVH heads (2x from packing, H/KVH x from
+            # GQA); packed bytes expand to the full head count at read time
+            # (a row repeat — exact)
             k_cache = update_kv_packed(k_cache, k_t, pos)
             v_cache = update_kv_packed(v_cache, v_t, pos)
             out = int4kv_decode_attention(
-                q, k_cache, v_cache, pos, self.q_scale, self.k_scale,
-                self.v_scale, self.p_scale, head_dim=d,
+                q, self._expand_kv_codes(k_cache, b),
+                self._expand_kv_codes(v_cache, b), pos, self.q_scale,
+                self.k_scale, self.v_scale, self.p_scale, head_dim=d,
                 p_levels=self.p_levels)
         else:
             # cache stays at KVH heads (H/KVH x less HBM under GQA); codes

@@ -184,3 +184,36 @@ def test_llama_gqa_decode_and_serving(rng):
         logits_t, caches = m.decode_step(ids[:, t:t + 1], caches, t)
         np.testing.assert_allclose(np.asarray(logits_t[:, 0]), full[:, t],
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_llama_gqa_int4_kv_cache(rng):
+    """GQA composes with int4 KV packing: the packed cache stores KV heads
+    only (2x from packing x H/KVH from GQA) and decode stays exact vs the
+    full forward."""
+    import brevitas_tpu.quant.presets as presets
+
+    kv = presets.Int8ActPerTensorFloat.let(bit_width=4.0,
+                                           collect_stats_steps=2)
+    m = _tiny(num_heads=4, num_kv_heads=2)
+    # swap K/V quantizers to 4-bit so the serving twin packs the cache
+    from brevitas_tpu.quant.quantizers import ActQuantizer
+
+    for blk in m.blocks:
+        blk.attn.k_quant = ActQuantizer(kv.let())
+        blk.attn.v_quant = ActQuantizer(kv.let())
+    ids = jnp.asarray(rng.integers(0, 64, (2, 8)))
+    with G.calibration_mode(m):
+        m(ids)
+        m(ids[:, ::-1])
+    eval_mode(m)
+    G.convert_integer_inference(m)
+    twin = m.blocks[0].attn
+    assert twin.kv_int4 and twin.num_kv_heads == 2
+    caches = m.init_decode_caches(2, 16)
+    # packed: (B*KVH, ceil(16/2), D) = (4, 8, 8)
+    assert caches[0][0].shape == (4, 8, 8)
+    full = np.asarray(m(ids, causal=True))
+    for t in range(8):
+        logits_t, caches = m.decode_step(ids[:, t:t + 1], caches, t)
+        np.testing.assert_allclose(np.asarray(logits_t[:, 0]), full[:, t],
+                                   atol=1e-4, rtol=1e-4)
