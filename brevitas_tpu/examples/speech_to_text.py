@@ -58,6 +58,10 @@ def main(argv=None):
                    choices=["quartznet_8b", "quartznet_4b", "tiny"])
     p.add_argument("--features", default=None,
                    help=".npy of (N, T, 64) log-mel features")
+    p.add_argument("--wavs", nargs="*", default=None,
+                   help="16 kHz PCM .wav files; log-mel features are "
+                        "computed on-device (audio.filterbank_features, the "
+                        "reference FilterbankFeatures pipeline)")
     p.add_argument("--transcripts", default=None,
                    help="text file, one reference transcript per line")
     p.add_argument("--checkpoint", default=None)
@@ -86,7 +90,24 @@ def main(argv=None):
     def infer(model, x):
         return model(x)
 
-    if args.features:
+    if args.wavs:
+        from brevitas_tpu import audio
+
+        cfg = audio.FilterbankConfig()
+        feats = []
+        for path in args.wavs:
+            wav, rate = audio.load_wav(path)
+            if rate != cfg.sample_rate:
+                wav = np.asarray(audio.resample_linear(
+                    jnp.asarray(wav), rate, cfg.sample_rate))
+            f, n = audio.filterbank_features(
+                jnp.asarray(wav[None]), jnp.asarray([len(wav)]), cfg)
+            feats.append(np.asarray(f)[0, : int(n[0])])
+        t_max = max(f.shape[0] for f in feats)
+        t_max += (-t_max) % 16
+        feats = np.stack([np.pad(f, ((0, t_max - f.shape[0]), (0, 0)))
+                          for f in feats])
+    elif args.features:
         feats = np.load(args.features)
     else:
         feats = np.random.default_rng(0).standard_normal(

@@ -25,11 +25,36 @@ HOP = 256
 def main(argv=None):
     p = argparse.ArgumentParser("brevitas_tpu melgan eval")
     p.add_argument("--mels", default=None, help=".npy of (N, T, 80) mels")
+    p.add_argument("--preprocess-wavs", nargs="*", default=None,
+                   help="22.05 kHz .wav files: extract Tacotron mels "
+                        "(audio.tacotron_mel — reference "
+                        "preprocess_dataset.py) to --out-dir and exit")
     p.add_argument("--out-dir", default="./melgan_out")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--batches", type=int, default=1)
     p.add_argument("--mel-frames", type=int, default=64)
     args = p.parse_args(argv)
+
+    if args.preprocess_wavs:
+        from brevitas_tpu import audio
+
+        cfg = audio.TacotronSTFTConfig()
+        os.makedirs(args.out_dir, exist_ok=True)
+        written = []
+        for path in args.preprocess_wavs:
+            wav, rate = audio.load_wav(path)
+            if rate != cfg.sampling_rate:
+                wav = np.asarray(audio.resample_linear(
+                    jnp.asarray(wav), rate, cfg.sampling_rate))
+            mel = np.asarray(audio.tacotron_mel(jnp.asarray(wav[None]),
+                                                cfg))[0]
+            out = os.path.join(
+                args.out_dir,
+                os.path.splitext(os.path.basename(path))[0] + "_mel.npy")
+            np.save(out, mel)
+            written.append(out)
+        print(json.dumps({"mels_written": written}))
+        return {"mels_written": written}
 
     model = melgan_8b(mel_channels=80, rngs=nnx.Rngs(0))
     if args.checkpoint:
