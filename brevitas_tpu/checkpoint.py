@@ -36,6 +36,15 @@ def _strip_caches(tree):
     return tree
 
 
+def _intify_keys(tree):
+    """Orbax round-trips dict keys as strings; nnx.List children are keyed by
+    int. Convert digit keys back so nnx.update can graft the state."""
+    if isinstance(tree, dict):
+        return {(int(k) if isinstance(k, str) and k.isdigit() else k):
+                _intify_keys(v) for k, v in tree.items()}
+    return tree
+
+
 def save(path: str, model: nnx.Module, optimizer: Optional[Any] = None,
          step: int = 0) -> str:
     """Save model (+ optimizer) state with orbax."""
@@ -59,7 +68,7 @@ def restore(path: str, model: nnx.Module, optimizer: Optional[Any] = None,
     state keeps its init)."""
     ckptr = _checkpointer()
     restored = ckptr.restore(os.path.abspath(path))
-    saved_model = restored["model"]
+    saved_model = _intify_keys(restored["model"])
     if ignore_missing:
         current = nnx.state(model).to_pure_dict()
         _merge_into(current, saved_model)
@@ -67,7 +76,7 @@ def restore(path: str, model: nnx.Module, optimizer: Optional[Any] = None,
     else:
         nnx.update(model, saved_model)
     if optimizer is not None and "optimizer" in restored:
-        nnx.update(optimizer, restored["optimizer"])
+        nnx.update(optimizer, _intify_keys(restored["optimizer"]))
     # restored weights invalidate any cached inference quant weights
     from brevitas_tpu.quant.quantizers import _clear_quant_weight_caches
 
