@@ -132,5 +132,71 @@ def main(argv=None):
     return out
 
 
+def train(steps: int = 60, batch: int = 8, n_mels: int = 64,
+          frames: int = 64, bit_width: int = 8, lr: float = 3e-3,
+          spec_augment: bool = True, seed: int = 0, log=None):
+    """QAT CTC training loop (reference trains QuartzNet with CTCLossNM,
+    quartznet/losses.py:22; here the whole step — SpecAugment, QuartzNet
+    forward with fake-quant, optax.ctc_loss, adam — is ONE jitted program).
+
+    Synthetic task: each utterance is a sequence of per-frame one-hot-ish
+    mel patterns, each pattern deterministically tied to a target letter, so
+    the net must learn pattern->letter alignment through CTC. Returns
+    (model, losses).
+    """
+    import jax
+    import optax
+
+    from brevitas_tpu import audio
+
+    rng = np.random.default_rng(seed)
+    topo = ((32, 1, 9, 1, 1, False, True), (32, 2, 9, 1, 1, True, True),
+            (64, 1, 1, 1, 1, False, False))
+    model = QuartzNet(num_features=n_mels, bit_width=bit_width,
+                      topology=topo, rngs=nnx.Rngs(seed))
+    optimizer = nnx.Optimizer(model, optax.adam(lr), wrt=nnx.Param)
+
+    n_sym = 4  # letters a-d
+    protos = rng.standard_normal((n_sym, n_mels)).astype(np.float32) * 2
+
+    def make_batch():
+        tgt = rng.integers(1, 1 + n_sym, (batch, frames // 8))
+        feats = np.zeros((batch, frames, n_mels), np.float32)
+        for b in range(batch):
+            for j, s in enumerate(tgt[b]):
+                feats[b, j * 8: (j + 1) * 8] = protos[s - 1]
+        feats += rng.standard_normal(feats.shape).astype(np.float32) * 0.1
+        pad = np.zeros((batch, frames // 8), np.int32)  # no padding
+        return (jnp.asarray(feats), jnp.asarray(tgt.astype(np.int32)),
+                jnp.asarray(pad))
+
+    @nnx.jit
+    def step(model, optimizer, feats, targets, tgt_pad, key):
+        def objective(m):
+            x = audio.spec_augment(key, feats, freq_masks=1, time_masks=1,
+                                   freq_width=4, time_width=4) \
+                if spec_augment else feats
+            logits = m(x)
+            logp = jax.nn.log_softmax(logits)
+            pad_lp = jnp.zeros(logp.shape[:2])
+            return optax.ctc_loss(logp, pad_lp, targets, tgt_pad,
+                                  blank_id=0).mean()
+
+        loss, grads = nnx.value_and_grad(objective)(model)
+        optimizer.update(model, grads)
+        return loss
+
+    losses = []
+    key = jax.random.key(seed)
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        feats, targets, tgt_pad = make_batch()
+        loss = step(model, optimizer, feats, targets, tgt_pad, sub)
+        losses.append(float(loss))
+        if log and i % 10 == 0:
+            log(f"step {i} ctc loss {losses[-1]:.4f}")
+    return model, losses
+
+
 if __name__ == "__main__":
     main()

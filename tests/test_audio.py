@@ -280,3 +280,12 @@ def test_melgan_preprocess_cli(tmp_path):
     mel = np.load(res["mels_written"][0])
     assert mel.shape[1] == 80
     assert mel.min() >= np.log(1e-5) - 1e-5
+
+
+def test_quartznet_ctc_qat_training_learns():
+    """SpecAugment + QuartzNet fake-quant forward + optax CTC in one jitted
+    step: loss must collapse on the synthetic pattern->letter task."""
+    from brevitas_tpu.examples.speech_to_text import train
+
+    model, losses = train(steps=30, batch=4, frames=32, log=None)
+    assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
