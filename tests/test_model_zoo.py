@@ -128,7 +128,8 @@ def test_tutorial_scripts_run():
                    "notebooks/06_onnx_export.py",
                    "notebooks/07_quantized_recurrent.py",
                    "notebooks/08_advanced_formats.py",
-                   "notebooks/09_integer_serving.py"]:
+                   "notebooks/09_integer_serving.py",
+                   "notebooks/10_speech_pipeline.py"]:
         r = subprocess.run([sys.executable, script], capture_output=True,
                            text=True, timeout=300,
                            env={**__import__("os").environ,
