@@ -254,6 +254,10 @@ def main(argv=None):
     p.add_argument("--log-every", type=int, default=20)
     p.add_argument("--scan", action="store_true",
                    help="run each epoch as one jit (lax.scan over batches)")
+    p.add_argument("--native-loader", action="store_true",
+                   help="feed batches from the C++ prefetch loader "
+                        "(csrc/data_loader.cc): host gather overlaps the "
+                        "device step")
     args = p.parse_args(argv)
 
     builder, kind, w_bits, a_bits = parse_network(args.network)
@@ -295,6 +299,20 @@ def main(argv=None):
             ys = np.stack([b[1] for b in bs])
             losses = [float(l) for l in jax.device_get(scanned(xs, ys))]
             scanned.sync()
+        elif args.native_loader:
+            from brevitas_tpu.data import make_loader
+
+            if epoch == start_epoch:
+                loader = make_loader(x_train, y_train, args.batch_size,
+                                     seed=args.seed)
+            losses = []
+            for bi in range(loader.batches_per_epoch):
+                xb, yb = next(loader)
+                loss = train_step(model, optimizer, jnp.asarray(xb),
+                                  jnp.asarray(yb), loss_kind=args.loss)
+                losses.append(float(loss))
+                if bi % args.log_every == 0:
+                    print(f"epoch {epoch} batch {bi}: loss {float(loss):.4f}")
         else:
             losses = []
             for bi, (xb, yb) in enumerate(

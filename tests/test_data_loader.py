@@ -1,0 +1,114 @@
+"""Native + numpy data loaders (brevitas_tpu/data.py, csrc/data_loader.cc)."""
+
+import numpy as np
+import pytest
+
+from brevitas_tpu.data import NativeDataLoader, NumpyDataLoader, make_loader
+
+
+def _dataset(n=256, row=12, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((n, row)).astype(np.float32)
+    y = rng.integers(0, 10, n).astype(np.int32)
+    return x, y
+
+
+@pytest.mark.parametrize("cls", [NativeDataLoader, NumpyDataLoader])
+def test_one_epoch_is_a_permutation(cls):
+    x, y = _dataset()
+    # encode the row id in feature 0 so we can recover the permutation
+    x[:, 0] = np.arange(len(x))
+    ld = cls(x, y, batch_size=32, seed=1, shuffle=True)
+    seen_rows, seen_labels = [], []
+    for xb, yb in ld:
+        if ld.epoch > 0:
+            break
+        seen_rows.extend(xb[:, 0].astype(int).tolist())
+        seen_labels.extend(yb.tolist())
+    ld.close()
+    assert sorted(seen_rows) == list(range(256))
+    assert sorted(seen_labels) == sorted(y.tolist())
+    assert seen_rows != list(range(256))  # actually shuffled
+
+
+@pytest.mark.parametrize("cls", [NativeDataLoader, NumpyDataLoader])
+def test_gather_content_matches_source(cls):
+    x, y = _dataset(n=64, row=8)
+    x[:, 0] = np.arange(64)
+    ld = cls(x, y, batch_size=16, seed=3, shuffle=True)
+    for _ in range(7):  # crosses an epoch boundary
+        xb, yb = next(ld)
+        rows = xb[:, 0].astype(int)
+        np.testing.assert_allclose(xb, x[rows], rtol=0, atol=0)
+        np.testing.assert_array_equal(yb, y[rows])
+    ld.close()
+
+
+def test_native_deterministic_in_seed():
+    x, y = _dataset(n=128, row=4)
+
+    def first_epoch(seed):
+        ld = NativeDataLoader(x, y, batch_size=32, seed=seed, num_threads=1)
+        out = []
+        for xb, yb in ld:
+            if ld.epoch > 0:
+                break
+            out.append(yb.copy())
+        ld.close()
+        return np.concatenate(out)
+
+    a, b = first_epoch(7), first_epoch(7)
+    # single-threaded: identical batch order
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, first_epoch(8))
+
+
+@pytest.mark.parametrize("cls", [NativeDataLoader, NumpyDataLoader])
+def test_u8_normalization_fused(cls):
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, 256, (40, 6)).astype(np.uint8)
+    ld = cls(x, None, batch_size=40, shuffle=False, seed=0,
+             mean=0.1307, std=0.3081)
+    xb, yb = next(ld)
+    assert yb is None
+    np.testing.assert_allclose(
+        xb, (x.astype(np.float32) / 255.0 - 0.1307) / 0.3081, rtol=1e-5)
+    ld.close()
+
+
+def test_no_shuffle_is_sequential():
+    x, y = _dataset(n=96, row=4)
+    ld = NativeDataLoader(x, y, batch_size=32, shuffle=False, num_threads=1)
+    got = [next(ld)[1].copy() for _ in range(3)]
+    ld.close()
+    np.testing.assert_array_equal(np.concatenate(got), y[:96])
+
+
+def test_multithreaded_epoch_integrity():
+    """4 worker threads racing across epoch boundaries still produce exact
+    per-epoch permutations (the index snapshot under the lock)."""
+    x, y = _dataset(n=512, row=4)
+    x[:, 0] = np.arange(512)
+    ld = NativeDataLoader(x, y, batch_size=64, seed=2, num_threads=4,
+                          num_buffers=6)
+    per_epoch = {}
+    while True:
+        xb, _ = next(ld)
+        if ld.epoch >= 3:
+            break
+        per_epoch.setdefault(ld.epoch, []).extend(
+            xb[:, 0].astype(int).tolist())
+    ld.close()
+    for ep in (0, 1, 2):
+        assert sorted(per_epoch[ep]) == list(range(512)), f"epoch {ep}"
+
+
+def test_make_loader_fallback(monkeypatch):
+    x, y = _dataset(n=32, row=4)
+    monkeypatch.setenv("BREVITAS_TPU_NATIVE_LOADER", "0")
+    ld = make_loader(x, y, batch_size=8)
+    assert isinstance(ld, NumpyDataLoader)
+    monkeypatch.setenv("BREVITAS_TPU_NATIVE_LOADER", "1")
+    ld2 = make_loader(x, y, batch_size=8)
+    assert isinstance(ld2, NativeDataLoader)
+    ld2.close()
