@@ -36,7 +36,11 @@ class FC(nnx.Module, TrainToggleMixin):
         rngs: nnx.Rngs,
     ):
         self.in_features = in_features
-        self.input_quant = QuantIdentity(common_act_quant(in_bit_width))
+        # return_quant_tensor: scale/bit-width metadata flows into the
+        # next QuantLinear so the bf16 exact-code MXU path can engage
+        # (quant_layer.forward_quant code_domain)
+        self.input_quant = QuantIdentity(common_act_quant(in_bit_width),
+                                         return_quant_tensor=True)
         self.dropout_rate = dropout
         self.rngs = rngs
         self.training: bool = True
@@ -49,7 +53,8 @@ class FC(nnx.Module, TrainToggleMixin):
                 weight_quant=common_weight_quant(weight_bit_width), rngs=rngs))
             layers.append(nnx.BatchNorm(feat_out, use_running_average=False,
                                         rngs=rngs))
-            layers.append(QuantIdentity(common_act_quant(act_bit_width)))
+            layers.append(QuantIdentity(common_act_quant(act_bit_width),
+                                        return_quant_tensor=True))
             feat_in = feat_out
         self.hidden = nnx.List(layers)
         self.head = QuantLinear(
@@ -72,7 +77,20 @@ class FC(nnx.Module, TrainToggleMixin):
     def _dropout(self, x):
         if self.training and self.dropout_rate > 0:
             import jax
+
+            from brevitas_tpu.quant_tensor import QuantTensor
             keep = 1.0 - self.dropout_rate
+            if isinstance(x, QuantTensor):
+                # dropout is exactly representable on the quant grid: zeros
+                # are code 0 and the 1/keep rescale is absorbed into the
+                # scale, so the integer codes (value/scale) are unchanged
+                mask = jax.random.bernoulli(self.rngs.dropout(), keep,
+                                            x.value.shape)
+                return QuantTensor(
+                    jnp.where(mask, x.value / keep, 0.0),
+                    None if x.scale is None else x.scale / keep,
+                    x.zero_point, x.bit_width, signed=x.signed,
+                    training=x.training)
             mask = jax.random.bernoulli(self.rngs.dropout(), keep, x.shape)
             return jnp.where(mask, x / keep, 0.0)
         return x

@@ -110,6 +110,10 @@ class _QuantConvNd(QuantWBIOL):
 
     def __call__(self, x):
         def inner(xv, wv, bv):
+            out_dtype = xv.dtype
+            cd = self.compute_dtype
+            if cd is not None:  # bf16 MXU operands, f32 accumulation
+                xv, wv = xv.astype(cd), wv.astype(cd)
             if self.transposed:
                 # torch ConvTranspose parity: the kernel correlates spatially
                 # flipped relative to jax.lax.conv_transpose's convention
@@ -127,7 +131,7 @@ class _QuantConvNd(QuantWBIOL):
                     preferred_element_type=jnp.float32)
             if bv is not None:
                 y = y + bv
-            return y.astype(xv.dtype)
+            return y.astype(out_dtype)
 
         return self.forward_quant(x, inner)
 

@@ -50,7 +50,15 @@ class QuantLinear(QuantWBIOL):
 
     def __call__(self, x):
         def inner(xv, wv, bv):
-            y = jnp.dot(xv, wv, preferred_element_type=jnp.float32)
+            # compute_dtype (bf16) casts only the MXU operands: fake-quant
+            # math and the f32 accumulator are untouched. Quantized values
+            # are scale*int with few significant bits, so the cast is
+            # (near-)lossless while the matmul runs at full MXU rate instead
+            # of the fp32 multi-pass decomposition.
+            cd = self.compute_dtype
+            a, b = (xv.astype(cd), wv.astype(cd)) if cd is not None \
+                else (xv, wv)
+            y = jnp.dot(a, b, preferred_element_type=jnp.float32)
             if bv is not None:
                 y = y + bv
             return y.astype(xv.dtype)

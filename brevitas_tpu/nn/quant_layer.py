@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from flax import nnx
 
 from brevitas_tpu.ops import ceil_ste, max_int
-from brevitas_tpu.quant.config import QuantConfig, QuantType
+from brevitas_tpu.quant.config import (BitWidthImplType, QuantConfig,
+                                        QuantType, ZeroPointImplType)
 from brevitas_tpu.quant.presets import NoneActQuant, NoneBiasQuant, NoneWeightQuant
 from brevitas_tpu.quant.quantizers import (
     ActQuantizer,
@@ -52,6 +53,31 @@ class QuantLayerMixin(TrainToggleMixin):
         if self.return_quant_tensor:
             return qt
         return qt.value
+
+
+def _static_leq(v, lim: float) -> bool:
+    """True when v is a compile-time-known value <= lim (const bit widths
+    stay concrete under jit; learned/traced ones fall back to False)."""
+    if v is None:
+        return False
+    try:
+        return float(v) <= lim
+    except Exception:
+        return False
+
+
+def _static_integer_zp(zp) -> bool:
+    """True when the zero point is statically known to be integral — then
+    value/scale = (code - zp) is an exact small integer and bf16-lossless."""
+    if zp is None:
+        return True
+    try:
+        import numpy as np
+
+        z = np.asarray(zp)
+        return bool(np.all(z == np.round(z)))
+    except Exception:
+        return False
 
 
 class QuantWBIOL(nnx.Module, QuantLayerMixin):
@@ -93,6 +119,10 @@ class QuantWBIOL(nnx.Module, QuantLayerMixin):
 
     # toggled recursively by set_attributes(training=...) from any parent
     training: bool = True
+    # when set (jnp.bfloat16), matmul/conv OPERANDS are cast to this dtype —
+    # f32 accumulation and all quantizer math stay f32. See
+    # utils.set_compute_dtype.
+    compute_dtype = None
 
     def quant_weight(self, input_bit_width=None,
                      input_signed=None) -> QuantTensor:
@@ -169,18 +199,43 @@ class QuantWBIOL(nnx.Module, QuantLayerMixin):
         if quant_input.signed is not None:
             output_signed = quant_input.signed or quant_weight.signed
 
+        # exact-code MXU path: with compute_dtype set and symmetric INT quant
+        # at <= 8 bits, feed the integer CODES (value/scale, exact small ints
+        # that bf16 represents losslessly) through the matmul and rescale the
+        # f32 accumulation by output_scale — bit-identical to the f32 path,
+        # but the MXU runs at bf16 rate instead of the fp32 decomposition.
+        code_domain = (
+            self.compute_dtype is not None
+            and output_scale is not None
+            and self.weight_quant.quant_type == QuantType.INT
+            and self.weight_quant.cfg.scaling_per_group is None
+            and _static_leq(quant_input.bit_width, 9.0)
+            and _static_leq(quant_weight.bit_width, 9.0)
+            and _static_integer_zp(quant_input.zero_point)
+            and _static_integer_zp(quant_weight.zero_point))
+        if code_domain:
+            x_in = quant_input.value / quant_input.scale
+            w_in = quant_weight.value / quant_weight.scale
+        else:
+            x_in, w_in = quant_input.value, quant_weight.value
+
         bias = getattr(self, "bias", None)
         if bias is not None:
             quant_bias = self.bias_quant(
                 bias[...], input_scale=output_scale,
                 input_bit_width=output_bit_width)
-            out = inner_forward(quant_input.value, quant_weight.value,
-                                quant_bias.value)
+            if code_domain:
+                out = inner_forward(x_in, w_in, None) * output_scale \
+                    + quant_bias.value
+            else:
+                out = inner_forward(x_in, w_in, quant_bias.value)
             if quant_bias.bit_width is not None and output_bit_width is not None:
                 output_bit_width = jnp.maximum(quant_bias.bit_width,
                                                output_bit_width) + 1
         else:
-            out = inner_forward(quant_input.value, quant_weight.value, None)
+            out = inner_forward(x_in, w_in, None)
+            if code_domain:
+                out = out * output_scale
 
         if (self.return_quant_tensor
                 and self.output_quant.quant_type == QuantType.NONE

@@ -23,3 +23,20 @@ def eval_mode(model: nnx.Module) -> nnx.Module:
     model.set_attributes(use_running_average=True, raise_if_not_found=False)
     model.set_attributes(deterministic=True, raise_if_not_found=False)
     return model
+
+
+def set_compute_dtype(model: nnx.Module, dtype) -> nnx.Module:
+    """Set the MXU operand dtype (usually jnp.bfloat16) on every WBIOL layer.
+
+    Fake-quant math, accumulators, params, and optimizer state all stay f32;
+    only the matmul/conv operands are cast, so the MXU runs at full bf16 rate
+    instead of the fp32 multi-pass decomposition. Pass None to restore f32
+    operands.
+    """
+    from brevitas_tpu.graph.base import named_modules
+    from brevitas_tpu.nn.quant_layer import QuantWBIOL
+
+    for _path, mod in named_modules(model):
+        if isinstance(mod, QuantWBIOL):
+            mod.compute_dtype = dtype
+    return model
