@@ -37,6 +37,15 @@ REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 def build(bits):
     model = lfc(weight_bit_width=bits, act_bit_width=bits, in_bit_width=bits,
                 dropout=0.0, rngs=nnx.Rngs(0))
+    if os.environ.get("BENCH_BF16", "1") != "0":
+        # bf16 MXU operands for QAT and FP alike (the standard TPU training
+        # recipe). For the QAT model this engages the EXACT-code path — int4
+        # codes on the MXU, f32 rescale — numerically identical to f32
+        # fake-quant but ~1.55x faster (PERF.md); the FP baseline gets the
+        # same bf16-operand treatment so the ratio stays apples-to-apples.
+        from brevitas_tpu.utils import set_compute_dtype
+
+        set_compute_dtype(model, jnp.bfloat16)
     optimizer = nnx.Optimizer(model, optax.adam(1e-3), wrt=nnx.Param)
 
     @nnx.jit

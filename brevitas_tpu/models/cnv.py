@@ -32,9 +32,12 @@ class CNV(nnx.Module, TrainToggleMixin):
                  act_bit_width: int = 1, in_bit_width: int = 8,
                  in_channels: int = 3, rngs: nnx.Rngs):
         # Q1.7 input format: 8-bit, [-1, 1-2^-7], power-of-two scale
+        # return_quant_tensor threads scale/bit-width metadata into the
+        # convs so the bf16 exact-code MXU path can engage (quant_layer
+        # code_domain; max-pool is metadata-passthrough like the reference)
         self.input_quant = QuantIdentity(common_act_quant(
             in_bit_width, max_val=1.0 - 2.0 ** (-7), narrow_range=False,
-            restrict=RestrictType.POWER_OF_TWO))
+            restrict=RestrictType.POWER_OF_TWO), return_quant_tensor=True)
         convs = []
         in_ch = in_channels
         for out_ch, pool in CNV_OUT_CH_POOL:
@@ -43,9 +46,10 @@ class CNV(nnx.Module, TrainToggleMixin):
                 weight_quant=common_weight_quant(weight_bit_width), rngs=rngs))
             convs.append(nnx.BatchNorm(out_ch, epsilon=1e-4,
                                        use_running_average=False, rngs=rngs))
-            convs.append(QuantIdentity(common_act_quant(act_bit_width)))
+            convs.append(QuantIdentity(common_act_quant(act_bit_width),
+                                       return_quant_tensor=True))
             if pool:
-                convs.append(QuantMaxPool2d(2))
+                convs.append(QuantMaxPool2d(2, return_quant_tensor=True))
             in_ch = out_ch
         self.conv_features = nnx.List(convs)
 
@@ -56,7 +60,8 @@ class CNV(nnx.Module, TrainToggleMixin):
                 weight_quant=common_weight_quant(weight_bit_width), rngs=rngs))
             fcs.append(nnx.BatchNorm(feat_out, epsilon=1e-4,
                                      use_running_average=False, rngs=rngs))
-            fcs.append(QuantIdentity(common_act_quant(act_bit_width)))
+            fcs.append(QuantIdentity(common_act_quant(act_bit_width),
+                                     return_quant_tensor=True))
         fcs.append(QuantLinear(
             LAST_FC_IN_FEATURES, num_classes, use_bias=False,
             weight_quant=common_weight_quant(weight_bit_width), rngs=rngs))
