@@ -56,7 +56,12 @@ def synthetic_batches(batch_size, n_batches, num_classes):
 def main(argv=None):
     p = argparse.ArgumentParser("brevitas_tpu imagenet eval")
     p.add_argument("--model", default="mobilenet_v1_4b", choices=list(MODELS))
-    p.add_argument("--dataset", default="synthetic", choices=["imagenet", "synthetic"])
+    p.add_argument("--dataset", default="synthetic",
+                   choices=["imagenet", "folder", "synthetic"],
+                   help="'folder' = torchvision-ImageFolder layout of image "
+                        "files, decoded + resized on host and "
+                        "crop/normalized on device (brevitas_tpu.vision — "
+                        "the reference's torchvision transform chain)")
     p.add_argument("--data-dir", default="./data/imagenet")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--batch-size", type=int, default=64)
@@ -83,9 +88,15 @@ def main(argv=None):
         return (jnp.sum(top1 == y),
                 jnp.sum(jnp.any(top5 == y[:, None], axis=-1)))
 
-    it = (load_npy_folder(args.data_dir, args.batch_size)
-          if args.dataset == "imagenet"
-          else synthetic_batches(args.batch_size, args.batches, args.num_classes))
+    if args.dataset == "imagenet":
+        it = load_npy_folder(args.data_dir, args.batch_size)
+    elif args.dataset == "folder":
+        from brevitas_tpu.vision import folder_batches
+
+        it = folder_batches(args.data_dir, args.batch_size)
+    else:
+        it = synthetic_batches(args.batch_size, args.batches,
+                               args.num_classes)
     c1 = c5 = n = 0
     t0 = time.time()
     for x, y in it:
