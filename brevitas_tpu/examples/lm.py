@@ -43,11 +43,18 @@ def _batches(text: str, seq_len: int, batch: int, steps: int, seed: int = 0):
 def train(steps: int = 200, batch: int = 32, seq_len: int = 64,
           dim: int = 128, depth: int = 2, heads: int = 4,
           bit_width: int = 8, lr: float = 1e-3, text: str = _CORPUS,
-          scan: bool = True, log=print):
+          scan: bool = True, bf16: bool = False, log=print):
     xs, ys, vocab = _batches(text, seq_len, batch, steps)
     model = QuantTransformer(vocab_size=vocab, dim=dim, depth=depth,
                              num_heads=heads, max_len=seq_len,
                              bit_width=bit_width, rngs=nnx.Rngs(0))
+    if bf16:
+        # exact-code MXU path: the quant layers carry their own input
+        # quantizers, so integer codes flow straight onto the bf16 MXU
+        # (nn/quant_layer.py code_domain) with f32 fake-quant semantics
+        from brevitas_tpu.utils import set_compute_dtype
+
+        set_compute_dtype(model, jnp.bfloat16)
     optimizer = nnx.Optimizer(model, optax.adam(lr), wrt=nnx.Param)
 
     def objective(m, x, y):
