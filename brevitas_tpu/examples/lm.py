@@ -118,6 +118,8 @@ def main(argv=None):
                    help="train on this file instead of the built-in corpus")
     p.add_argument("--no-scan", action="store_true",
                    help="one jit dispatch per step instead of a scanned epoch")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 MXU operands via the exact-code path")
     a = p.parse_args(argv)
     text = _CORPUS
     if a.text_file:
@@ -125,7 +127,7 @@ def main(argv=None):
             text = f.read()
     train(steps=a.steps, batch=a.batch, seq_len=a.seq_len, dim=a.dim,
           depth=a.depth, heads=a.heads, bit_width=a.bit_width, lr=a.lr,
-          text=text, scan=not a.no_scan)
+          text=text, scan=not a.no_scan, bf16=a.bf16)
 
 
 if __name__ == "__main__":
