@@ -47,6 +47,41 @@ def parse_network(name: str):
     return builder, kind, w_bits, a_bits
 
 
+def load_cfg(name_or_path: str):
+    """Resolve a reference-style .ini config (bnn_pynq/cfg/*.ini): returns
+    (model builder kwargs, kind, dataset). Accepts a bare name like
+    'lfc_1w1a' (resolved against examples/cfg/) or a path."""
+    import ast
+    import configparser
+
+    path = name_or_path
+    if not os.path.exists(path):
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "cfg", name_or_path.lower() + ".ini")
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"no cfg {name_or_path!r}")
+    cfg = configparser.ConfigParser()
+    cfg.read(path)
+    arch = cfg["MODEL"]["ARCH"].strip().upper()
+    kw = dict(weight_bit_width=cfg["QUANT"].getint("WEIGHT_BIT_WIDTH"),
+              act_bit_width=cfg["QUANT"].getint("ACT_BIT_WIDTH"),
+              in_bit_width=cfg["QUANT"].getint("IN_BIT_WIDTH"),
+              num_classes=cfg["MODEL"].getint("NUM_CLASSES", 10))
+    if arch == "FC":
+        from brevitas_tpu.models.fc import FC
+
+        feats = ast.literal_eval(cfg["MODEL"]["OUT_FEATURES"])
+        builder = lambda **k: FC(out_features=tuple(feats), **k)
+        kind = "fc"
+    else:
+        from brevitas_tpu.models.cnv import CNV
+
+        builder = lambda **k: CNV(
+            in_channels=cfg["MODEL"].getint("IN_CHANNELS", 3), **k)
+        kind = "cnv"
+    return builder, kw, kind, cfg["MODEL"].get("DATASET", "MNIST").lower()
+
+
 def sqr_hinge_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     """Squared hinge on +-1 one-hot targets (reference SqrHingeLoss,
     bnn_pynq/models/losses.py)."""
@@ -241,6 +276,9 @@ def main(argv=None):
     p = argparse.ArgumentParser("brevitas_tpu bnn_pynq trainer")
     p.add_argument("--network", default="LFC_1W1A",
                    help="{TFC,SFC,LFC,CNV}_{1W1A,1W2A,2W2A,...}")
+    p.add_argument("--cfg", default=None,
+                   help=".ini config (reference bnn_pynq/cfg format): a "
+                        "name like lfc_1w1a or a path; overrides --network")
     p.add_argument("--dataset", default="digits",
                    choices=["mnist", "cifar10", "digits", "synthetic"])
     p.add_argument("--data-dir", default=os.environ.get("DATA_DIR", "./data"))
@@ -260,13 +298,18 @@ def main(argv=None):
                         "device step")
     args = p.parse_args(argv)
 
-    builder, kind, w_bits, a_bits = parse_network(args.network)
     rngs = nnx.Rngs(args.seed)
-    model_kw = dict(weight_bit_width=w_bits, act_bit_width=a_bits, rngs=rngs)
-    if kind == "fc":
-        # reference cfgs set IN_BIT_WIDTH equal to the ACT bit width
-        # (e.g. tfc_1w2a.ini: WEIGHT 1, ACT 2, IN 2)
-        model_kw["in_bit_width"] = a_bits
+    if args.cfg:
+        builder, model_kw, kind, _ds = load_cfg(args.cfg)
+        model_kw["rngs"] = rngs
+    else:
+        builder, kind, w_bits, a_bits = parse_network(args.network)
+        model_kw = dict(weight_bit_width=w_bits, act_bit_width=a_bits,
+                        rngs=rngs)
+        if kind == "fc":
+            # reference cfgs set IN_BIT_WIDTH equal to the ACT bit width
+            # (e.g. tfc_1w2a.ini: WEIGHT 1, ACT 2, IN 2)
+            model_kw["in_bit_width"] = a_bits
     model = builder(**model_kw)
 
     if args.dataset == "mnist":

@@ -80,6 +80,15 @@ def _apply_output_quant(y: Array, frozen) -> Array:
     return (q - zp) * s
 
 
+
+def _val(x):
+    """Serving twins consume plain arrays; upstream quant layers may hand
+    over a QuantTensor (return_quant_tensor chains) — take its value."""
+    from brevitas_tpu.quant_tensor import QuantTensor
+
+    return x.value if isinstance(x, QuantTensor) else x
+
+
 class Int8InferenceLinear(nnx.Module):
     """Serving twin of a trained QuantLinear: cached int8 kernel + fused
     quantized GEMM."""
@@ -127,6 +136,7 @@ class Int8InferenceLinear(nnx.Module):
             self.w_packed = None
 
     def __call__(self, x: Array) -> Array:
+        x = _val(x)
         from brevitas_tpu.kernels import int8_matmul_reference
         from brevitas_tpu.kernels.int4 import int4_matmul, int4_matmul_reference
 
@@ -190,6 +200,7 @@ class Int8InferenceConv(nnx.Module):
             preferred_element_type=jnp.int32)
 
     def __call__(self, x: Array) -> Array:
+        x = _val(x)
         x_int = jnp.clip(jnp.round(x / self.x_scale + self.x_zp),
                          self.x_lo, self.x_hi)
         x_int = (x_int - self.x_shift).astype(jnp.int8)
@@ -266,6 +277,7 @@ class Int8InferenceAttention(nnx.Module):
 
     def __call__(self, x: Array, kv: Optional[Array] = None,
                  mask: Optional[Array] = None, causal: bool = False) -> Array:
+        x = _val(x)
         from brevitas_tpu.kernels import int8_attention_dispatch
 
         if mask is not None:
@@ -412,6 +424,7 @@ class WeightOnlyInt4InferenceLinear(nnx.Module):
             getattr(qlinear, "output_quant", None))
 
     def __call__(self, x: Array) -> Array:
+        x = _val(x)
         from brevitas_tpu.kernels.int4 import (
             int4_weight_only_matmul,
             int4_weight_only_matmul_reference,
@@ -469,6 +482,7 @@ class DynamicInt8InferenceLinear(nnx.Module):
             self.dynamic_output_quant = None
 
     def __call__(self, x: Array) -> Array:
+        x = _val(x)
         qt = self.input_quant(x)  # stateless dynamic fake-quant
         x_int = jnp.round(qt.value / qt.scale).astype(jnp.int8)
         flat = x_int.reshape(-1, x_int.shape[-1])
@@ -543,6 +557,7 @@ class Fp8InferenceLinear(nnx.Module):
             getattr(qlinear, "output_quant", None))
 
     def __call__(self, x: Array) -> Array:
+        x = _val(x)
         # saturating cast: beyond-max values become NaN (e4m3fn) or inf
         # (e5m2) without the clip
         x8 = jnp.clip(x / self.x_scale, -self.x_max, self.x_max) \

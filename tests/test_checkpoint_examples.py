@@ -174,3 +174,32 @@ def test_serve_demo_decode_mode():
     assert r8["tokens_per_sec"] > 0 and r4["tokens_per_sec"] > 0
     # nibble packing halves the cache allocation
     assert r4["kv_cache_bytes"] * 2 == r8["kv_cache_bytes"]
+
+
+def test_bnn_pynq_cfg_matrix_loads():
+    """The reference cfg/*.ini matrix (11 configs) resolves to the right
+    architectures and bit widths."""
+    from brevitas_tpu.examples.bnn_pynq import load_cfg
+
+    import os
+    cfg_dir = os.path.join(os.path.dirname(os.path.abspath(
+        __import__("brevitas_tpu.examples.bnn_pynq",
+                   fromlist=["__file__"]).__file__)), "cfg")
+    names = sorted(f[:-4] for f in os.listdir(cfg_dir) if f.endswith(".ini"))
+    assert len(names) == 11
+    for name in names:
+        builder, kw, kind, ds = load_cfg(name)
+        fam, tag = name.split("_")
+        assert kw["weight_bit_width"] == int(tag[0])
+        assert kw["act_bit_width"] == int(tag[2])
+        if fam == "cnv":
+            assert kind == "cnv" and ds == "cifar10"
+            assert kw["in_bit_width"] == 8
+        else:
+            assert kind == "fc" and ds == "mnist"
+            assert kw["in_bit_width"] == int(tag[2])
+    # ini bit widths drive the built model
+    from flax import nnx
+    b, kw, _, _ = load_cfg("sfc_2w2a")
+    m = b(rngs=nnx.Rngs(0), **kw)
+    assert m.hidden[0].weight[...].shape == (28 * 28, 256)
