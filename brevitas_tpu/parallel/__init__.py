@@ -13,9 +13,17 @@ from brevitas_tpu.parallel.mesh import (
     replicate_model,
     shard_model_by_rules,
 )
+from brevitas_tpu.parallel.multihost import (
+    global_batch_array,
+    global_mesh,
+    host_local_batch_slice,
+    initialize,
+)
 from brevitas_tpu.parallel.pipeline import pipeline_apply, stack_stage_params
 from brevitas_tpu.parallel.sequence import sequence_sharding, shard_sequence
 
 __all__ = ["make_mesh", "shard_model_by_rules", "replicate_model",
            "pipeline_apply", "stack_stage_params",
-           "sequence_sharding", "shard_sequence"]
+           "sequence_sharding", "shard_sequence",
+           "initialize", "global_mesh", "host_local_batch_slice",
+           "global_batch_array"]
