@@ -38,6 +38,23 @@ def export_onnx_qop(model, example_input, path=None, **kw) -> bytes:
 # conversion downstream, export/onnx/finn/manager.py:75)
 export_finn_onnx = export_qonnx
 
+
+def export_torch_qcdq(model, example_input, path=None):
+    """TorchScript QCDQ export (reference export_torch_qcdq →
+    TorchQCDQManager, export/torch/qcdq/manager.py:22). Lazy torch import."""
+    from brevitas_tpu.export.torch_backend import export_torch_qcdq as fn
+
+    return fn(model, example_input, path)
+
+
+def export_torch_qop(model, example_input, path=None):
+    """TorchScript quantized-op export (reference export_torch_qop →
+    TorchQOpManager, export/torch/qoperator/manager.py:24)."""
+    from brevitas_tpu.export.torch_backend import export_torch_qop as fn
+
+    return fn(model, example_input, path)
+
+
 __all__ = ["export_onnx_qcdq", "export_onnx_qop", "export_qonnx",
-           "export_finn_onnx", "export_native", "load_native", "run_onnx",
-           "export_model"]
+           "export_finn_onnx", "export_torch_qcdq", "export_torch_qop",
+           "export_native", "load_native", "run_onnx", "export_model"]

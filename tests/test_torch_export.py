@@ -1,0 +1,191 @@
+"""Torch-backend export tests (reference export/torch/{qcdq,qoperator}):
+the traced TorchScript twin must reproduce the NNX fake-quant model —
+bit-exact for QCDQ, within the reference's integer tolerance for QOp
+(tests/brevitas_ort/common.py:25 INT_TOLERANCE=2)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+import brevitas_tpu.nn as qnn
+from brevitas_tpu.export import export_torch_qcdq, export_torch_qop
+from brevitas_tpu.quant import presets
+from brevitas_tpu.utils import eval_mode
+
+torch = pytest.importorskip("torch")
+
+
+class SmallNet(nnx.Module):
+    def __init__(self, w_bits=8, a_bits=8, per_channel=False):
+        rngs = nnx.Rngs(0)
+        act = presets.Int8ActPerTensorFloat.let(collect_stats_steps=1,
+                                                bit_width=float(a_bits))
+        uact = presets.Uint8ActPerTensorFloat.let(collect_stats_steps=1,
+                                                  bit_width=float(a_bits))
+        wq = (presets.Int8WeightPerChannelFloat if per_channel
+              else presets.Int8WeightPerTensorFloat).let(
+                  bit_width=float(w_bits))
+        self.inp = qnn.QuantIdentity(act)
+        self.l1 = qnn.QuantLinear(16, 32, weight_quant=wq, rngs=rngs)
+        self.relu = qnn.QuantReLU(uact)
+        self.l2 = qnn.QuantLinear(32, 8, weight_quant=wq, rngs=rngs)
+
+    def export_layers(self):
+        return [self.inp, self.l1, self.relu, self.l2]
+
+    def __call__(self, x):
+        return self.l2(self.relu(self.l1(self.inp(x))))
+
+
+@pytest.mark.parametrize("bits", [8, 4, 2])
+@pytest.mark.parametrize("per_channel", [False, True])
+def test_torch_qcdq_matches_model(bits, per_channel, rng):
+    m = SmallNet(w_bits=bits, a_bits=bits, per_channel=per_channel)
+    x = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    m(x)  # collect act stats
+    eval_mode(m)
+    y_model = np.asarray(m(x))
+    ts = export_torch_qcdq(m, x)
+    y_torch = ts(torch.from_numpy(np.asarray(x).copy())).numpy()
+    np.testing.assert_allclose(y_torch, y_model, rtol=1e-5, atol=1e-5)
+
+
+def test_torch_qcdq_conv_net(rng):
+    class ConvNet(nnx.Module):
+        def __init__(self):
+            r = nnx.Rngs(0)
+            act = presets.Int8ActPerTensorFloat.let(collect_stats_steps=1)
+            uact = presets.Uint8ActPerTensorFloat.let(collect_stats_steps=1)
+            self.inp = qnn.QuantIdentity(act)
+            self.conv1 = qnn.QuantConv2d(
+                3, 8, 3, padding=1, rngs=r,
+                weight_quant=presets.Int8WeightPerChannelFloat)
+            self.relu1 = qnn.QuantReLU(uact)
+            self.pool = qnn.QuantMaxPool2d(2, 2)
+            self.conv2 = qnn.QuantConv2d(
+                8, 4, 3, padding=0, rngs=r,
+                weight_quant=presets.Int8WeightPerTensorFloat)
+
+        def export_layers(self):
+            return [self.inp, self.conv1, self.relu1, self.pool, self.conv2]
+
+        def __call__(self, x):
+            return self.conv2(self.pool(self.relu1(self.conv1(self.inp(x)))))
+
+    m = ConvNet()
+    m.conv1.bias[...] = jnp.asarray(
+        rng.standard_normal(8).astype(np.float32)) * 0.1
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 3)).astype(np.float32))
+    m(x)
+    eval_mode(m)
+    y_model = np.asarray(m(x))  # NHWC
+    ts = export_torch_qcdq(m, x)
+    x_nchw = torch.from_numpy(np.asarray(x).transpose(0, 3, 1, 2).copy())
+    y_torch = ts(x_nchw).numpy()
+    np.testing.assert_allclose(y_torch, y_model.transpose(0, 3, 1, 2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_torch_qcdq_save_load_roundtrip(rng, tmp_path):
+    m = SmallNet()
+    x = jnp.asarray(rng.standard_normal((2, 16)).astype(np.float32))
+    m(x)
+    eval_mode(m)
+    path = str(tmp_path / "smallnet_qcdq.pt")
+    export_torch_qcdq(m, x, path=path)
+    reloaded = torch.jit.load(path)
+    y_model = np.asarray(m(x))
+    y_torch = reloaded(torch.from_numpy(np.asarray(x).copy())).numpy()
+    np.testing.assert_allclose(y_torch, y_model, rtol=1e-5, atol=1e-5)
+
+
+class QOpNet(nnx.Module):
+    def __init__(self, use_bias: bool, per_channel: bool = False):
+        r = nnx.Rngs(0)
+        wq = (presets.Int8WeightPerChannelFloat if per_channel
+              else presets.Int8WeightPerTensorFloat)
+        act = presets.Int8ActPerTensorFloat.let(collect_stats_steps=1)
+        self.l1 = qnn.QuantLinear(
+            16, 32, use_bias=use_bias, weight_quant=wq,
+            input_quant=act, output_quant=act.let(), rngs=r)
+
+    def export_layers(self):
+        return [self.l1]
+
+    def __call__(self, x):
+        return self.l1(x)
+
+
+@pytest.mark.parametrize("use_bias", [False, True])
+@pytest.mark.parametrize("per_channel", [False, True])
+def test_torch_qop_linear_matches_model(use_bias, per_channel, rng):
+    m = QOpNet(use_bias, per_channel)
+    if use_bias:
+        m.l1.bias[...] = jnp.asarray(
+            rng.standard_normal(32).astype(np.float32)) * 0.1
+    x = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    m(x)
+    eval_mode(m)
+    y_model = np.asarray(m(x))
+    ts = export_torch_qop(m, x)
+    y_torch = ts(torch.from_numpy(np.asarray(x).copy())).numpy()
+    out_scale = float(np.asarray(m.l1.output_quant(y_model).scale))
+    np.testing.assert_allclose(y_torch, y_model, atol=2.1 * out_scale)
+
+
+def test_torch_qop_conv_matches_model(rng):
+    class ConvNet(nnx.Module):
+        def __init__(self):
+            r = nnx.Rngs(0)
+            act = presets.Int8ActPerTensorFloat.let(collect_stats_steps=1)
+            self.conv = qnn.QuantConv2d(
+                3, 8, 3, padding=1, rngs=r,
+                weight_quant=presets.Int8WeightPerChannelFloat,
+                input_quant=act, output_quant=act.let())
+
+        def export_layers(self):
+            return [self.conv]
+
+        def __call__(self, x):
+            return self.conv(x)
+
+    m = ConvNet()
+    m.conv.bias[...] = jnp.asarray(
+        rng.standard_normal(8).astype(np.float32)) * 0.1
+    x = jnp.asarray(rng.standard_normal((2, 6, 6, 3)).astype(np.float32))
+    m(x)
+    eval_mode(m)
+    y_model = np.asarray(m(x))  # NHWC
+    ts = export_torch_qop(m, x)
+    x_nchw = torch.from_numpy(np.asarray(x).transpose(0, 3, 1, 2).copy())
+    y_torch = ts(x_nchw).numpy()
+    out_scale = float(np.asarray(m.conv.output_quant(y_model).scale))
+    np.testing.assert_allclose(y_torch, y_model.transpose(0, 3, 1, 2),
+                               atol=2.1 * out_scale)
+
+
+def test_torch_qop_requires_io_quant(rng):
+    m = SmallNet()  # WBIOL layers lack input/output quant
+    x = jnp.asarray(rng.standard_normal((2, 16)).astype(np.float32))
+    m(x)
+    eval_mode(m)
+    with pytest.raises(ValueError, match="QOp export requires"):
+        export_torch_qop(m, x)
+
+
+def test_torch_qcdq_lfc(rng):
+    """The flagship bnn_pynq model family exports through the same walk
+    (INT4 variant; binary needs QONNX, as on the ONNX side)."""
+    from brevitas_tpu.models import lfc
+
+    model = lfc(weight_bit_width=4, act_bit_width=4, in_bit_width=4,
+                dropout=0.0, rngs=nnx.Rngs(0))
+    x = jnp.asarray(rng.random((2, 28, 28, 1)).astype(np.float32))
+    model(x)
+    eval_mode(model)
+    y_model = np.asarray(model(x))
+    ts = export_torch_qcdq(model, jnp.zeros((1, 784)))
+    x_flat = torch.from_numpy(np.asarray(x).reshape(2, -1).copy())
+    y_torch = ts(x_flat).numpy()
+    np.testing.assert_allclose(y_torch, y_model, rtol=1e-4, atol=1e-4)
