@@ -23,6 +23,13 @@ through ``torch.ao.nn.quantized`` modules, whose fused requantization can
 differ from the fake-quant model by an output LSB (reference tolerates the
 same vs ONNX Runtime, tests/brevitas_ort/common.py:25 INT_TOLERANCE).
 
+QOp portability note: the reference's torch QOp backend caps weights at 7
+bits (qoperator/handler/parameter.py ``validate_bit_width(..., 7, le_then=
+True)``) to guard fbgemm's int16 accumulation on pre-VNNI x86. This exporter
+allows full 8-bit weights — correct on AVX-VNNI/qnnpack/onednn backends —
+so on pre-VNNI x86 CPUs 8-bit-weight QOp artifacts may exceed INT_TOLERANCE;
+use ≤7-bit weights or the QCDQ flavor there.
+
 torch is imported lazily: the library works without it, export raises.
 """
 
@@ -159,7 +166,7 @@ def _t_linear(layer: QuantLinear, style: str) -> TorchFn:
         bias = torch.from_numpy(_exported_bias(layer, in_qt, qw).copy())
     out_fq = _act_fq_fn(layer.output_quant, (1, layer.out_features))
     if style == "qop":
-        return _t_qop_linear(layer, in_qt, qw, bias, out_fq)
+        return _t_qop_linear(layer, in_qt, in_fq, qw, bias, out_fq)
 
     def run(x):
         return F.linear(x, w, bias)
@@ -189,7 +196,7 @@ def _t_conv(layer, style: str) -> TorchFn:
         layer.output_quant,
         (1,) + (8,) * spatial + (layer.out_channels,))
     if style == "qop":
-        return _t_qop_conv(layer, in_qt, qw, w, bias, out_fq)
+        return _t_qop_conv(layer, in_qt, in_fq, qw, w, bias, out_fq)
 
     pad = _torch_pad(layer)
     conv = F.conv1d if spatial == 1 else F.conv2d
@@ -376,7 +383,11 @@ def _register_nnx_handlers():
 def _quint8_params(qt, narrow: bool, what: str):
     """(scale, quint8 zero-point) storing a ≤8-bit INT activation grid.
     Signed grids shift onto quint8 by +128 (exact; same trick as ONNX QOp
-    uint8 storage of signed activations)."""
+    uint8 storage of signed activations). Narrow-range grids are rejected
+    like the ONNX QOp exporter: quint8 storage can produce the -2^(bw-1)
+    code a narrow model grid excludes."""
+    if narrow:
+        raise ValueError(f"narrow quant not supported by QOp export ({what})")
     bw = float(np.asarray(qt.bit_width))
     if bw > 8.0:
         raise ValueError(f"QOp export stores {what} as quint8; {bw:g}-bit "
@@ -389,7 +400,26 @@ def _quint8_params(qt, narrow: bool, what: str):
     return scale, zp
 
 
-def _t_qop_linear(layer, in_qt, qw, bias, out_fq) -> TorchFn:
+def _qop_weight_zp_check(qw):
+    """torch qint8 weights are symmetric-only; the QOp modules hardcode a
+    zero weight zero-point, so reject asymmetric weight quantizers instead
+    of silently mis-exporting them (ONNX QOp exports the true zp)."""
+    zp = np.asarray(qw.zero_point, np.float64).reshape(-1)
+    if np.any(np.round(zp) != 0):
+        raise ValueError("torch QOp export requires symmetric (zero "
+                         "zero-point) weight quantizers")
+
+
+def _sub8_input_guard(in_fq, in_qt):
+    """quantize_per_tensor clamps to the full quint8 [0,255] range; a
+    sub-8-bit model grid clamps tighter. Re-apply the model's own input
+    fake-quant first so out-of-grid inputs saturate at the model's clamp
+    bounds, mirroring the ONNX QOp exporter's Clip for bw<8."""
+    bw = float(np.asarray(in_qt.bit_width))
+    return in_fq if bw < 8.0 else None
+
+
+def _t_qop_linear(layer, in_qt, in_fq, qw, bias, out_fq) -> TorchFn:
     import torch
 
     if in_qt is None or layer.output_quant.quant_type == QuantType.NONE:
@@ -400,6 +430,8 @@ def _t_qop_linear(layer, in_qt, qw, bias, out_fq) -> TorchFn:
     out_qt = layer.output_quant(jnp.zeros((1, layer.out_features), jnp.float32))
     y_scale, y_zp = _quint8_params(
         out_qt, layer.output_quant.cfg.narrow_range, "outputs")
+    sub8_fq = _sub8_input_guard(in_fq, in_qt)
+    _qop_weight_zp_check(qw)
     w_int = np.asarray(qw.int(), np.float32).T  # (out, in)
     w_scale = np.asarray(qw.scale, np.float32).reshape(-1)
     if w_scale.size > 1:
@@ -421,14 +453,14 @@ def _t_qop_linear(layer, in_qt, qw, bias, out_fq) -> TorchFn:
         xq = torch.quantize_per_tensor(x, x_scale, x_zp, torch.quint8)
         return mod(xq).dequantize()
 
-    # sub-8-bit output grids: the quantized module clamps to the full uint8
-    # range; re-apply the model's own (narrower) output fake-quant
-    fn = _chain(run, out_fq)
+    # sub-8-bit input/output grids: the quantized module clamps to the full
+    # uint8 range; re-apply the model's own (narrower) fake-quant around it
+    fn = _chain(sub8_fq, run, out_fq)
     fn._torch_mod = mod  # packed-params module must register for tracing
     return fn
 
 
-def _t_qop_conv(layer, in_qt, qw, w_oihw, bias, out_fq) -> TorchFn:
+def _t_qop_conv(layer, in_qt, in_fq, qw, w_oihw, bias, out_fq) -> TorchFn:
     import torch
 
     if in_qt is None or layer.output_quant.quant_type == QuantType.NONE:
@@ -442,6 +474,8 @@ def _t_qop_conv(layer, in_qt, qw, w_oihw, bias, out_fq) -> TorchFn:
         jnp.zeros((1, 8, 8, layer.out_channels), jnp.float32))
     y_scale, y_zp = _quint8_params(
         out_qt, layer.output_quant.cfg.narrow_range, "outputs")
+    sub8_fq = _sub8_input_guard(in_fq, in_qt)
+    _qop_weight_zp_check(qw)
     w_scale = np.asarray(qw.scale, np.float32).reshape(-1)
     if w_scale.size > 1:
         wq = torch.quantize_per_channel(
@@ -466,7 +500,7 @@ def _t_qop_conv(layer, in_qt, qw, w_oihw, bias, out_fq) -> TorchFn:
         xq = torch.quantize_per_tensor(x, x_scale, x_zp, torch.quint8)
         return mod(xq).dequantize()
 
-    fn = _chain(run, out_fq)
+    fn = _chain(sub8_fq, run, out_fq)
     fn._torch_mod = mod
     return fn
 

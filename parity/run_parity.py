@@ -1,0 +1,238 @@
+"""Head-to-head accuracy parity: brevitas_tpu vs the reference Brevitas.
+
+Trains the SAME topology (FC/CNV from the bnn_pynq family) on the SAME data
+(sklearn digits upscaled to MNIST/CIFAR geometry — the in-image stand-in, no
+egress) with the SAME bit-widths, loss (squared hinge), optimizer (Adam),
+schedule and per-step weight clipping in BOTH frameworks, then reports the
+top-1 delta. This measures the driver metric ("top-1 Δ vs Brevitas at equal
+bit-width", BASELINE.json) directly.
+
+Reference training recipe: `/root/reference/src/brevitas_examples/bnn_pynq/trainer.py:200-285`
+(Adam + SqrHingeLoss + `model.clip_weights(-1, 1)` per step).
+
+CLI::
+
+    python -m parity.run_parity --configs tfc_1w1a,tfc_2w2a --epochs 20
+
+prints one result line per config and a markdown table at the end.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# shared data
+# ---------------------------------------------------------------------------
+
+def digits_dataset(arch: str):
+    """Deterministic train/test split of sklearn digits in each arch's input
+    geometry. Returned as NHWC float32 in [0, 1] — the torch side transposes.
+
+    FC consumes 28x28x1 (MNIST geometry); CNV consumes 32x32x3 (CIFAR
+    geometry, grayscale replicated across channels).
+    """
+    from brevitas_tpu.examples.bnn_pynq import load_digits_upscaled
+
+    size = 32 if arch == "cnv" else 28
+    x_train, y_train = load_digits_upscaled("train", image_size=size)
+    x_test, y_test = load_digits_upscaled("test", image_size=size)
+    if arch == "cnv":
+        x_train = np.repeat(x_train, 3, axis=-1)
+        x_test = np.repeat(x_test, 3, axis=-1)
+    return x_train, y_train, x_test, y_test
+
+
+def epoch_batches(n: int, batch_size: int, seed: int):
+    """The SAME batch index order for both frameworks."""
+    rng = np.random.default_rng(seed)
+    idx = rng.permutation(n)
+    return [idx[i * batch_size:(i + 1) * batch_size]
+            for i in range(n // batch_size)]
+
+
+ARCH_HIDDEN = {"tfc": (64, 64, 64), "sfc": (256, 256, 256),
+               "lfc": (1024, 1024, 1024)}
+
+
+# ---------------------------------------------------------------------------
+# reference side (torch)
+# ---------------------------------------------------------------------------
+
+def build_reference_model(arch: str, w: int, a: int, in_bw: int, seed: int):
+    from parity.refbridge import import_reference_brevitas
+    import_reference_brevitas()
+    import torch
+    torch.manual_seed(seed)
+    if arch == "cnv":
+        from brevitas_examples.bnn_pynq.models.CNV import CNV
+        return CNV(num_classes=10, weight_bit_width=w, act_bit_width=a,
+                   in_bit_width=in_bw, in_ch=3)
+    from brevitas_examples.bnn_pynq.models.FC import FC
+    return FC(num_classes=10, weight_bit_width=w, act_bit_width=a,
+              in_bit_width=in_bw, in_channels=1,
+              out_features=list(ARCH_HIDDEN[arch]), in_features=(28, 28))
+
+
+def train_eval_reference(arch, w, a, in_bw, epochs, batch_size, lr, seed=42):
+    """Train the reference model; returns (top1, model)."""
+    from parity.refbridge import import_reference_brevitas
+    import_reference_brevitas()
+    import torch
+    from brevitas_examples.bnn_pynq.models.losses import SqrHingeLoss
+
+    x_train, y_train, x_test, y_test = digits_dataset(arch)
+    model = build_reference_model(arch, w, a, in_bw, seed)
+    criterion = SqrHingeLoss()
+    opt = torch.optim.Adam(model.parameters(), lr=lr)
+    xt = torch.from_numpy(np.transpose(x_train, (0, 3, 1, 2))).contiguous()
+    yt_onehot = torch.full((len(y_train), 10), -1.0)
+    yt_onehot[np.arange(len(y_train)), y_train] = 1.0
+
+    model.train()
+    for ep in range(epochs):
+        for sel in epoch_batches(len(x_train), batch_size, seed=ep):
+            sel = np.asarray(sel)
+            out = model(xt[sel])
+            loss = criterion(out, yt_onehot[sel])
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            model.clip_weights(-1.0, 1.0)
+
+    model.eval()
+    with torch.no_grad():
+        xe = torch.from_numpy(np.transpose(x_test, (0, 3, 1, 2))).contiguous()
+        pred = model(xe).argmax(-1).numpy()
+    return float((pred == y_test).mean()), model
+
+
+# ---------------------------------------------------------------------------
+# tpu side (brevitas_tpu)
+# ---------------------------------------------------------------------------
+
+def build_tpu_model(arch: str, w: int, a: int, in_bw: int, seed: int,
+                    dropout: float = 0.2):
+    from flax import nnx
+
+    from brevitas_tpu.models import cnv, fc as fc_mod
+    if arch == "cnv":
+        return cnv(w, a, in_bw, rngs=nnx.Rngs(seed))
+    from brevitas_tpu.models.fc import FC
+    return FC(out_features=ARCH_HIDDEN[arch], weight_bit_width=w,
+              act_bit_width=a, in_bit_width=in_bw, dropout=dropout,
+              rngs=nnx.Rngs(seed))
+
+
+def train_eval_tpu(arch, w, a, in_bw, epochs, batch_size, lr, seed=42):
+    import jax.numpy as jnp
+    import optax
+    from flax import nnx
+
+    from brevitas_tpu.examples.bnn_pynq import evaluate, train_step
+
+    x_train, y_train, x_test, y_test = digits_dataset(arch)
+    model = build_tpu_model(arch, w, a, in_bw, seed)
+    opt = nnx.Optimizer(model, optax.adam(lr), wrt=nnx.Param)
+    model.train_mode()
+    for ep in range(epochs):
+        for sel in epoch_batches(len(x_train), batch_size, seed=ep):
+            train_step(model, opt, jnp.asarray(x_train[sel]),
+                       jnp.asarray(y_train[sel]))
+    return evaluate(model, x_test, y_test, batch_size=256), model
+
+
+# ---------------------------------------------------------------------------
+# eval parity on an imported reference checkpoint
+# ---------------------------------------------------------------------------
+
+def logits_parity(arch, w, a, in_bw, ref_model, atol_report=True):
+    """Import the reference-trained state dict into the twin brevitas_tpu
+    model and return the max |logit delta| + top-1 agreement on the test set.
+    """
+    import jax.numpy as jnp
+    import torch
+
+    from brevitas_tpu.interop.torch_import import import_torch_state_dict
+
+    _, _, x_test, y_test = digits_dataset(arch)
+    sd = {k: v.detach().cpu().numpy()
+          for k, v in ref_model.state_dict().items()}
+    model = build_tpu_model(arch, w, a, in_bw, seed=0)
+    import_torch_state_dict(model, sd)
+    model.eval_mode()
+    logits_tpu = np.asarray(model(jnp.asarray(x_test)))
+    ref_model.eval()
+    with torch.no_grad():
+        xe = torch.from_numpy(np.transpose(x_test, (0, 3, 1, 2))).contiguous()
+        logits_ref = ref_model(xe).numpy()
+    max_delta = float(np.abs(logits_tpu - logits_ref).max())
+    agree = float((logits_tpu.argmax(-1) == logits_ref.argmax(-1)).mean())
+    return max_delta, agree
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+DEFAULT_CONFIGS = ["tfc_1w1a", "tfc_1w2a", "tfc_2w2a", "tfc_4w4a", "cnv_1w1a"]
+
+
+def parse_config(name: str):
+    arch, bits = name.split("_")
+    w = int(bits[0])
+    a = int(bits[2])
+    in_bw = 8 if arch == "cnv" else w
+    return arch, w, a, in_bw
+
+
+def run_config(name, epochs, batch_size, lr, seed=42, with_logits=True):
+    arch, w, a, in_bw = parse_config(name)
+    t0 = time.time()
+    acc_ref, ref_model = train_eval_reference(
+        arch, w, a, in_bw, epochs, batch_size, lr, seed)
+    t_ref = time.time() - t0
+    t0 = time.time()
+    acc_tpu, _ = train_eval_tpu(arch, w, a, in_bw, epochs, batch_size, lr, seed)
+    t_tpu = time.time() - t0
+    row = {"config": name, "epochs": epochs,
+           "ref_top1": round(acc_ref, 4), "tpu_top1": round(acc_tpu, 4),
+           "delta": round(acc_tpu - acc_ref, 4),
+           "ref_s": round(t_ref, 1), "tpu_s": round(t_tpu, 1)}
+    if with_logits:
+        max_delta, agree = logits_parity(arch, w, a, in_bw, ref_model)
+        row["import_logit_maxdiff"] = round(max_delta, 5)
+        row["import_top1_agreement"] = round(agree, 4)
+    return row
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--configs", default=",".join(DEFAULT_CONFIGS))
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--lr", type=float, default=0.02)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--no-logits", action="store_true")
+    args = p.parse_args(argv)
+
+    rows = []
+    for name in args.configs.split(","):
+        row = run_config(name.strip(), args.epochs, args.batch_size, args.lr,
+                         args.seed, with_logits=not args.no_logits)
+        print(json.dumps(row))
+        rows.append(row)
+
+    print("\n| config | epochs | reference top-1 | brevitas_tpu top-1 | Δ |")
+    print("|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['config']} | {r['epochs']} | {r['ref_top1']:.4f} "
+              f"| {r['tpu_top1']:.4f} | {r['delta']:+.4f} |")
+    return rows
+
+
+if __name__ == "__main__":
+    main()

@@ -26,20 +26,27 @@ def _train_digits(model, epochs=3, batch=64, lr=0.02):
     return evaluate(model, x_test, y_test, batch_size=128)
 
 
+# Floors derived from the measured head-to-head vs the reference (PARITY.md:
+# 20-epoch digits training reaches ref 0.922/0.939/0.969/0.981 for
+# 1W1A/1W2A/2W2A/4W4A and brevitas_tpu matches within 1.4 points). At the
+# 10-epoch budget used here both frameworks sit a few points below that;
+# floors = measured 10-epoch value minus ~3 points of seed noise.
+TEN_EPOCH_FLOORS = {(1, 1): 0.82, (1, 2): 0.85, (2, 2): 0.88, (4, 4): 0.90}
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("w,a", [(1, 1), (1, 2), (2, 2), (4, 4)])
 def test_tfc_bit_width_matrix_converges(w, a):
     model = tfc(w, a, in_bit_width=w, dropout=0.0, rngs=nnx.Rngs(0))
-    acc = _train_digits(model, epochs=3)
-    # 10-class digits, 3 epochs on 1437 images; chance = 0.1
-    assert acc > 0.5, f"TFC_{w}W{a}A accuracy {acc}"
+    acc = _train_digits(model, epochs=10)
+    assert acc > TEN_EPOCH_FLOORS[(w, a)], f"TFC_{w}W{a}A accuracy {acc}"
 
 
 @pytest.mark.slow
 def test_higher_precision_not_worse():
-    acc1 = _train_digits(tfc(1, 1, 1, dropout=0.0, rngs=nnx.Rngs(0)), epochs=3)
-    acc4 = _train_digits(tfc(4, 4, 4, dropout=0.0, rngs=nnx.Rngs(0)), epochs=3)
-    assert acc4 >= acc1 - 0.1
+    acc1 = _train_digits(tfc(1, 1, 1, dropout=0.0, rngs=nnx.Rngs(0)), epochs=10)
+    acc4 = _train_digits(tfc(4, 4, 4, dropout=0.0, rngs=nnx.Rngs(0)), epochs=10)
+    assert acc4 >= acc1 - 0.03
 
 
 @pytest.mark.slow

@@ -112,3 +112,81 @@ def test_make_loader_fallback(monkeypatch):
     ld2 = make_loader(x, y, batch_size=8)
     assert isinstance(ld2, NativeDataLoader)
     ld2.close()
+
+
+# ---------------------------------------------------------------------------
+# real-dataset file formats (bnn_pynq example loaders) on synthetic fixtures
+# ---------------------------------------------------------------------------
+
+
+def _write_idx(path, array):
+    """Write a numpy uint8 array in IDX format (the MNIST wire format)."""
+    import struct
+
+    with open(path, "wb") as f:
+        f.write(struct.pack(">HBB", 0, 0x08, array.ndim))
+        f.write(struct.pack(f">{array.ndim}I", *array.shape))
+        f.write(array.astype(np.uint8).tobytes())
+
+
+def test_load_mnist_idx_roundtrip(tmp_path):
+    """load_mnist parses real IDX files (both splits, raw and gzip)."""
+    import gzip
+
+    from brevitas_tpu.examples.bnn_pynq import load_mnist
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (16, 28, 28)).astype(np.uint8)
+    lbls = rng.integers(0, 10, 16).astype(np.uint8)
+    _write_idx(tmp_path / "train-images-idx3-ubyte", imgs)
+    _write_idx(tmp_path / "train-labels-idx1-ubyte", lbls)
+    x, y = load_mnist(str(tmp_path), "train")
+    assert x.shape == (16, 28, 28, 1) and x.dtype == np.float32
+    np.testing.assert_allclose(x[..., 0], imgs / 255.0)
+    np.testing.assert_array_equal(y, lbls.astype(np.int32))
+
+    # test split, gzipped flavor
+    _write_idx(tmp_path / "t10k-images-idx3-ubyte", imgs[:4])
+    _write_idx(tmp_path / "t10k-labels-idx1-ubyte", lbls[:4])
+    for name in ("t10k-images-idx3-ubyte", "t10k-labels-idx1-ubyte"):
+        with open(tmp_path / name, "rb") as f:
+            data = f.read()
+        with gzip.open(tmp_path / (name + ".gz"), "wb") as f:
+            f.write(data)
+        (tmp_path / name).unlink()
+    x2, y2 = load_mnist(str(tmp_path), "test")
+    assert x2.shape == (4, 28, 28, 1)
+    np.testing.assert_array_equal(y2, lbls[:4].astype(np.int32))
+
+    with pytest.raises(FileNotFoundError):
+        load_mnist(str(tmp_path / "missing"), "train")
+
+
+def test_load_cifar10_pickle_roundtrip(tmp_path):
+    """load_cifar10 parses python-version batch pickles (CHW->HWC layout)."""
+    import pickle
+
+    from brevitas_tpu.examples.bnn_pynq import load_cifar10
+
+    rng = np.random.default_rng(1)
+    per_batch = 8
+    raw = {}
+    for i in range(1, 6):
+        data = rng.integers(0, 256, (per_batch, 3 * 32 * 32)).astype(np.uint8)
+        labels = rng.integers(0, 10, per_batch).tolist()
+        raw[i] = (data, labels)
+        with open(tmp_path / f"data_batch_{i}", "wb") as f:
+            pickle.dump({b"data": data, b"labels": labels}, f)
+    test_data = rng.integers(0, 256, (per_batch, 3072)).astype(np.uint8)
+    with open(tmp_path / "test_batch", "wb") as f:
+        pickle.dump({b"data": test_data,
+                     b"labels": rng.integers(0, 10, per_batch).tolist()}, f)
+
+    x, y = load_cifar10(str(tmp_path), "train")
+    assert x.shape == (5 * per_batch, 32, 32, 3) and x.dtype == np.float32
+    assert y.shape == (5 * per_batch,)
+    # CHW pickle layout lands in NHWC: red channel of image 0 of batch 1
+    np.testing.assert_allclose(
+        x[0, :, :, 0], raw[1][0][0, :1024].reshape(32, 32) / 255.0)
+    xt, yt = load_cifar10(str(tmp_path), "test")
+    assert xt.shape == (per_batch, 32, 32, 3)

@@ -1,0 +1,100 @@
+"""Head-to-head parity vs the ACTUAL reference (imported from
+/root/reference/src via parity.refbridge).
+
+This is the driver metric made into tests: same topology, same data, same
+bit-widths, same optimizer/loss/schedule in both frameworks, assert the top-1
+delta. Measured full-matrix results live in PARITY.md §"Measured head-to-head"
+(run via ``python -m parity.run_parity``).
+
+Reference recipe matched: `/root/reference/src/brevitas_examples/bnn_pynq/trainer.py:200-285`.
+"""
+
+import numpy as np
+import pytest
+
+from parity.refbridge import reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference tree not importable")
+
+
+def test_reference_imports_and_runs():
+    """The dependency-injection shim resolves real reference quantizers."""
+    import torch
+
+    from brevitas.nn import QuantLinear
+    from brevitas.quant.scaled_int import Int8WeightPerChannelFloat
+
+    layer = QuantLinear(8, 4, bias=True, weight_bit_width=4)
+    out = layer(torch.randn(2, 8))
+    assert out.shape == (2, 4)
+    layer_pc = QuantLinear(8, 4, bias=False,
+                           weight_quant=Int8WeightPerChannelFloat)
+    assert tuple(layer_pc.quant_weight().scale.shape) == (4, 1)
+    loss = layer(torch.randn(2, 8)).sum()
+    loss.backward()
+    assert float(layer.weight.grad.norm()) > 0  # STE passes gradients
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("config,tol", [("tfc_1w1a", 0.04), ("tfc_2w2a", 0.04)])
+def test_tfc_accuracy_parity(config, tol):
+    """Train the same TFC in both frameworks for 10 epochs on the same data
+    with the same batch order; top-1 within ``tol`` (full 20-epoch matrix in
+    PARITY.md measured |delta| <= 0.014)."""
+    from parity.run_parity import run_config
+
+    row = run_config(config, epochs=10, batch_size=64, lr=0.02,
+                     with_logits=False)
+    assert abs(row["delta"]) <= tol, row
+
+
+@pytest.mark.slow
+def test_reference_checkpoint_import_logit_parity():
+    """Train the reference TFC_1W2A briefly, import its state dict into the
+    brevitas_tpu twin, and require (near-)bit-exact eval logits."""
+    from parity.run_parity import (
+        logits_parity,
+        parse_config,
+        train_eval_reference,
+    )
+
+    arch, w, a, in_bw = parse_config("tfc_1w2a")
+    _, ref_model = train_eval_reference(arch, w, a, in_bw, epochs=3,
+                                        batch_size=64, lr=0.02)
+    max_delta, agree = logits_parity(arch, w, a, in_bw, ref_model)
+    # binary weights + 2-bit acts import bit-exactly (measured 0.0)
+    assert max_delta <= 1e-4, max_delta
+    assert agree == 1.0
+
+
+@pytest.mark.slow
+def test_reference_quant_weight_numerics_match():
+    """The two frameworks' INT weight fake-quant laws agree on the same
+    tensor: build a reference QuantLinear, copy its weight into the twin,
+    compare quant_weight() elementwise (per-tensor and per-channel)."""
+    import jax.numpy as jnp
+    import torch
+    from flax import nnx
+
+    from brevitas.nn import QuantLinear as RefQuantLinear
+    from brevitas.quant.scaled_int import (
+        Int8WeightPerChannelFloat,
+        Int8WeightPerTensorFloat,
+    )
+
+    from brevitas_tpu.nn import QuantLinear
+    from brevitas_tpu.quant import presets
+
+    for ref_q, tpu_q in [(Int8WeightPerTensorFloat,
+                          presets.Int8WeightPerTensorFloat),
+                         (Int8WeightPerChannelFloat,
+                          presets.Int8WeightPerChannelFloat)]:
+        torch.manual_seed(0)
+        ref = RefQuantLinear(16, 8, bias=False, weight_quant=ref_q)
+        qw_ref = ref.quant_weight().value.detach().numpy()  # (out, in)
+        tpu = QuantLinear(16, 8, use_bias=False, weight_quant=tpu_q,
+                          rngs=nnx.Rngs(0))
+        tpu.weight[...] = jnp.asarray(ref.weight.detach().numpy().T)
+        qw_tpu = np.asarray(tpu.quant_weight().value).T
+        np.testing.assert_allclose(qw_tpu, qw_ref, rtol=1e-5, atol=1e-6)

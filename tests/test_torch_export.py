@@ -165,6 +165,96 @@ def test_torch_qop_conv_matches_model(rng):
                                atol=2.1 * out_scale)
 
 
+def test_torch_qop_sub8_input_clamps_to_model_grid(rng):
+    """A 4-bit-input QOp export must saturate inputs at the 4-bit grid bounds
+    like the fake-quant model does, not at quint8's [0,255] (the quantized
+    module's storage range). Regression: inputs beyond the 4-bit range used
+    to diverge by ~160 output LSBs."""
+    class Sub8Net(nnx.Module):
+        def __init__(self):
+            r = nnx.Rngs(0)
+            in_act = presets.Int8ActPerTensorFloat.let(
+                collect_stats_steps=1, bit_width=4.0)
+            out_act = presets.Int8ActPerTensorFloat.let(collect_stats_steps=1)
+            self.l1 = qnn.QuantLinear(
+                16, 32, use_bias=False,
+                weight_quant=presets.Int8WeightPerTensorFloat,
+                input_quant=in_act, output_quant=out_act, rngs=r)
+
+        def export_layers(self):
+            return [self.l1]
+
+        def __call__(self, x):
+            return self.l1(x)
+
+    m = Sub8Net()
+    x_calib = jnp.asarray(rng.standard_normal((8, 16)).astype(np.float32))
+    m(x_calib)
+    eval_mode(m)
+    # inputs 4x beyond the calibrated 4-bit range: the model clamps them
+    x = 4.0 * x_calib[:4]
+    y_model = np.asarray(m(x))
+    ts = export_torch_qop(m, x)
+    y_torch = ts(torch.from_numpy(np.asarray(x).copy())).numpy()
+    out_scale = float(np.asarray(m.l1.output_quant(y_model).scale))
+    np.testing.assert_allclose(y_torch, y_model, atol=2.1 * out_scale)
+
+
+def test_torch_qop_rejects_narrow_io_quant(rng):
+    """Narrow-range input/output grids cannot be stored as quint8 (the
+    storage can produce the code the narrow grid excludes) — must raise,
+    matching the ONNX QOp validation."""
+    class NarrowNet(nnx.Module):
+        def __init__(self):
+            r = nnx.Rngs(0)
+            act = presets.Int8ActPerTensorFloat.let(
+                collect_stats_steps=1, narrow_range=True)
+            self.l1 = qnn.QuantLinear(
+                16, 32, use_bias=False,
+                weight_quant=presets.Int8WeightPerTensorFloat,
+                input_quant=act, output_quant=act.let(), rngs=r)
+
+        def export_layers(self):
+            return [self.l1]
+
+        def __call__(self, x):
+            return self.l1(x)
+
+    m = NarrowNet()
+    x = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    m(x)
+    eval_mode(m)
+    with pytest.raises(ValueError, match="narrow quant not supported"):
+        export_torch_qop(m, x)
+
+
+def test_torch_qop_rejects_asymmetric_weights(rng):
+    """torch qint8 weights are symmetric-only; the QOp modules hardcode a
+    zero weight zero-point, so a shifted weight quantizer must raise rather
+    than silently exporting wrong integer weights."""
+    class ShiftedWNet(nnx.Module):
+        def __init__(self):
+            r = nnx.Rngs(0)
+            act = presets.Int8ActPerTensorFloat.let(collect_stats_steps=1)
+            self.l1 = qnn.QuantLinear(
+                16, 32, use_bias=False,
+                weight_quant=presets.ShiftedUint8WeightPerTensorFloat,
+                input_quant=act, output_quant=act.let(), rngs=r)
+
+        def export_layers(self):
+            return [self.l1]
+
+        def __call__(self, x):
+            return self.l1(x)
+
+    m = ShiftedWNet()
+    x = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    m(x)
+    eval_mode(m)
+    with pytest.raises(ValueError, match="symmetric"):
+        export_torch_qop(m, x)
+
+
 def test_torch_qop_requires_io_quant(rng):
     m = SmallNet()  # WBIOL layers lack input/output quant
     x = jnp.asarray(rng.standard_normal((2, 16)).astype(np.float32))
