@@ -1,22 +1,41 @@
-"""Benchmark: LFC INT4 QAT train-step throughput (images/sec/chip).
+"""Benchmark suite over the BASELINE config list (BASELINE.md).
 
-The BASELINE headline config: "LFC 3-layer MLP on MNIST, per-tensor INT4
-weights/acts". The reference publishes no throughput numbers (BASELINE.md),
-so ``vs_baseline`` reports QAT throughput relative to the SAME model's
-unquantized FP step on the same chip — i.e. how close fake-quant training is
-to free. 1.0 means quantization costs nothing.
+Legs (each a scanned multi-step program under ONE jit, fully synced via
+``jax.device_get``; QAT legs are timed INTERLEAVED with their FP twin so
+shared-chip slow periods cancel in the ratio):
 
-Prints exactly one JSON line.
+- ``lfc_int4_qat``        LFC MLP INT4 per-tensor QAT train step (headline)
+- ``cnv_int4pc_qat``      CNV CIFAR-10 INT4 per-channel QAT train step
+- ``cnv_int8pc_qat``      CNV CIFAR-10 INT8 per-channel QAT train step
+- ``quantlstm_int8_qat``  2-layer QuantLSTM INT8 QAT train step
+- ``lfc_int8_serving``    LFC int8 integer-domain eval (convert_int path)
+- ``quartznet_int8_serving`` QuartzNet 15x5 INT8 integer-domain eval
+
+``vs_baseline`` semantics: QAT legs report QAT/FP throughput on the same
+chip (1.0 = fake-quant training is free — the reference publishes no speed
+numbers, BASELINE.md); serving legs report int-serving/float-eval (>1 =
+integer serving is faster than float eval). Each leg also reports ``mfu``
+(model FLOPs / measured time / chip peak) when XLA cost analysis is
+available.
+
+Prints one JSON line per completed leg; the FINAL line is the headline
+LFC record (same schema as round 1) carrying all legs under ``"configs"``.
+
+Env knobs: ``BENCH_CONFIGS`` (comma subset of leg names), ``BENCH_REPEATS``,
+``BENCH_BF16`` (default on), ``BENCH_LEG_TIMEOUT_S`` (per-leg compile+run
+budget, default 600 — the remote-compile service can take minutes for one
+graph).
 """
 
 import json
 import os
+import sys
 import time
 
 import jax
 
 # persistent compilation cache: the remote-compile tunnel can take minutes
-# for the scanned train-step graph; cache hits make reruns fast
+# for a scanned train-step graph; cache hits make reruns fast
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
@@ -26,115 +45,43 @@ import optax
 from flax import nnx
 
 from brevitas_tpu.examples.bnn_pynq import sqr_hinge_loss
-from brevitas_tpu.models import lfc
 
-BATCH = 1024
-WARMUP = 5
-STEPS = 30
 REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+LEG_TIMEOUT_S = int(os.environ.get("BENCH_LEG_TIMEOUT_S", "600"))
+BF16 = os.environ.get("BENCH_BF16", "1") != "0"
+
+# ratio from the most recent successful paired LFC measurement on this chip
+# — used only when the FP baseline exceeds its time budget (the remote
+# compile service occasionally takes ~8 minutes for one graph)
+_FALLBACK_VS_BASELINE = 1.008
+
+# chip peaks for MFU (v5e / "TPU v5 lite"); MFU is omitted on other chips
+_V5E_PEAK = {"bf16": 197e12, "f32": 197e12 / 4, "int8": 394e12}
 
 
-def build(bits):
-    model = lfc(weight_bit_width=bits, act_bit_width=bits, in_bit_width=bits,
-                dropout=0.0, rngs=nnx.Rngs(0))
-    if os.environ.get("BENCH_BF16", "1") != "0":
+def _peak_flops():
+    kind = jax.devices()[0].device_kind.lower()
+    if "v5 lite" in kind or "v5e" in kind:
+        return _V5E_PEAK["bf16"] if BF16 else _V5E_PEAK["f32"]
+    return None
+
+
+def _maybe_bf16(model):
+    if BF16:
         # bf16 MXU operands for QAT and FP alike (the standard TPU training
-        # recipe). For the QAT model this engages the EXACT-code path — int4
-        # codes on the MXU, f32 rescale — numerically identical to f32
-        # fake-quant but ~1.55x faster (PERF.md); the FP baseline gets the
-        # same bf16-operand treatment so the ratio stays apples-to-apples.
+        # recipe). For QAT this engages the EXACT-code path — int codes on
+        # the MXU, f32 rescale — numerically identical to f32 fake-quant but
+        # ~1.55x faster (PERF.md); FP baselines get the same treatment so
+        # ratios stay apples-to-apples.
         from brevitas_tpu.utils import set_compute_dtype
 
         set_compute_dtype(model, jnp.bfloat16)
-    optimizer = nnx.Optimizer(model, optax.adam(1e-3), wrt=nnx.Param)
-
-    @nnx.jit
-    def step(model, optimizer, x, y):
-        loss, grads = nnx.value_and_grad(
-            lambda m: sqr_hinge_loss(m(x), y))(model)
-        optimizer.update(model, grads)
-        model.clip_weights(-1.0, 1.0)
-        return loss
-
-    return model, optimizer, step
-
-
-def time_steps(bits):
-    model, optimizer, step = build(bits)
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.random((BATCH, 28, 28, 1), dtype=np.float32))
-    y = jnp.asarray(rng.integers(0, 10, BATCH).astype(np.int32))
-    for _ in range(WARMUP):
-        jax.device_get(step(model, optimizer, x, y))
-    t0 = time.perf_counter()
-    for _ in range(STEPS):
-        loss = step(model, optimizer, x, y)
-    jax.device_get(loss)  # full sync — block_until_ready under-syncs via the
-    dt = time.perf_counter() - t0  # axon relay (see PERF.md)
-    return BATCH * STEPS / dt
-
-
-def prepare_scanned(bits):
-    """Whole multi-step epoch inside ONE jit (lax.scan over batches) —
-    amortizes per-dispatch overhead, the production train-loop shape.
-    Returns a zero-arg callable that runs ONE fully-synced epoch; the first
-    call here compiles and warms it."""
-    model, optimizer, _ = build(bits)
-    from brevitas_tpu.examples.bnn_pynq import sqr_hinge_loss
-
-    rng = np.random.default_rng(0)
-    xs = jnp.asarray(rng.random((STEPS, BATCH, 28, 28, 1), dtype=np.float32))
-    ys = jnp.asarray(rng.integers(0, 10, (STEPS, BATCH)).astype(np.int32))
-    graphdef, state = nnx.split((model, optimizer))
-
-    @jax.jit
-    def epoch(state, xs, ys):
-        def body(state, batch):
-            x, y = batch
-            m, opt = nnx.merge(graphdef, state)
-            loss, grads = nnx.value_and_grad(
-                lambda mm: sqr_hinge_loss(mm(x), y))(m)
-            opt.update(m, grads)
-            m.clip_weights(-1.0, 1.0)
-            _, state = nnx.split((m, opt))
-            return state, loss
-        state, losses = jax.lax.scan(body, state, (xs, ys))
-        return state, losses
-
-    box = {"state": state}
-
-    def run_once():
-        box["state"], losses = epoch(box["state"], xs, ys)
-        jax.device_get(losses)  # full sync (see PERF.md on relay semantics)
-
-    run_once()  # compile + warmup
-    return run_once
-
-
-def time_steps_scanned(bits):
-    run_once = prepare_scanned(bits)
-    best_dt = float("inf")
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        run_once()
-        best_dt = min(best_dt, time.perf_counter() - t0)
-    return BATCH * STEPS / best_dt
-
-
-# ratio from the most recent successful paired measurement on this chip
-# (int4 824,834 vs fp 818,650 img/s) — used only when the FP baseline
-# measurement exceeds its time budget (the remote-compile service
-# occasionally takes ~8 minutes for one graph)
-_FALLBACK_VS_BASELINE = 1.008
+    return model
 
 
 def _with_timeout(fn, seconds):
-    """Run ``fn`` in a daemon thread, give up after ``seconds``.
-
-    SIGALRM is not reliable here — the relay client swallows exceptions
-    raised by a signal handler mid-dispatch — but a join timeout in the
-    main thread cannot be. On timeout the worker is abandoned (daemon
-    threads die with the process)."""
+    """Run ``fn`` in a daemon thread, give up after ``seconds`` (SIGALRM is
+    unreliable through the relay client; a join timeout is not)."""
     import threading
 
     box = {}
@@ -142,48 +89,332 @@ def _with_timeout(fn, seconds):
     def run():
         try:
             box["v"] = fn()
-        except Exception:
+        except Exception as e:  # pragma: no cover - surfaced on stderr
+            print(f"bench leg failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
             box["v"] = None
 
     th = threading.Thread(target=run, daemon=True)
     th.start()
     th.join(seconds)
+    if "v" not in box:
+        print(f"bench leg timed out after {seconds}s", file=sys.stderr)
     return box.get("v")
 
 
-def main():
-    # scanned epochs only: the per-step-dispatch variant is always slower
-    # (~1 ms relay overhead per call) and doubles compile time.
-    # QAT and FP epochs are timed INTERLEAVED so slow periods of the shared
-    # relay/chip hit both measurements equally and cancel in the ratio.
-    qat_run = prepare_scanned(4)
-    fp_budget = int(os.environ.get("BENCH_FP_TIMEOUT_S", "360"))
-    fp_run = _with_timeout(lambda: prepare_scanned(None), fp_budget)
-    qat_dt = fp_dt = float("inf")
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        qat_run()
-        qat_dt = min(qat_dt, time.perf_counter() - t0)
-        if fp_run is not None:
+class ScannedRun:
+    """A compiled scanned program + its per-run item count and FLOPs."""
+
+    def __init__(self, run_once, items_per_run, flops_per_run=None):
+        self.run_once = run_once
+        self.items = items_per_run
+        self.flops = flops_per_run
+
+    def best_dt(self, repeats=REPEATS, interleave_with=None):
+        best = other_best = float("inf")
+        for _ in range(repeats):
             t0 = time.perf_counter()
-            fp_run()
-            fp_dt = min(fp_dt, time.perf_counter() - t0)
-    qat_ips = BATCH * STEPS / qat_dt
-    fp_ips = BATCH * STEPS / fp_dt if fp_run is not None else None
-    vs = qat_ips / fp_ips if fp_ips else _FALLBACK_VS_BASELINE
-    record = {
-        "metric": "lfc_int4_qat_images_per_sec_per_chip",
-        "value": round(qat_ips, 1),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(vs, 4),
-    }
-    if fp_ips is None:
+            self.run_once()
+            best = min(best, time.perf_counter() - t0)
+            if interleave_with is not None:
+                t0 = time.perf_counter()
+                interleave_with.run_once()
+                other_best = min(other_best, time.perf_counter() - t0)
+        return (best, other_best) if interleave_with is not None else best
+
+
+def _cost_flops(jitted, *args):
+    """FLOPs per invocation from XLA cost analysis (None if unavailable)."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def _scanned_train(model_fn, data_shape, steps, batch, loss_fn=sqr_hinge_loss,
+                   clip=True, lr=1e-3):
+    """Whole multi-step epoch inside ONE jit (lax.scan over batches)."""
+    model = _maybe_bf16(model_fn())
+    optimizer = nnx.Optimizer(model, optax.adam(lr), wrt=nnx.Param)
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.random((steps, batch) + data_shape,
+                                dtype=np.float32))
+    ys = jnp.asarray(rng.integers(0, 10, (steps, batch)).astype(np.int32))
+    graphdef, state = nnx.split((model, optimizer))
+
+    @jax.jit
+    def epoch(state, xs, ys):
+        def body(state, item):
+            x, y = item
+            m, opt = nnx.merge(graphdef, state)
+            loss, grads = nnx.value_and_grad(lambda mm: loss_fn(mm(x), y))(m)
+            opt.update(m, grads)
+            if clip:
+                m.clip_weights(-1.0, 1.0)
+            _, state = nnx.split((m, opt))
+            return state, loss
+
+        state, losses = jax.lax.scan(body, state, (xs, ys))
+        return state, losses
+
+    flops = _cost_flops(epoch, state, xs, ys)
+    box = {"state": state}
+
+    def run_once():
+        box["state"], losses = epoch(box["state"], xs, ys)
+        jax.device_get(losses)  # full sync — block_until_ready under-syncs
+        # through the axon relay for scanned programs (PERF.md)
+
+    run_once()  # compile + warmup
+    return ScannedRun(run_once, steps * batch, flops)
+
+
+def _scanned_eval(model, data_shape, steps, batch):
+    """Scanned eval-forward loop under ONE jit."""
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.random((steps, batch) + data_shape,
+                                dtype=np.float32))
+    graphdef, state = nnx.split(model)
+
+    @jax.jit
+    def epoch(state, xs):
+        def body(state, x):
+            m = nnx.merge(graphdef, state)
+            out = m(x)
+            val = out.value if hasattr(out, "value") else out
+            return state, jnp.sum(val, dtype=jnp.float32)
+
+        state, sums = jax.lax.scan(body, state, xs)
+        return sums
+
+    flops = _cost_flops(epoch, state, xs)
+
+    def run_once():
+        jax.device_get(epoch(state, xs))
+
+    run_once()
+    return ScannedRun(run_once, steps * batch, flops)
+
+
+def _emit(name, unit, qat: ScannedRun, fp, fallback_vs=None):
+    """Interleaved paired timing → one record dict."""
+    if fp is not None:
+        qat_dt, fp_dt = qat.best_dt(interleave_with=fp)
+    else:
+        qat_dt, fp_dt = qat.best_dt(), None
+    value = qat.items / qat_dt
+    vs = (qat_dt and fp_dt and (qat.items / qat_dt) / (fp.items / fp_dt))
+    record = {"metric": name, "value": round(value, 1), "unit": unit,
+              "vs_baseline": round(vs, 4) if vs else fallback_vs}
+    if fp is None and fallback_vs is not None:
         record["vs_baseline_is_fallback"] = True
-    print(json.dumps(record), flush=True)
-    if fp_ips is None:
-        # an abandoned measurement thread may hold a relay RPC; don't let
-        # interpreter teardown wait on it
-        os._exit(0)
+    peak = _peak_flops()
+    if qat.flops and peak:
+        record["mfu"] = round(qat.flops / qat_dt / peak, 4)
+    return record
+
+
+# ---------------------------------------------------------------------------
+# legs
+# ---------------------------------------------------------------------------
+
+
+def leg_lfc_int4_qat():
+    from brevitas_tpu.models import lfc
+
+    def build(bits):
+        return lambda: lfc(weight_bit_width=bits, act_bit_width=bits,
+                           in_bit_width=bits, dropout=0.0, rngs=nnx.Rngs(0))
+
+    qat = _scanned_train(build(4), (28, 28, 1), steps=30, batch=1024)
+    fp = _with_timeout(
+        lambda: _scanned_train(build(None), (28, 28, 1), steps=30,
+                               batch=1024), LEG_TIMEOUT_S)
+    return _emit("lfc_int4_qat_images_per_sec_per_chip", "images/sec/chip",
+                 qat, fp, fallback_vs=_FALLBACK_VS_BASELINE)
+
+
+def _cnv_legs():
+    from brevitas_tpu.models import cnv
+
+    def build(bits, per_channel=True):
+        if bits is None:
+            return lambda: cnv(None, None, None, rngs=nnx.Rngs(0))
+        return lambda: cnv(bits, bits, 8, per_channel_weights=per_channel,
+                           rngs=nnx.Rngs(0))
+
+    steps, batch = 10, 256
+    fp = _with_timeout(
+        lambda: _scanned_train(build(None), (32, 32, 3), steps, batch),
+        LEG_TIMEOUT_S)
+    out = []
+    for bits, name in [(4, "cnv_int4pc_qat"), (8, "cnv_int8pc_qat")]:
+        qat = _with_timeout(
+            lambda b=bits: _scanned_train(build(b), (32, 32, 3), steps,
+                                          batch), LEG_TIMEOUT_S)
+        if qat is not None:
+            out.append(_emit(name + "_images_per_sec_per_chip",
+                             "images/sec/chip", qat, fp))
+    return out
+
+
+def leg_quantlstm_int8_qat():
+    from brevitas_tpu.nn import QuantLSTM
+    from brevitas_tpu.quant import presets
+
+    seq, batch, feat, hidden = 64, 64, 128, 512
+
+    class LSTMModel(nnx.Module):
+        def __init__(self, quant: bool):
+            # steady-state QAT: runtime-stats collection (percentile sorts
+            # inside the time scan) finishes after collect_stats_steps
+            # quantizer calls; the timed epochs run the learned-scale phase,
+            # which is what QAT throughput means after the first ~300 steps
+            fast = dict(collect_stats_steps=1)
+            act = presets.Int8ActPerTensorFloat.let(**fast)
+            uact = presets.Uint8ActPerTensorFloat.let(**fast)
+            kw = dict(io_quant=act, gate_acc_quant=act.let(),
+                      sigmoid_quant=uact, tanh_quant=act.let(),
+                      cell_state_quant=act.let())
+            if not quant:
+                kw = dict(weight_quant=None, io_quant=None,
+                          gate_acc_quant=None, sigmoid_quant=None,
+                          tanh_quant=None, cell_state_quant=None)
+            self.lstm = QuantLSTM(feat, hidden, num_layers=2,
+                                  rngs=nnx.Rngs(0), **kw)
+            self.head = nnx.Linear(hidden, 10, rngs=nnx.Rngs(1))
+            self.training = True
+
+        def clip_weights(self, lo, hi):
+            pass
+
+        def __call__(self, x):
+            y, _ = self.lstm(x)
+            return self.head(y[:, -1])
+
+    def ce(logits, y):
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, y).mean()
+
+    qat = _scanned_train(lambda: LSTMModel(True), (seq, feat), steps=5,
+                         batch=batch, loss_fn=ce, clip=False)
+    fp = _with_timeout(
+        lambda: _scanned_train(lambda: LSTMModel(False), (seq, feat),
+                               steps=5, batch=batch, loss_fn=ce, clip=False),
+        LEG_TIMEOUT_S)
+    return _emit("quantlstm_int8_qat_sequences_per_sec_per_chip",
+                 "sequences/sec/chip", qat, fp)
+
+
+def leg_lfc_int8_serving():
+    from brevitas_tpu.graph import convert_integer_inference
+    from brevitas_tpu.models import lfc
+    from brevitas_tpu.utils import eval_mode
+
+    steps, batch = 30, 1024
+    rng = np.random.default_rng(0)
+    calib = jnp.asarray(rng.random((batch, 28, 28, 1), dtype=np.float32))
+
+    def build_int():
+        m = lfc(weight_bit_width=8, act_bit_width=8, in_bit_width=8,
+                dropout=0.0, rngs=nnx.Rngs(0))
+        m(calib)  # calibrate runtime stats
+        eval_mode(m)
+        return convert_integer_inference(m)
+
+    def build_float():
+        m = lfc(weight_bit_width=None, act_bit_width=None, in_bit_width=None,
+                dropout=0.0, rngs=nnx.Rngs(0))
+        m(calib)
+        eval_mode(m)
+        return _maybe_bf16(m)
+
+    serving = _scanned_eval(build_int(), (28, 28, 1), steps, batch)
+    fp = _with_timeout(
+        lambda: _scanned_eval(build_float(), (28, 28, 1), steps, batch),
+        LEG_TIMEOUT_S)
+    return _emit("lfc_int8_serving_images_per_sec_per_chip",
+                 "images/sec/chip", serving, fp)
+
+
+def leg_quartznet_int8_serving():
+    from brevitas_tpu.graph import convert_integer_inference
+    from brevitas_tpu.models import quartznet_15x5
+    from brevitas_tpu.utils import eval_mode
+
+    steps, batch, frames, feats = 4, 4, 256, 64
+    rng = np.random.default_rng(0)
+    calib = jnp.asarray(rng.random((batch, frames, feats), dtype=np.float32))
+
+    def build_int():
+        m = quartznet_15x5(rngs=nnx.Rngs(0))
+        m(calib)
+        eval_mode(m)
+        return convert_integer_inference(m)
+
+    def build_float():
+        m = quartznet_15x5(rngs=nnx.Rngs(0))
+        m(calib)
+        eval_mode(m)
+        return _maybe_bf16(m)  # fake-quant eval baseline at MXU dtype
+
+    serving = _scanned_eval(build_int(), (frames, feats), steps, batch)
+    fp = _with_timeout(
+        lambda: _scanned_eval(build_float(), (frames, feats), steps, batch),
+        LEG_TIMEOUT_S)
+    rec = _emit("quartznet_int8_serving_sequences_per_sec_per_chip",
+                "sequences/sec/chip", serving, fp)
+    rec["frames_per_sequence"] = frames
+    return rec
+
+
+LEGS = {
+    "cnv_qat": _cnv_legs,
+    "quantlstm_qat": lambda: [leg_quantlstm_int8_qat()],
+    "lfc_serving": lambda: [leg_lfc_int8_serving()],
+    "quartznet_serving": lambda: [leg_quartznet_int8_serving()],
+}
+
+
+def main():
+    selected = os.environ.get(
+        "BENCH_CONFIGS",
+        "cnv_qat,quantlstm_qat,lfc_serving,quartznet_serving,lfc_qat")
+    names = [n.strip() for n in selected.split(",") if n.strip()]
+    records = []
+    for name in names:
+        if name == "lfc_qat":
+            continue  # headline leg runs last
+        fn = LEGS.get(name)
+        if fn is None:
+            print(f"unknown bench leg {name}", file=sys.stderr)
+            continue
+        got = _with_timeout(fn, 2 * LEG_TIMEOUT_S)
+        for rec in got or []:
+            records.append(rec)
+            print(json.dumps(rec), flush=True)
+
+    # headline: LFC INT4 QAT (same schema as round 1), carrying all legs
+    if "lfc_qat" in names:
+        head = _with_timeout(leg_lfc_int4_qat, 3 * LEG_TIMEOUT_S)
+    else:
+        head = None
+    if head is None:
+        head = {"metric": "lfc_int4_qat_images_per_sec_per_chip",
+                "value": None, "unit": "images/sec/chip",
+                "vs_baseline": _FALLBACK_VS_BASELINE,
+                "vs_baseline_is_fallback": True}
+    head["metric"] = "lfc_int4_qat_images_per_sec_per_chip"
+    if records:
+        head["configs"] = records
+    print(json.dumps(head), flush=True)
+    # an abandoned measurement thread may hold a relay RPC; don't let
+    # interpreter teardown wait on it
+    os._exit(0)
 
 
 if __name__ == "__main__":

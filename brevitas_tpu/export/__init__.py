@@ -34,9 +34,14 @@ def export_onnx_qop(model, example_input, path=None, **kw) -> bytes:
     return export_model(model, example_input, path, style="qop", **kw)
 
 
-# FINN consumes the QONNX dialect (reference FINNManager runs a QONNX→FINN
-# conversion downstream, export/onnx/finn/manager.py:75)
-export_finn_onnx = export_qonnx
+def export_finn_onnx(model, example_input, path=None, **kw) -> bytes:
+    """FINN-dialect export (reference export_finn_onnx → FINNManager,
+    export/onnx/finn/manager.py:75): MultiThreshold activations, integer
+    MatMul/Conv weights with ``finn_datatype`` quantization annotations,
+    QuantAvgPool2d accumulator nodes."""
+    from brevitas_tpu.export.finn import export_finn_onnx as fn
+
+    return fn(model, example_input, path, **kw)
 
 
 def export_torch_qcdq(model, example_input, path=None):

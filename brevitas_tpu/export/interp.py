@@ -220,12 +220,40 @@ def run_onnx(model_bytes: bytes, inputs: Dict[str, np.ndarray],
             hi = (2 ** (bw - 1) - 1) if signed else (2**bw - 1 - (1 if narrow else 0))
             q = np.clip(np.round(x / scale + zp), lo, hi)
             out = ((q - zp) * scale).astype(np.float32)
+        elif n.op_type == "MultiThreshold":
+            # FINN custom op (finn.custom_op.general): per-channel threshold
+            # counting — y[.., c, ..] = Σ_t [x >= T[c, t]] — optionally
+            # affine-mapped by out_scale/out_bias attrs (BIPOLAR form)
+            x, thr = i
+            if x.ndim >= 2:
+                # channel axis 1 (NCHW / NC); thresholds (C, T) or (1, T)
+                tshape = (1, thr.shape[0]) + (1,) * (x.ndim - 2) + \
+                    (thr.shape[1],)
+                cnt = (x[..., None] >= thr.reshape(tshape)).sum(-1)
+            else:
+                cnt = (x[..., None] >= thr.reshape(-1)).sum(-1)
+            out = cnt.astype(np.float32)
+            if "out_scale" in a or "out_bias" in a:
+                out = out * np.float32(a.get("out_scale", 1.0)) + \
+                    np.float32(a.get("out_bias", 0.0))
+        elif n.op_type == "QuantAvgPool2d":
+            # FINN custom op: integer-domain average pool as a truncated
+            # accumulator — sum over the window, drop LSBs down to obits
+            # (matches nn/pool.py QuantAvgPool2d with FLOOR trunc)
+            x = i[0]
+            k, s = int(a["kernel"]), int(a["stride"])
+            summed = _pool(x, (k, k), (s, s), "avg") * (k * k)
+            acc_bits = int(a["ibits"]) + int(np.ceil(np.log2(k * k)))
+            shift = 2.0 ** (acc_bits - int(a["obits"]))
+            out = np.floor(np.round(summed) / shift).astype(np.float32)
         elif n.op_type == "MatMul":
             out = i[0] @ i[1]
         elif n.op_type == "Add":
             out = i[0] + i[1]
         elif n.op_type == "Mul":
             out = i[0] * i[1]
+        elif n.op_type == "Div":
+            out = i[0] / i[1]
         elif n.op_type == "Relu":
             out = np.maximum(i[0], 0)
         elif n.op_type == "Sigmoid":

@@ -43,11 +43,17 @@ from brevitas_tpu.quant_tensor import QuantTensor
 
 class GraphBuilder:
     def __init__(self, style: str):
-        assert style in ("qcdq", "qonnx", "qop")
+        assert style in ("qcdq", "qonnx", "qop", "finn")
         self.style = style
         self.nodes: List[bytes] = []
         self.initializers: List[bytes] = []
         self.counter = 0
+        # FINN-dialect bookkeeping: channel count of the current tensor
+        # (threshold expansion) and last activation quant metadata
+        # (QuantAvgPool2d ibits/scale) — the analogue of the reference's
+        # cached-IO pass (export/manager.py:254)
+        self.channels: Optional[int] = None
+        self.last_qt = None
 
     def fresh(self, hint: str) -> str:
         self.counter += 1
@@ -685,6 +691,11 @@ def export_model(model, example_input, path: Optional[str] = None,
     else:
         items = [m for _, m in _sequential_children(model)]
     b = GraphBuilder(style)
+    in_shape = np.asarray(example_input).shape
+    if len(in_shape) >= 3:
+        b.channels = int(in_shape[-1])  # NHWC channel dim
+    elif len(in_shape) == 2:
+        b.channels = int(in_shape[1])
     x = input_name
     saved: Dict[str, str] = {}
     for item in items:
@@ -759,10 +770,18 @@ def export_model(model, example_input, path: Optional[str] = None,
                 raise ValueError(f"unknown glue spec {item}")
             continue
         handler = None
-        for cls in type(item).__mro__:
-            if cls in _HANDLERS:
-                handler = _HANDLERS[cls]
-                break
+        if style == "finn":
+            from brevitas_tpu.export.finn import _FINN_HANDLERS
+
+            for cls in type(item).__mro__:
+                if cls in _FINN_HANDLERS:
+                    handler = _FINN_HANDLERS[cls]
+                    break
+        if handler is None:
+            for cls in type(item).__mro__:
+                if cls in _HANDLERS:
+                    handler = _HANDLERS[cls]
+                    break
         if handler is None:
             raise ValueError(f"no export handler for {type(item).__name__}")
         x = handler(b, item, x)
@@ -774,7 +793,16 @@ def export_model(model, example_input, path: Optional[str] = None,
     graph_msg = P.graph(b.nodes, "brevitas_tpu_export", inputs, outputs,
                         b.initializers)
     custom = [("onnx.brevitas", 1)] if style == "qonnx" else []
+    if style == "finn":
+        custom = [("finn.custom_op.general", 1)]
     blob = P.model(graph_msg, opset=13, custom_domains=custom)
+    if style == "finn":
+        from brevitas_tpu.export.finn import (
+            move_quant_attributes_into_annotations,
+            restore_domain,
+        )
+
+        blob = restore_domain(move_quant_attributes_into_annotations(blob))
     if path:
         with open(path, "wb") as f:
             f.write(blob)

@@ -30,7 +30,17 @@ class CNV(nnx.Module, TrainToggleMixin):
 
     def __init__(self, *, num_classes: int = 10, weight_bit_width: int = 1,
                  act_bit_width: int = 1, in_bit_width: int = 8,
-                 in_channels: int = 3, rngs: nnx.Rngs):
+                 in_channels: int = 3, per_channel_weights: bool = False,
+                 rngs: nnx.Rngs):
+        # per_channel_weights: BASELINE.md "CNV INT4/INT8 per-channel"
+        # variant — stats-scaled per-output-channel INT weights (imagenet
+        # recipe style) instead of the reference's const-scale CommonQuant
+        def wq(bw):
+            if per_channel_weights:
+                from brevitas_tpu.quant import presets
+                return presets.Int8WeightPerChannelFloat.let(
+                    bit_width=float(bw))
+            return common_weight_quant(bw)
         # Q1.7 input format: 8-bit, [-1, 1-2^-7], power-of-two scale
         # return_quant_tensor threads scale/bit-width metadata into the
         # convs so the bf16 exact-code MXU path can engage (quant_layer
@@ -43,7 +53,7 @@ class CNV(nnx.Module, TrainToggleMixin):
         for out_ch, pool in CNV_OUT_CH_POOL:
             convs.append(QuantConv2d(
                 in_ch, out_ch, KERNEL_SIZE, padding="VALID", use_bias=False,
-                weight_quant=common_weight_quant(weight_bit_width), rngs=rngs))
+                weight_quant=wq(weight_bit_width), rngs=rngs))
             convs.append(nnx.BatchNorm(out_ch, epsilon=1e-4,
                                        use_running_average=False, rngs=rngs))
             convs.append(QuantIdentity(common_act_quant(act_bit_width),
@@ -57,14 +67,14 @@ class CNV(nnx.Module, TrainToggleMixin):
         for feat_in, feat_out in INTERMEDIATE_FC_FEATURES:
             fcs.append(QuantLinear(
                 feat_in, feat_out, use_bias=False,
-                weight_quant=common_weight_quant(weight_bit_width), rngs=rngs))
+                weight_quant=wq(weight_bit_width), rngs=rngs))
             fcs.append(nnx.BatchNorm(feat_out, epsilon=1e-4,
                                      use_running_average=False, rngs=rngs))
             fcs.append(QuantIdentity(common_act_quant(act_bit_width),
                                      return_quant_tensor=True))
         fcs.append(QuantLinear(
             LAST_FC_IN_FEATURES, num_classes, use_bias=False,
-            weight_quant=common_weight_quant(weight_bit_width), rngs=rngs))
+            weight_quant=wq(weight_bit_width), rngs=rngs))
         self.linear_features = nnx.List(fcs)
         self.norm = TensorNorm()
 
@@ -88,6 +98,13 @@ class CNV(nnx.Module, TrainToggleMixin):
         for lyr in self.linear_features:
             x = lyr(x)
         return self.norm(x)
+
+    def export_layers(self):
+        """Layer sequence for ONNX export (the conv stack ends at spatial
+        1x1, so NCHW Flatten matches the NHWC reshape element order)."""
+        return [("affine", 2.0, -1.0), self.input_quant,
+                *self.conv_features, ("flatten",),
+                *self.linear_features, self.norm]
 
 
 

@@ -1,0 +1,235 @@
+"""FINN-dialect export tests (reference tests/brevitas_finn/ tier:
+bnn_pynq models through the FINN ONNX flow).
+
+The interpreter (export/interp.py) executes MultiThreshold / QuantAvgPool2d
+natively, so the whole dialect is oracle-checked end-to-end against the
+fake-quant eval forward.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+import brevitas_tpu.nn as qnn
+from brevitas_tpu.export import export_finn_onnx, run_onnx
+from brevitas_tpu.export import onnx_proto as P
+from brevitas_tpu.export.finn import (
+    finn_datatype,
+    hardtanh_bias,
+    hardtanh_thresholds,
+    read_finn_annotations,
+    relu_thresholds,
+)
+from brevitas_tpu.models.common import common_act_quant
+from brevitas_tpu.quant import presets
+from brevitas_tpu.utils import eval_mode
+
+
+def test_finn_datatype_strings():
+    assert finn_datatype(1, True) == "BIPOLAR"
+    assert finn_datatype(1, False) == "BINARY"
+    assert finn_datatype(2, True) == "INT2"
+    assert finn_datatype(4, False) == "UINT4"
+    assert finn_datatype(32, True) == "INT32"
+    with pytest.raises(ValueError):
+        finn_datatype(33, True)
+
+
+@pytest.mark.parametrize("bw", [2, 3, 4, 8])
+def test_relu_threshold_counting_matches_fake_quant(bw, rng):
+    """Σ_t [x >= T_t] reproduces clip(round(x/s), 0, 2^bw-1) off midpoints."""
+    s = 0.37
+    thr = relu_thresholds(np.asarray(s), bw).reshape(-1)
+    x = rng.uniform(-2.0, 2.0 ** bw * s * 1.5, 4096).astype(np.float32)
+    # keep away from exact grid midpoints (round-half-even vs half-up)
+    x = x[np.abs((x / s + 0.5) % 1.0 - 0.0) > 1e-3]
+    count = (x[:, None] >= thr[None, :]).sum(1)
+    fq = np.clip(np.round(x / s), 0, 2 ** bw - 1)
+    np.testing.assert_array_equal(count, fq)
+
+
+@pytest.mark.parametrize("bw,narrow", [(2, True), (2, False), (4, True),
+                                       (4, False), (8, True)])
+def test_hardtanh_threshold_counting_matches_fake_quant(bw, narrow, rng):
+    s = 0.21
+    thr = hardtanh_thresholds(np.asarray(s), bw, narrow).reshape(-1)
+    bias = hardtanh_bias(bw, narrow)
+    lo = -(2 ** (bw - 1)) + (1 if narrow else 0)
+    hi = 2 ** (bw - 1) - 1
+    x = rng.uniform(lo * s * 1.5, hi * s * 1.5, 4096).astype(np.float32)
+    x = x[np.abs((x / s + 0.5) % 1.0 - 0.0) > 1e-3]
+    got = (x[:, None] >= thr[None, :]).sum(1) + bias
+    fq = np.clip(np.round(x / s), lo, hi)
+    np.testing.assert_array_equal(got, fq)
+
+
+class _ActNet(nnx.Module):
+    def __init__(self, act_layer):
+        self.act = act_layer
+
+    def export_layers(self):
+        return [self.act]
+
+    def __call__(self, x):
+        return self.act(x)
+
+
+def _finn_roundtrip(model, x, atol=1e-5):
+    y_model = np.asarray(model(jnp.asarray(x)))
+    blob = export_finn_onnx(model, x)
+    (y_onnx,) = run_onnx(blob, {"input": np.asarray(x)})
+    np.testing.assert_allclose(y_onnx, y_model, atol=atol, rtol=1e-4)
+    return blob
+
+
+def test_finn_relu_multithreshold_roundtrip(rng):
+    m = _ActNet(qnn.QuantReLU(
+        presets.Uint8ActPerTensorFloat.let(collect_stats_steps=1,
+                                           bit_width=4.0)))
+    x = rng.standard_normal((8, 16)).astype(np.float32)
+    m(jnp.asarray(x))  # calibrate
+    eval_mode(m)
+    blob = _finn_roundtrip(m, x, atol=1e-5)
+    g = P.parse_model(blob)
+    ops = [n.op_type for n in g.nodes]
+    assert "MultiThreshold" in ops
+    mt = next(n for n in g.nodes if n.op_type == "MultiThreshold")
+    assert mt.domain == "finn.custom_op.general"
+    assert "out_dtype" in mt.attrs and mt.attrs["out_dtype"] == "UINT4"
+    # quant attr moved into annotations by the model transform
+    assert "activation_qnt" not in mt.attrs
+    anns = read_finn_annotations(blob)
+    assert anns.get(mt.outputs[0]) == "UINT4"
+
+
+@pytest.mark.parametrize("bits", [1, 2])
+def test_finn_identity_bipolar_and_int_roundtrip(bits, rng):
+    m = _ActNet(qnn.QuantIdentity(common_act_quant(bits)))
+    x = (rng.standard_normal((8, 16)) * 0.7).astype(np.float32)
+    eval_mode(m)
+    blob = _finn_roundtrip(m, x)
+    g = P.parse_model(blob)
+    mt = next(n for n in g.nodes if n.op_type == "MultiThreshold")
+    if bits == 1:
+        assert mt.attrs["out_dtype"] == "BIPOLAR"
+        assert mt.attrs["out_scale"] == 2.0 and mt.attrs["out_bias"] == -1.0
+    else:
+        assert mt.attrs["out_dtype"] == "INT2"
+
+
+def test_finn_tfc_1w1a_roundtrip(rng):
+    """The flagship FINN target: binary TFC exports to BIPOLAR
+    MultiThresholds + BIPOLAR MatMul weights and executes bit-exact."""
+    from brevitas_tpu.models import tfc
+
+    model = tfc(1, 1, 1, dropout=0.0, rngs=nnx.Rngs(0))
+    x = rng.random((4, 28, 28, 1)).astype(np.float32)
+    model(jnp.asarray(x))
+    eval_mode(model)
+    y_model = np.asarray(model(jnp.asarray(x)))
+    blob = export_finn_onnx(model, jnp.zeros((1, 784)))
+    (y_onnx,) = run_onnx(blob, {"input": x.reshape(4, -1)})
+    np.testing.assert_allclose(y_onnx, y_model, atol=1e-4, rtol=1e-4)
+    g = P.parse_model(blob)
+    ops = [n.op_type for n in g.nodes]
+    assert ops.count("MultiThreshold") == 4  # input + 3 hidden acts
+    assert ops.count("MatMul") == 4
+    # MatMul weights are BIPOLAR-annotated integer (±1) initializers
+    anns = read_finn_annotations(blob)
+    mm = [n for n in g.nodes if n.op_type == "MatMul"]
+    for n in mm:
+        assert n.domain == ""  # restore_domain returned them to default
+        w = g.initializers[n.inputs[1]]
+        assert set(np.unique(w)) <= {-1.0, 1.0}
+        assert anns[n.inputs[1]] == "BIPOLAR"
+
+
+def test_finn_tfc_2w2a_roundtrip(rng):
+    from brevitas_tpu.models import tfc
+
+    model = tfc(2, 2, 2, dropout=0.0, rngs=nnx.Rngs(0))
+    x = rng.random((4, 28, 28, 1)).astype(np.float32)
+    model(jnp.asarray(x))
+    eval_mode(model)
+    y_model = np.asarray(model(jnp.asarray(x)))
+    blob = export_finn_onnx(model, jnp.zeros((1, 784)))
+    (y_onnx,) = run_onnx(blob, {"input": x.reshape(4, -1)})
+    np.testing.assert_allclose(y_onnx, y_model, atol=1e-4, rtol=1e-4)
+    anns = read_finn_annotations(blob)
+    assert "INT2" in anns.values()  # weight datatype annotations present
+
+
+def test_finn_cnv_1w1a_roundtrip(rng):
+    """CNV: BIPOLAR convs + max-pools through the FINN dialect."""
+    from brevitas_tpu.models import cnv
+
+    model = cnv(1, 1, 8, rngs=nnx.Rngs(0))
+    x = rng.random((2, 32, 32, 3)).astype(np.float32)
+    model(jnp.asarray(x))
+    eval_mode(model)
+    y_model = np.asarray(model(jnp.asarray(x)))
+    blob = export_finn_onnx(model, x)
+    (y_onnx,) = run_onnx(blob, {"input": x.transpose(0, 3, 1, 2)})
+    np.testing.assert_allclose(y_onnx, y_model, atol=1e-3, rtol=1e-3)
+    g = P.parse_model(blob)
+    ops = [n.op_type for n in g.nodes]
+    assert "Conv" in ops and "MultiThreshold" in ops and "MaxPool" in ops
+    conv = next(n for n in g.nodes if n.op_type == "Conv")
+    w = g.initializers[conv.inputs[1]]
+    assert set(np.unique(w)) <= {-1.0, 1.0}
+    assert read_finn_annotations(blob)[conv.inputs[1]] == "BIPOLAR"
+
+
+def test_finn_quant_avgpool_roundtrip(rng):
+    """Truncated avg-pool exports as the QuantAvgPool2d accumulator node and
+    matches the layer's integer truncation law."""
+    class PoolNet(nnx.Module):
+        def __init__(self):
+            self.act = qnn.QuantIdentity(
+                presets.Int8ActPerTensorFloat.let(collect_stats_steps=1),
+                return_quant_tensor=True)
+            self.pool = qnn.QuantAvgPool2d(2)
+
+        def export_layers(self):
+            return [self.act, self.pool]
+
+        def __call__(self, x):
+            return self.pool(self.act(x))
+
+    m = PoolNet()
+    x = rng.standard_normal((2, 8, 8, 4)).astype(np.float32)
+    m(jnp.asarray(x))
+    eval_mode(m)
+    y_model = np.asarray(m(jnp.asarray(x)))  # NHWC
+    blob = export_finn_onnx(m, x)
+    (y_onnx,) = run_onnx(blob, {"input": x.transpose(0, 3, 1, 2)})
+    np.testing.assert_allclose(y_onnx, y_model.transpose(0, 3, 1, 2),
+                               atol=1e-4, rtol=1e-4)
+    g = P.parse_model(blob)
+    assert any(n.op_type == "QuantAvgPool2d" for n in g.nodes)
+
+
+def test_finn_rejects_io_quant_on_wbiol(rng):
+    """FINN WBIOL contract: activations quantize in standalone layers."""
+    act = presets.Int8ActPerTensorFloat.let(collect_stats_steps=1)
+
+    class Net(nnx.Module):
+        def __init__(self):
+            self.l1 = qnn.QuantLinear(
+                8, 4, use_bias=False, input_quant=act,
+                weight_quant=presets.Int8WeightPerTensorFloat,
+                rngs=nnx.Rngs(0))
+
+        def export_layers(self):
+            return [self.l1]
+
+        def __call__(self, x):
+            return self.l1(x)
+
+    m = Net()
+    x = jnp.asarray(rng.standard_normal((2, 8)).astype(np.float32))
+    m(x)
+    eval_mode(m)
+    with pytest.raises(ValueError, match="standalone activation"):
+        export_finn_onnx(m, x)
