@@ -14,6 +14,7 @@ in-repo interpreter (:mod:`brevitas_tpu.export.interp`) as the oracle.
 """
 
 from brevitas_tpu.export.interp import run_onnx
+from brevitas_tpu.export.validate import OnnxValidationError, validate_onnx
 from brevitas_tpu.export.native import export_native, load_native
 from brevitas_tpu.export.qcdq import export_model
 
@@ -62,4 +63,5 @@ def export_torch_qop(model, example_input, path=None):
 
 __all__ = ["export_onnx_qcdq", "export_onnx_qop", "export_qonnx",
            "export_finn_onnx", "export_torch_qcdq", "export_torch_qop",
-           "export_native", "load_native", "run_onnx", "export_model"]
+           "export_native", "load_native", "run_onnx", "export_model",
+           "validate_onnx", "OnnxValidationError"]

@@ -34,6 +34,11 @@ from brevitas_tpu.graph.equalize import (
     sequential_regions,
     split_batch_norm,
 )
+from brevitas_tpu.graph.autograph import (
+    extract_regions,
+    find_bn_pairs,
+    trace_module_graph,
+)
 from brevitas_tpu.graph.flexml import preprocess_flexml, quantize_flexml
 from brevitas_tpu.graph.gpfq import apply_gpfq, eligible_for_gpfq
 from brevitas_tpu.graph.awq import apply_awq
@@ -80,6 +85,7 @@ __all__ = [
     "transformer_rotation_pairs",
     "quantize", "merge_batchnorms", "refresh_weight_quantizers",
     "preprocess_flexml", "quantize_flexml",
+    "trace_module_graph", "find_bn_pairs", "extract_regions",
     "adaptive_avgpool_to_avgpool", "avgpool_to_depthwise_conv",
     "bn_to_quant_scale_bias",
     "convert_integer_inference", "Int8InferenceLinear", "Int8InferenceConv",

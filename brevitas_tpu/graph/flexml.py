@@ -32,14 +32,32 @@ FLEXML_BIAS_QUANT = Int32Bias
 
 def preprocess_flexml(
     model: nnx.Module,
+    sample_input=None,
     bn_pairs: Optional[Sequence[Tuple[str, str]]] = None,
     equalize_regions: Optional[List[Tuple[Sequence[str], Sequence[str]]]] = None,
     equalize_iterations: int = 10,
     clip_threshold: Optional[float] = None,
 ) -> nnx.Module:
     """BN fusion + cross-layer equalization + optional weight clipping
-    (reference preprocess_flexml, flexml.py:381)."""
-    if bn_pairs:
+    (reference preprocess_flexml, flexml.py:381).
+
+    Fully automatic when given ``sample_input``: one traced forward
+    (``graph.autograph``) discovers the conv→BN fusion pairs and the
+    equalization regions exactly like the reference's FX walk — no
+    hand-written pair/region lists. Regions are re-extracted AFTER BN
+    fusion, matching the reference's transform order (trace → merge BN →
+    equalize). Explicit ``bn_pairs``/``equalize_regions`` override
+    discovery."""
+    if sample_input is not None:
+        from brevitas_tpu.graph.autograph import extract_regions, find_bn_pairs
+
+        if bn_pairs is None:
+            bn_pairs = find_bn_pairs(model, sample_input)
+        if bn_pairs:
+            merge_batchnorms(model, bn_pairs)
+        if equalize_regions is None:
+            equalize_regions = extract_regions(model, sample_input)
+    elif bn_pairs:
         merge_batchnorms(model, bn_pairs)
     if equalize_regions:
         equalize(model, equalize_regions, iterations=equalize_iterations)

@@ -25,6 +25,60 @@ def _tuple(v, n):
     return tuple(v) if isinstance(v, (tuple, list)) else (v,) * n
 
 
+def _partial_vjp_conv(stride, padding, dilation, dn, groups, transposed):
+    """MXU conv with low-precision operands and an f32 accumulator output.
+
+    ``preferred_element_type=f32`` makes the output dtype differ from the
+    operands, and lax.conv's transpose rule rejects the resulting
+    mixed-dtype (f32 cotangent × bf16 operand) pair — unlike dot_general's.
+    This custom_vjp computes the backward convs entirely in the operand
+    dtype (bf16 operands, MXU f32 internal accumulation, bf16 result) and
+    lets the surrounding ``astype`` ops upcast the cotangents — standard
+    mixed-precision training semantics; the forward stays exact-f32."""
+
+    def conv_low(x, w):
+        if transposed:
+            return jax.lax.conv_transpose(
+                x, w, strides=stride, padding=padding, rhs_dilation=dilation,
+                dimension_numbers=dn)
+        return jax.lax.conv_general_dilated(
+            x, w, window_strides=stride, padding=padding,
+            rhs_dilation=dilation, dimension_numbers=dn,
+            feature_group_count=groups)
+
+    @jax.custom_vjp
+    def conv(x, w):
+        if transposed:
+            return jax.lax.conv_transpose(
+                x, w, strides=stride, padding=padding, rhs_dilation=dilation,
+                dimension_numbers=dn, preferred_element_type=jnp.float32)
+        return jax.lax.conv_general_dilated(
+            x, w, window_strides=stride, padding=padding,
+            rhs_dilation=dilation, dimension_numbers=dn,
+            feature_group_count=groups,
+            preferred_element_type=jnp.float32)
+
+    def fwd(x, w):
+        return conv(x, w), (x, w)
+
+    def bwd(res, g):
+        x, w = res
+        _, vjp = jax.vjp(conv_low, x, w)
+        return vjp(g.astype(x.dtype))
+
+    conv.defvjp(fwd, bwd)
+    return conv
+
+
+import functools  # noqa: E402
+
+
+@functools.lru_cache(maxsize=256)
+def _cached_vjp_conv(stride, padding, dilation, dn, groups, transposed):
+    return _partial_vjp_conv(stride, padding, dilation, dn, groups,
+                             transposed)
+
+
 class _QuantConvNd(QuantWBIOL):
     """Shared N-d conv machinery."""
 
@@ -112,23 +166,20 @@ class _QuantConvNd(QuantWBIOL):
         def inner(xv, wv, bv):
             out_dtype = xv.dtype
             cd = self.compute_dtype
-            if cd is not None:  # bf16 MXU operands, f32 accumulation
-                xv, wv = xv.astype(cd), wv.astype(cd)
             if self.transposed:
                 # torch ConvTranspose parity: the kernel correlates spatially
                 # flipped relative to jax.lax.conv_transpose's convention
                 wv = jnp.flip(wv, axis=tuple(range(self.spatial_dims)))
-                y = jax.lax.conv_transpose(
-                    xv, wv, strides=self.stride,
-                    padding=self._transpose_padding(),
-                    rhs_dilation=self.dilation, dimension_numbers=self._dn(),
-                    preferred_element_type=jnp.float32)
+                pad = self._transpose_padding()
             else:
-                y = jax.lax.conv_general_dilated(
-                    xv, wv, window_strides=self.stride, padding=self.padding,
-                    rhs_dilation=self.dilation, dimension_numbers=self._dn(),
-                    feature_group_count=self.groups,
-                    preferred_element_type=jnp.float32)
+                pad = self.padding
+            pad_key = pad if isinstance(pad, str) else tuple(
+                (int(lo), int(hi)) for lo, hi in pad)
+            conv = _cached_vjp_conv(self.stride, pad_key, self.dilation,
+                                    self._dn(), self.groups, self.transposed)
+            if cd is not None:  # low-precision MXU operands, f32 accumulation
+                xv, wv = xv.astype(cd), wv.astype(cd)
+            y = conv(xv, wv)
             if bv is not None:
                 y = y + bv
             return y.astype(out_dtype)
