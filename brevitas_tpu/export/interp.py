@@ -160,14 +160,28 @@ def _quant_lstm_layer(x, w_ih, w_hh, bias, a):
     h = np.zeros((n, hs), np.float32)
     c = np.zeros((n, hs), np.float32)
     sig = lambda v: 1.0 / (1.0 + np.exp(-v))  # noqa: E731
+    cifg = bool(a.get("cifg", 0))
+
+    def acc_q(v, prefix):
+        # per-gate accumulator attrs (forget_acc/cell_acc/out_acc) with
+        # fallback to the shared/legacy gate_acc attrs
+        return q(v, prefix if (prefix + "_bw") in a else "gate_acc")
+
     ys = []
     for step in range(t):
-        gates = q(xp[:, step] + h @ w_hh, "gate_acc")
-        i_g, f_g, g_g, o_g = np.split(gates, 4, axis=-1)
-        i_t = q(sig(i_g), "in_sigmoid")
-        f_t = q(sig(f_g), "forget_sigmoid")
-        g_t = q(np.tanh(g_g), "cell_tanh")
-        o_t = q(sig(o_g), "out_sigmoid")
+        gates = xp[:, step] + h @ w_hh
+        if cifg:
+            i_g, g_g, o_g = np.split(gates, 3, axis=-1)
+        else:
+            i_g, f_g, g_g, o_g = np.split(gates, 4, axis=-1)
+        i_t = q(sig(acc_q(i_g, "gate_acc")), "in_sigmoid")
+        if cifg:
+            # forget = quantized(1) - input gate (ONNXRuntime CIFG law)
+            f_t = q(np.ones_like(i_t), "in_sigmoid") - i_t
+        else:
+            f_t = q(sig(acc_q(f_g, "forget_acc")), "forget_sigmoid")
+        g_t = q(np.tanh(acc_q(g_g, "cell_acc")), "cell_tanh")
+        o_t = q(sig(acc_q(o_g, "out_acc")), "out_sigmoid")
         c = q(f_t * c + i_t * g_t, "cell_state")
         h = q(o_t * q(np.tanh(c), "hidden_tanh"), "hidden_state")
         ys.append(h)

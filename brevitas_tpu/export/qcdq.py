@@ -526,7 +526,8 @@ def _export_avgpool(b: GraphBuilder, layer, x: str) -> str:
 # carry all eight act-quantizer configs; bidirectional directions concat.
 
 _LSTM_ACT_QUANTIZERS = (
-    "gate_acc", "in_sigmoid", "forget_sigmoid", "out_sigmoid",
+    "gate_acc", "forget_acc", "cell_acc", "out_acc",
+    "in_sigmoid", "forget_sigmoid", "out_sigmoid",
     "cell_tanh", "hidden_tanh", "cell_state", "hidden_state")
 
 
@@ -552,33 +553,44 @@ def _emit_lstm_layer(b: GraphBuilder, lay, x: str) -> str:
                   narrow=lay.input_quant.cfg.narrow_range,
                   quant_type=lay.input_quant.quant_type)
 
-    def weight_name(param, quantizer, hint):
-        raw = np.asarray(param, np.float32)
-        name = b.init_tensor(hint, raw)
+    def one_gate(raw_block, quantizer, hint):
+        name = b.init_tensor(hint, raw_block)
         if quantizer.quant_type == QuantType.INT:
-            qw = quantizer(jnp.asarray(raw))
+            qw = quantizer(jnp.asarray(raw_block))
             scale = np.asarray(qw.scale).reshape(-1)
-            qt = QuantTensor(jnp.asarray(raw),
+            qt = QuantTensor(jnp.asarray(raw_block),
                              jnp.asarray(scale if scale.size > 1
                                          else scale.reshape(())),
                              qw.zero_point, qw.bit_width, qw.signed)
-            # (in, 4H) weights: per-channel scale lies on axis 1
+            # (in, H) gate blocks: per-channel scale lies on axis 1
             name = _qdq_axis0(b, name, qt, quantizer.cfg.narrow_range, axis=1)
         return name
 
+    def weight_name(param, quants, hint):
+        """Per-gate Quant chains over the packed (in, G·H) matrix, re-packed
+        with Concat (one chain when the layer shares a single quantizer)."""
+        raw = np.asarray(param, np.float32)
+        if len(quants) == 1:
+            return one_gate(raw, quants[0], hint)
+        parts = [one_gate(raw[:, g * hs:(g + 1) * hs], quants[g],
+                          f"{hint}_g{g}") for g in range(len(quants))]
+        return b.add("Concat", parts, axis=1)
+
     inputs = [x,
-              weight_name(lay.w_ih[...], lay.w_ih_quant, "w_ih"),
-              weight_name(lay.w_hh[...], lay.w_hh_quant, "w_hh")]
+              weight_name(lay.w_ih[...], lay.w_ih_quants, "w_ih"),
+              weight_name(lay.w_hh[...], lay.w_hh_quants, "w_hh")]
     if lay.bias is not None:
         from brevitas_tpu.quant_tensor import unpack as _unpack
 
         inputs.append(b.init_tensor(
             "lstm_bias",
             np.asarray(_unpack(lay.bias_quant(lay.bias[...])), np.float32)))
-    attrs: Dict[str, object] = {"hidden_size": hs, "reverse": int(lay.reverse)}
+    attrs: Dict[str, object] = {"hidden_size": hs, "reverse": int(lay.reverse),
+                                "cifg": int(lay.cifg)}
     q = lay.quants
+    acc_feats = lay.num_gates * hs
     for prefix in _LSTM_ACT_QUANTIZERS:
-        feats = 4 * hs if prefix == "gate_acc" else hs
+        feats = acc_feats if prefix.endswith("acc") else hs
         attrs.update(_act_quant_attrs(prefix, getattr(q, prefix), feats))
     return b.add("QuantLSTMLayer", inputs, domain="onnx.brevitas", **attrs)
 

@@ -52,53 +52,146 @@ def _wcfg(q):
 
 class _QuantLSTMCellQuant(nnx.Module):
     """The activation quantizers of one LSTM cell, grouped so their state
-    can be threaded through lax.scan."""
+    can be threaded through lax.scan.
+
+    Option parity (reference _QuantLSTMLayer.__init__, quant_rnn.py:470-546):
+
+    - ``shared_gate_acc`` → one accumulator quantizer for all four gates
+      (reference ``shared_intra_layer_gate_acc_quant``).
+    - ``cifg`` → the forget gate reuses the input gate's accumulator and
+      sigmoid quantizers ("avoid dealing with None").
+    - ``cell_state``/``hidden_state`` accept an EXISTING ActQuantizer to
+      share across directions/layers (reference ``quantizers_to_share``:
+      the first direction's io_quant always propagates; its cell-state
+      quantizer propagates when ``shared_cell_state_quant``).
+    """
 
     def __init__(self, act_quant, sigmoid_quant, tanh_quant, cell_quant,
-                 io_quant):
-        self.gate_acc = ActQuantizer(_acfg(act_quant))
+                 io_quant, *, cifg: bool = False,
+                 shared_gate_acc: bool = False,
+                 shared_cell_state: Optional[ActQuantizer] = None,
+                 shared_io: Optional[ActQuantizer] = None):
+        self.gate_acc = ActQuantizer(_acfg(act_quant))  # input gate
+        if shared_gate_acc:
+            self.forget_acc = self.gate_acc
+            self.cell_acc = self.gate_acc
+            self.out_acc = self.gate_acc
+        else:
+            self.cell_acc = ActQuantizer(_acfg(act_quant))
+            self.out_acc = ActQuantizer(_acfg(act_quant))
+            self.forget_acc = (self.gate_acc if cifg
+                               else ActQuantizer(_acfg(act_quant)))
         self.in_sigmoid = ActQuantizer(_acfg(sigmoid_quant))
-        self.forget_sigmoid = ActQuantizer(_acfg(sigmoid_quant))
+        self.forget_sigmoid = (self.in_sigmoid if cifg
+                               else ActQuantizer(_acfg(sigmoid_quant)))
         self.out_sigmoid = ActQuantizer(_acfg(sigmoid_quant))
         self.cell_tanh = ActQuantizer(_acfg(tanh_quant))
         self.hidden_tanh = ActQuantizer(_acfg(tanh_quant))
-        self.cell_state = ActQuantizer(_acfg(cell_quant))
-        self.hidden_state = ActQuantizer(_acfg(io_quant))
+        self.cell_state = (shared_cell_state if shared_cell_state is not None
+                           else ActQuantizer(_acfg(cell_quant)))
+        self.hidden_state = (shared_io if shared_io is not None
+                             else ActQuantizer(_acfg(io_quant)))
+
+
+def _quant_ones_like(qt: QuantTensor, x: Array, narrow: bool) -> Array:
+    """Ones fake-quantized onto ``qt``'s grid (reference CIFG forget gate:
+    ``quant_ones = sigmoid_quant.tensor_quant(ones)``, quant_rnn.py:217-221)."""
+    ones = jnp.ones_like(x)
+    if qt.scale is None:
+        return ones
+    from brevitas_tpu.core import quant as Qf
+
+    zp = qt.zero_point if qt.zero_point is not None else jnp.asarray(0.0)
+    return Qf.int_quant(ones, qt.scale, zp, qt.bit_width,
+                        signed=bool(qt.signed), narrow_range=narrow)
 
 
 class _QuantLSTMLayer(nnx.Module, TrainToggleMixin):
-    """One direction of one LSTM layer."""
+    """One direction of one LSTM layer.
+
+    Weights stay PACKED per matrix ((I, G·H) / (H, G·H), G gates) so the
+    input projection is one MXU GEMM hoisted out of the scan, but
+    quantization runs PER GATE (each gate block through its own quantizer,
+    reference GateParams semantics) unless ``shared_intra_layer_weight_quant``
+    selects the reference's single shared weight quantizer, whose scaling
+    stats span BOTH matrices (the analogue of the shared proxy's tracked
+    parameter list)."""
 
     def __init__(self, input_size: int, hidden_size: int, *,
                  weight_quant, bias_quant, io_quant, gate_acc_quant,
                  sigmoid_quant, tanh_quant, cell_state_quant,
                  use_bias: bool = True, reverse: bool = False,
+                 cifg: bool = False,
+                 shared_intra_layer_weight_quant: bool = False,
+                 shared_intra_layer_gate_acc_quant: bool = False,
+                 shared_cell_state: Optional[ActQuantizer] = None,
+                 shared_io: Optional[ActQuantizer] = None,
+                 shared_input_hidden: Optional[Tuple] = None,
                  dtype=jnp.float32, rngs: nnx.Rngs):
         self.hidden_size = hidden_size
         self.reverse = reverse
+        self.cifg = cifg
+        self.num_gates = 3 if cifg else 4  # (i, g, o) | (i, f, g, o)
+        G = self.num_gates
         k = 1.0 / hidden_size ** 0.5
-        shape_ih = (input_size, 4 * hidden_size)   # i, f, g(cell), o packed
-        shape_hh = (hidden_size, 4 * hidden_size)
+        shape_ih = (input_size, G * hidden_size)
+        shape_hh = (hidden_size, G * hidden_size)
         u = nnx.initializers.uniform(2 * k)
-        self.w_ih = nnx.Param(u(rngs.params(), shape_ih, dtype) - k)
+        if shared_input_hidden is not None:
+            # reference shared_input_hidden_weights: the reverse direction
+            # reuses the forward direction's input-to-hidden weights AND
+            # their quantizers (weights_to_share, quant_rnn.py:551-561)
+            self.w_ih, ih_quants = shared_input_hidden
+        else:
+            self.w_ih = nnx.Param(u(rngs.params(), shape_ih, dtype) - k)
+            ih_quants = None  # built below
         self.w_hh = nnx.Param(u(rngs.params(), shape_hh, dtype) - k)
-        self.bias = nnx.Param(jnp.zeros((4 * hidden_size,), dtype)) if use_bias else None
-        from brevitas_tpu.quant.quantizers import BiasQuantizer
+        self.bias = nnx.Param(jnp.zeros((G * hidden_size,), dtype)) \
+            if use_bias else None
         from brevitas_tpu.quant.presets import NoneBiasQuant
+        from brevitas_tpu.quant.quantizers import BiasQuantizer
 
         # gate-bias quantization (internal-scaling configs only: no single
-        # accumulator scale exists for the packed 4-gate bias)
+        # accumulator scale exists for the packed multi-gate bias)
         self.bias_quant = BiasQuantizer(
             bias_quant if bias_quant is not None else NoneBiasQuant,
-            self.bias[...] if use_bias else jnp.zeros((4 * hidden_size,)))
-        self.w_ih_quant = ParameterQuantizer(
-            _wcfg(weight_quant), self.w_ih[...], channel_axis=1)
-        self.w_hh_quant = ParameterQuantizer(
-            _wcfg(weight_quant), self.w_hh[...], channel_axis=1)
+            self.bias[...] if use_bias else jnp.zeros((G * hidden_size,)))
+
+        wcfg = _wcfg(weight_quant)
+        H = hidden_size
+        if shared_intra_layer_weight_quant:
+            # one quantizer; scaling stats over both packed matrices
+            stats_init = jnp.concatenate(
+                [self.w_ih[...], self.w_hh[...]], axis=0)
+            shared_q = ParameterQuantizer(wcfg, stats_init, channel_axis=1)
+            if ih_quants is None:
+                ih_quants = nnx.List([shared_q])
+            self.w_hh_quants = nnx.List([shared_q])
+        else:
+            if ih_quants is None:
+                ih_quants = nnx.List([
+                    ParameterQuantizer(wcfg, self.w_ih[...][:, g * H:(g + 1) * H],
+                                       channel_axis=1) for g in range(G)])
+            self.w_hh_quants = nnx.List([
+                ParameterQuantizer(wcfg, self.w_hh[...][:, g * H:(g + 1) * H],
+                                   channel_axis=1) for g in range(G)])
+        self.w_ih_quants = ih_quants
         self.input_quant = ActQuantizer(_acfg(io_quant))
         self.quants = _QuantLSTMCellQuant(
             gate_acc_quant, sigmoid_quant, tanh_quant, cell_state_quant,
-            io_quant)
+            io_quant, cifg=cifg,
+            shared_gate_acc=shared_intra_layer_gate_acc_quant,
+            shared_cell_state=shared_cell_state, shared_io=shared_io)
+
+    def _quant_packed(self, w: Array, quants) -> Array:
+        """Quantize a packed (X, G·H) gate matrix per gate (or through the
+        single shared quantizer)."""
+        if len(quants) == 1:
+            return unpack(quants[0](w))
+        H = self.hidden_size
+        return jnp.concatenate(
+            [unpack(q(w[:, g * H:(g + 1) * H]))
+             for g, q in enumerate(quants)], axis=1)
 
     def __call__(self, x: Array, h0: Optional[Array] = None,
                  c0: Optional[Array] = None) -> Tuple[Array, Tuple[Array, Array]]:
@@ -111,9 +204,9 @@ class _QuantLSTMLayer(nnx.Module, TrainToggleMixin):
         x = unpack(self.input_quant(x))
         # quantize gate weights once per forward (reference gate_params_fwd,
         # nn/mixin/base.py:242), then hoist the input projection out of the
-        # time loop as one big (B*T, I) x (I, 4H) GEMM — MXU-friendly
-        qw_ih = unpack(self.w_ih_quant(self.w_ih[...]))
-        qw_hh = unpack(self.w_hh_quant(self.w_hh[...]))
+        # time loop as one big (B*T, I) x (I, G*H) GEMM — MXU-friendly
+        qw_ih = self._quant_packed(self.w_ih[...], self.w_ih_quants)
+        qw_hh = self._quant_packed(self.w_hh[...], self.w_hh_quants)
         x_proj = jnp.einsum("bti,ih->bth", x, qw_ih)
         if self.bias is not None:
             x_proj = x_proj + unpack(self.bias_quant(self.bias[...]))
@@ -121,19 +214,35 @@ class _QuantLSTMLayer(nnx.Module, TrainToggleMixin):
             x_proj = jnp.flip(x_proj, axis=1)
 
         graphdef, quant_state = nnx.split(self.quants)
+        cifg = self.cifg
 
         def step(carry, xp_t):
             h, c, qstate = carry
             q = nnx.merge(graphdef, qstate)
             gates = xp_t + h @ qw_hh
-            gates = unpack(q.gate_acc(gates))
-            i_g, f_g, g_g, o_g = jnp.split(gates, 4, axis=-1)
-            i_t = unpack(q.in_sigmoid(jax.nn.sigmoid(i_g)))
-            f_t = unpack(q.forget_sigmoid(jax.nn.sigmoid(f_g)))
-            g_t = unpack(q.cell_tanh(jnp.tanh(g_g)))
-            o_t = unpack(q.out_sigmoid(jax.nn.sigmoid(o_g)))
+            if cifg:
+                i_g, g_g, o_g = jnp.split(gates, 3, axis=-1)
+            else:
+                i_g, f_g, g_g, o_g = jnp.split(gates, 4, axis=-1)
+            i_t_qt = q.in_sigmoid(jax.nn.sigmoid(unpack(q.gate_acc(i_g))))
+            i_t = unpack(i_t_qt)
+            if cifg:
+                # 1 - input gate on the sigmoid quantizer's grid
+                # (reference forward_iter, quant_rnn.py:217-221)
+                if isinstance(i_t_qt, QuantTensor):
+                    f_t = _quant_ones_like(
+                        i_t_qt, i_t, q.in_sigmoid.cfg.narrow_range) - i_t
+                else:
+                    f_t = 1.0 - i_t
+            else:
+                f_t = unpack(q.forget_sigmoid(
+                    jax.nn.sigmoid(unpack(q.forget_acc(f_g)))))
+            g_t = unpack(q.cell_tanh(jnp.tanh(unpack(q.cell_acc(g_g)))))
+            o_t = unpack(q.out_sigmoid(
+                jax.nn.sigmoid(unpack(q.out_acc(o_g)))))
             c_new = unpack(q.cell_state(f_t * c + i_t * g_t))
-            h_new = unpack(q.hidden_state(o_t * unpack(q.hidden_tanh(jnp.tanh(c_new)))))
+            h_new = unpack(q.hidden_state(
+                o_t * unpack(q.hidden_tanh(jnp.tanh(c_new)))))
             _, qstate = nnx.split(q)
             return (h_new, c_new, qstate), h_new
 
@@ -203,7 +312,18 @@ class _QuantRNNLayer(nnx.Module, TrainToggleMixin):
 
 class QuantLSTM(nnx.Module, TrainToggleMixin):
     """Stacked (optionally bidirectional) quantized LSTM
-    (reference QuantLSTM, nn/quant_rnn.py:839)."""
+    (reference QuantLSTM, nn/quant_rnn.py:839).
+
+    Option parity with the reference signature (quant_rnn.py:706-839):
+    ``coupled_input_forget_gates`` (CIFG: forget = 1 − input on the quant
+    grid, no forget-gate weights), ``shared_input_hidden_weights``
+    (bidirectional only: both directions share input-to-hidden weights),
+    ``shared_intra_layer_weight_quant`` / ``shared_intra_layer_gate_acc_
+    quant`` (single weight / gate-accumulator quantizer per layer), and
+    ``shared_cell_state_quant`` (one cell-state quantizer instance shared
+    across all layers and directions, required by ``cat_output_cell_states``).
+    The first direction's io (hidden-state) quantizer is always shared, as
+    in the reference's ``quantizers_to_share``."""
 
     def __init__(self, input_size: int, hidden_size: int, num_layers: int = 1,
                  *, bidirectional: bool = False, use_bias: bool = True,
@@ -214,21 +334,53 @@ class QuantLSTM(nnx.Module, TrainToggleMixin):
                  sigmoid_quant: Optional[QuantConfig] = Uint8ActPerTensorFloat,
                  tanh_quant: Optional[QuantConfig] = Int8ActPerTensorFloat,
                  cell_state_quant: Optional[QuantConfig] = Int8ActPerTensorFloat,
+                 coupled_input_forget_gates: bool = False,
+                 cat_output_cell_states: bool = True,
+                 shared_input_hidden_weights: bool = False,
+                 shared_intra_layer_weight_quant: bool = False,
+                 shared_intra_layer_gate_acc_quant: bool = False,
+                 shared_cell_state_quant: bool = True,
                  rngs: nnx.Rngs):
+        if shared_input_hidden_weights and not bidirectional:
+            raise ValueError("Shared input-hidden weights requires "
+                             "bidirectional=True.")
+        if cat_output_cell_states and cell_state_quant is not None \
+                and not shared_cell_state_quant:
+            raise ValueError("Concatenating cell states requires shared "
+                             "cell quantizers.")
         self.hidden_size = hidden_size
         self.bidirectional = bidirectional
+        self.cifg = coupled_input_forget_gates
+        self.cat_output_cell_states = cat_output_cell_states
         layers = []
+        shared_io = None
+        shared_cell = None
         for i in range(num_layers):
             in_sz = input_size if i == 0 else hidden_size * (2 if bidirectional else 1)
             kw = dict(weight_quant=weight_quant, bias_quant=bias_quant,
                       io_quant=io_quant, gate_acc_quant=gate_acc_quant,
                       sigmoid_quant=sigmoid_quant, tanh_quant=tanh_quant,
                       cell_state_quant=cell_state_quant, use_bias=use_bias,
+                      cifg=coupled_input_forget_gates,
+                      shared_intra_layer_weight_quant=shared_intra_layer_weight_quant,
+                      shared_intra_layer_gate_acc_quant=shared_intra_layer_gate_acc_quant,
                       rngs=rngs)
-            layers.append(_QuantLSTMLayer(in_sz, hidden_size, **kw))
+            fwd = _QuantLSTMLayer(in_sz, hidden_size, shared_io=shared_io,
+                                  shared_cell_state=shared_cell, **kw)
+            # reference quantizers_to_share: the first direction's io quant
+            # always propagates; cell-state quant when shared_cell_state_quant
+            if shared_io is None:
+                shared_io = fwd.quants.hidden_state
+            if shared_cell is None and shared_cell_state_quant:
+                shared_cell = fwd.quants.cell_state
+            layers.append(fwd)
             if bidirectional:
-                layers.append(_QuantLSTMLayer(in_sz, hidden_size,
-                                              reverse=True, **kw))
+                shared_ih = ((fwd.w_ih, fwd.w_ih_quants)
+                             if shared_input_hidden_weights else None)
+                layers.append(_QuantLSTMLayer(
+                    in_sz, hidden_size, reverse=True, shared_io=shared_io,
+                    shared_cell_state=shared_cell,
+                    shared_input_hidden=shared_ih, **kw))
         self.layers = nnx.List(layers)
 
     def __call__(self, x: Array, h0: Optional[Array] = None,

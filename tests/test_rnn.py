@@ -197,3 +197,147 @@ def test_lstm_bias_quant_applied(rng):
     qb = layer.bias_quant(layer.bias[...])
     assert qb.scale is not None
     assert qb.is_valid()
+
+
+# ---------------------------------------------------------------------------
+# QuantLSTM option matrix (reference tests/brevitas/nn/test_recurrent.py and
+# quant_rnn.py:706-839 signature options)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("bidirectional", [False, True])
+@pytest.mark.parametrize("num_layers", [1, 2])
+def test_lstm_cifg(bidirectional, num_layers, rng):
+    """CIFG: no forget-gate weights (3-gate packing), forget = 1 - input on
+    the sigmoid quantizer's grid."""
+    m = QuantLSTM(8, 16, num_layers=num_layers, bidirectional=bidirectional,
+                  coupled_input_forget_gates=True, rngs=nnx.Rngs(0))
+    x = jnp.asarray(rng.standard_normal((2, 5, 8)).astype(np.float32))
+    y, (h, c) = m(x)
+    D = 2 if bidirectional else 1
+    assert y.shape == (2, 5, 16 * D)
+    assert h.shape == (num_layers * D, 2, 16)
+    for lay in m.layers:
+        assert lay.num_gates == 3
+        assert lay.w_ih[...].shape[1] == 3 * 16
+        # forget quantizers alias the input ones
+        assert lay.quants.forget_sigmoid is lay.quants.in_sigmoid
+        assert lay.quants.forget_acc is lay.quants.gate_acc
+
+
+def test_lstm_cifg_forget_complements_input(rng):
+    """With quantization disabled, CIFG means f_t == 1 - i_t exactly —
+    checked via the cell state recursion on a 1-step sequence."""
+    m = QuantLSTM(4, 4, coupled_input_forget_gates=True,
+                  weight_quant=None, io_quant=None, gate_acc_quant=None,
+                  sigmoid_quant=None, tanh_quant=None, cell_state_quant=None,
+                  use_bias=False, rngs=nnx.Rngs(0))
+    x = jnp.asarray(rng.standard_normal((1, 1, 4)).astype(np.float32))
+    c0 = jnp.ones((1, 1, 4))
+    _, (_, c1) = m(x, h0=jnp.zeros((1, 1, 4)), c0=c0)
+    lay = m.layers[0]
+    gates = (x[:, 0] @ lay.w_ih[...])  # h0 = 0
+    i_g, g_g, o_g = jnp.split(gates, 3, axis=-1)
+    i_t = jax.nn.sigmoid(i_g)
+    expected_c = (1.0 - i_t) * 1.0 + i_t * jnp.tanh(g_g)
+    np.testing.assert_allclose(np.asarray(c1[0]), np.asarray(expected_c),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_lstm_shared_input_hidden_weights(rng):
+    m = QuantLSTM(8, 16, bidirectional=True,
+                  shared_input_hidden_weights=True, rngs=nnx.Rngs(0))
+    fwd, bwd = m.layers[0], m.layers[1]
+    assert fwd.w_ih is bwd.w_ih  # same Param instance
+    assert fwd.w_ih_quants is bwd.w_ih_quants
+    assert fwd.w_hh is not bwd.w_hh
+    x = jnp.asarray(rng.standard_normal((2, 5, 8)).astype(np.float32))
+    y, _ = m(x)
+    assert y.shape == (2, 5, 32)
+    # gradient flows once into the shared weight
+    import optax
+    opt = nnx.Optimizer(m, optax.sgd(0.1), wrt=nnx.Param)
+    def loss(mm):
+        return jnp.sum(mm(x)[0] ** 2)
+    _, grads = nnx.value_and_grad(loss)(m)
+    opt.update(m, grads)
+    assert m.layers[0].w_ih is m.layers[1].w_ih
+
+
+def test_lstm_shared_input_hidden_requires_bidirectional():
+    with pytest.raises(ValueError, match="bidirectional"):
+        QuantLSTM(8, 16, shared_input_hidden_weights=True, rngs=nnx.Rngs(0))
+
+
+def test_lstm_cat_cell_states_requires_shared_quant():
+    with pytest.raises(ValueError, match="shared cell quantizers"):
+        QuantLSTM(8, 16, shared_cell_state_quant=False,
+                  cat_output_cell_states=True, rngs=nnx.Rngs(0))
+
+
+def test_lstm_shared_intra_layer_quantizers(rng):
+    m = QuantLSTM(8, 16, num_layers=2,
+                  shared_intra_layer_weight_quant=True,
+                  shared_intra_layer_gate_acc_quant=True, rngs=nnx.Rngs(0))
+    for lay in m.layers:
+        assert len(lay.w_ih_quants) == 1
+        assert lay.w_ih_quants[0] is lay.w_hh_quants[0]
+        q = lay.quants
+        assert q.forget_acc is q.gate_acc
+        assert q.cell_acc is q.gate_acc and q.out_acc is q.gate_acc
+    x = jnp.asarray(rng.standard_normal((2, 5, 8)).astype(np.float32))
+    y, _ = m(x)
+    assert y.shape == (2, 5, 16)
+
+
+def test_lstm_per_gate_weight_quant_default(rng):
+    """Default (no intra-layer sharing): each gate has its own weight
+    quantizer → per-gate per-tensor scales may differ."""
+    m = QuantLSTM(8, 16, rngs=nnx.Rngs(0))
+    lay = m.layers[0]
+    assert len(lay.w_ih_quants) == 4 and len(lay.w_hh_quants) == 4
+    scales = [float(np.asarray(q(lay.w_ih[...][:, g * 16:(g + 1) * 16]).scale))
+              for g, q in enumerate(lay.w_ih_quants)]
+    assert len(set(scales)) > 1  # independent per-gate scales
+
+
+def test_lstm_cell_state_quant_shared_across_layers(rng):
+    m = QuantLSTM(8, 16, num_layers=3, shared_cell_state_quant=True,
+                  rngs=nnx.Rngs(0))
+    first = m.layers[0].quants.cell_state
+    assert all(lay.quants.cell_state is first for lay in m.layers)
+    # io (hidden-state) quant is always shared (quantizers_to_share)
+    first_io = m.layers[0].quants.hidden_state
+    assert all(lay.quants.hidden_state is first_io for lay in m.layers)
+
+
+@pytest.mark.parametrize("cifg", [False, True])
+def test_lstm_option_matrix_qonnx_export(cifg, rng):
+    """Options thread through QONNX export and the exported graph executes
+    within an act LSB of the model (reference test_recurrent export tier)."""
+    from brevitas_tpu.export import export_qonnx, run_onnx, validate_onnx
+    from brevitas_tpu.utils import eval_mode
+
+    class Net(nnx.Module):
+        def __init__(self):
+            self.lstm = QuantLSTM(8, 16, coupled_input_forget_gates=cifg,
+                                  rngs=nnx.Rngs(0))
+
+        def export_layers(self):
+            return [self.lstm]
+
+        def __call__(self, x):
+            y, _ = self.lstm(x)
+            return y
+
+    m = Net()
+    x = jnp.asarray(rng.standard_normal((2, 5, 8)).astype(np.float32))
+    m(x)  # calibrate
+    eval_mode(m)
+    y_model = np.asarray(m(x))
+    blob = export_qonnx(m, x)
+    validate_onnx(blob)
+    (y_onnx,) = run_onnx(blob, {"input": np.asarray(x)})
+    io_scale = float(np.asarray(
+        m.lstm.layers[0].quants.hidden_state(y_model).scale))
+    np.testing.assert_allclose(y_onnx, y_model, atol=2.1 * io_scale)
