@@ -147,10 +147,11 @@ def main(argv=None):
                  args.batch_size, bn_stats=args.model == "convnet")
     float_acc = _accuracy(model, x_test, y_test)
 
-    # preprocess: BN fusion + cross-layer equalization (preprocess_flexml)
-    regions = () if args.no_equalize else type(model).EQUALIZE
-    G.preprocess_flexml(model, bn_pairs=type(model).BN_PAIRS,
-                        equalize_regions=regions,
+    # preprocess: BN fusion + cross-layer equalization, AUTO-discovered
+    # from one traced forward (graph/autograph.py) — the class-level
+    # BN_PAIRS/EQUALIZE lists are no longer needed
+    G.preprocess_flexml(model, x_test[:1],
+                        equalize_regions=(() if args.no_equalize else None),
                         equalize_iterations=args.equalize_iterations)
     pre_acc = _accuracy(model, x_test, y_test)
 

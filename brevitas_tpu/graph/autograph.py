@@ -457,6 +457,24 @@ def extract_regions(model: nnx.Module, sample_input,
                 walk(nxt, history, srcs, sinks, False)
             # else stop
 
+    def sizes_match(srcs: Set[str], sinks: Set[str]) -> bool:
+        """Reference _cross_layer_equalization requires every source's
+        out-channel count to equal every sink's in-channel count (it raises
+        otherwise, equalize.py:132); a spatial flatten between a conv and a
+        linear breaks this, so such regions are dropped at extraction."""
+        from brevitas_tpu.graph.equalize import _axes, _kernel
+
+        sizes = set()
+        for p in srcs:
+            mod = g.modules[p].module
+            _, out_ax = _axes(mod)
+            sizes.add(int(_kernel(mod)[...].shape[out_ax]))
+        for p in sinks:
+            mod = g.modules[p].module
+            in_ax, _ = _axes(mod)
+            sizes.add(int(_kernel(mod)[...].shape[in_ax]))
+        return len(sizes) == 1
+
     regions: Set[Tuple[Tuple[str, ...], Tuple[str, ...]]] = set()
     for path, node in g.modules.items():
         if not _is_supported(node.module):
@@ -464,7 +482,7 @@ def extract_regions(model: nnx.Module, sample_input,
         srcs: Set[str] = {path}
         sinks: Set[str] = set()
         walk(node, set(), srcs, sinks, True)
-        if sinks and not (srcs & sinks):
+        if sinks and not (srcs & sinks) and sizes_match(srcs, sinks):
             regions.add((tuple(sorted(srcs)), tuple(sorted(sinks))))
     ordered = sorted(regions, key=lambda r: r[0][0])
     return [(list(s), list(k)) for s, k in ordered]

@@ -19,11 +19,18 @@ from brevitas_tpu.parallel.multihost import (
     host_local_batch_slice,
     initialize,
 )
-from brevitas_tpu.parallel.pipeline import pipeline_apply, stack_stage_params
+from brevitas_tpu.parallel.pipeline import (
+    onef1b_schedule,
+    pipeline_apply,
+    pipeline_train_step,
+    stack_stage_params,
+    stack_stage_params_padded,
+)
 from brevitas_tpu.parallel.sequence import sequence_sharding, shard_sequence
 
 __all__ = ["make_mesh", "shard_model_by_rules", "replicate_model",
-           "pipeline_apply", "stack_stage_params",
+           "pipeline_apply", "pipeline_train_step", "onef1b_schedule",
+           "stack_stage_params", "stack_stage_params_padded",
            "sequence_sharding", "shard_sequence",
            "initialize", "global_mesh", "host_local_batch_slice",
            "global_batch_array"]

@@ -23,8 +23,11 @@ X224 = np.zeros((1, 224, 224, 3), np.float32)
 
 def test_alexnet_regions_complete():
     """Plain sequential conv/relu/pool/flatten stack: every adjacent
-    conv→conv / conv→fc / fc→fc pair becomes a region, walking through
-    functional relu, max-pool, adaptive-avg-pool and reshape glue."""
+    conv→conv / fc→fc pair becomes a region, walking through functional
+    relu, max-pool, adaptive-avg-pool and reshape glue. conv5→fc1 is
+    correctly DROPPED: the spatial flatten makes conv5's 256 output
+    channels meet fc1's 9216 input dims, which the reference's
+    _cross_layer_equalization rejects (equalize.py:132)."""
     from brevitas_tpu.models.torchvision_zoo import float_alexnet
 
     m = float_alexnet(rngs=nnx.Rngs(0))
@@ -32,7 +35,7 @@ def test_alexnet_regions_complete():
     assert regions == [
         (["conv1"], ["conv2"]), (["conv2"], ["conv3"]),
         (["conv3"], ["conv4"]), (["conv4"], ["conv5"]),
-        (["conv5"], ["fc1"]), (["fc1"], ["fc2"]), (["fc2"], ["fc3"])]
+        (["fc1"], ["fc2"]), (["fc2"], ["fc3"])]
 
 
 def test_traced_bn_pairs_match_declaration_convention():

@@ -129,7 +129,8 @@ def test_tutorial_scripts_run():
                    "notebooks/07_quantized_recurrent.py",
                    "notebooks/08_advanced_formats.py",
                    "notebooks/09_integer_serving.py",
-                   "notebooks/10_speech_pipeline.py"]:
+                   "notebooks/10_speech_pipeline.py",
+                   "notebooks/11_auto_discovery_and_pipeline.py"]:
         r = subprocess.run([sys.executable, script], capture_output=True,
                            text=True, timeout=300,
                            env={**__import__("os").environ,

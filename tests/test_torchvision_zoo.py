@@ -90,9 +90,10 @@ def test_flexml_end_to_end(name, rng):
     y_float = np.asarray(m(x))
     assert np.all(np.isfinite(y_float))
 
-    # preprocess: fold every conv→BN pair the structure exposes
-    pairs = discover_bn_pairs(m)
-    preprocess_flexml(m, bn_pairs=pairs)
+    # FULLY AUTOMATIC preprocess (reference preprocess_flexml:381): one
+    # traced forward discovers the conv→BN pairs and the equalization
+    # regions — no hand-written lists anywhere in the zoo tier
+    preprocess_flexml(m, np.zeros((1, hw, hw, 3), np.float32))
     np.testing.assert_allclose(m(x), y_float, rtol=1e-2, atol=1e-2)
 
     quantize_flexml(m, collect_stats_steps=2)
