@@ -14,8 +14,7 @@ mistyped field the interpreter would shrug at fails here.
 Schema source: the public onnx.proto3 definition (onnx IR version 8).
 """
 
-import struct
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 __all__ = ["validate_onnx", "OnnxValidationError"]
 

@@ -29,7 +29,7 @@ mutations during the traced forward never leak tracers into live state.
 import contextlib
 import contextvars
 import itertools
-from typing import Dict, List, Optional, Sequence, Set, Tuple
+from typing import Dict, List, Optional, Set, Tuple
 
 import jax
 import jax.extend.core

@@ -118,7 +118,7 @@ def build_tpu_model(arch: str, w: int, a: int, in_bw: int, seed: int,
                     dropout: float = 0.2):
     from flax import nnx
 
-    from brevitas_tpu.models import cnv, fc as fc_mod
+    from brevitas_tpu.models import cnv
     if arch == "cnv":
         return cnv(w, a, in_bw, rngs=nnx.Rngs(seed))
     from brevitas_tpu.models.fc import FC
