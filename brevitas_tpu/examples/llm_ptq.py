@@ -27,8 +27,19 @@ from brevitas_tpu.quant import presets
 from brevitas_tpu.utils import eval_mode
 
 
-def smoothquant_regions(model):
-    """The canonical SmoothQuant migration sites for either architecture."""
+def smoothquant_regions(model, sample_tokens=None):
+    """SmoothQuant migration sites: discovered automatically from a traced
+    forward when ``sample_tokens`` is given (`graph.autograph.extract_act_
+    equalization_regions` — works for ANY architecture, and on the built-in
+    transformer finds a strict superset of the hand-written list, incl. the
+    final-norm→head region); otherwise falls back to the per-architecture
+    hand lists."""
+    if sample_tokens is not None:
+        from brevitas_tpu.graph.autograph import (
+            extract_act_equalization_regions,
+        )
+
+        return extract_act_equalization_regions(model, sample_tokens)
     from brevitas_tpu.models.llama import (
         QuantLlama,
         llama_smoothquant_regions,

@@ -38,7 +38,7 @@ import numpy as np
 from flax import nnx
 
 __all__ = ["trace_module_graph", "find_bn_pairs", "extract_regions",
-           "ModuleGraph", "GraphNode"]
+           "extract_act_equalization_regions", "ModuleGraph", "GraphNode"]
 
 _SCOPE_PREFIX = "btmod"
 
@@ -486,3 +486,50 @@ def extract_regions(model: nnx.Module, sample_input,
             regions.add((tuple(sorted(srcs)), tuple(sorted(sinks))))
     ordered = sorted(regions, key=lambda r: r[0][0])
     return [(list(s), list(k)) for s, k in ordered]
+
+
+def extract_act_equalization_regions(model: nnx.Module, sample_input,
+                                     graph: Optional[ModuleGraph] = None,
+                                     ) -> List[Tuple[List[str], List[str]]]:
+    """SmoothQuant migration sites discovered from the traced graph: each
+    LayerNorm/RMSNorm-style elementwise-affine source paired with the
+    linear sinks its output feeds directly (through reshaping-only glue) —
+    e.g. a transformer block's LN1 → {q,k,v} projections, LN2 → MLP up
+    projection. The norm's scale absorbs ``1/s`` exactly
+    (``equalize.apply_act_equalization``, arXiv:2211.10438)."""
+    from brevitas_tpu.graph.equalize import _is_norm_source
+
+    g = graph or trace_module_graph(model, sample_input)
+
+    def linear_sinks(node: GraphNode) -> Set[str]:
+        sinks: Set[str] = set()
+        seen: Set[int] = set()
+
+        def walk(n: GraphNode):
+            for nxt in n.succs:
+                if id(nxt) in seen:
+                    continue
+                seen.add(id(nxt))
+                if nxt.kind == "module":
+                    if _is_supported(nxt.module):
+                        sinks.add(nxt.path)
+                    # any other module (incl. attention internals reached
+                    # another way) ends the branch
+                    continue
+                if _classify_prim(nxt) == "reshaping":
+                    walk(nxt)
+                # non-reshaping glue (residual adds, elementwise) ends the
+                # branch: the migration is only exact straight into a sink
+
+        walk(node)
+        return sinks
+
+    regions: List[Tuple[List[str], List[str]]] = []
+    for path, node in g.modules.items():
+        if not _is_norm_source(node.module):
+            continue
+        sinks = linear_sinks(node)
+        if sinks:
+            regions.append(([path], sorted(sinks)))
+    regions.sort(key=lambda r: r[0][0])
+    return regions

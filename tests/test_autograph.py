@@ -151,3 +151,35 @@ def test_quant_model_graph_traces():
     linears = [p for p, n in g.modules.items()
                if isinstance(n.module, QuantLinear)]
     assert len(linears) == 4
+
+
+def test_smoothquant_region_discovery_superset_of_hand_list():
+    """LayerNorm→linear migration sites from the traced graph cover every
+    hand-written region and additionally find the final-norm→head site."""
+    from brevitas_tpu.graph.autograph import extract_act_equalization_regions
+    from brevitas_tpu.models.transformer import (
+        quant_transformer_tiny,
+        transformer_smoothquant_regions,
+    )
+
+    m = quant_transformer_tiny(rngs=nnx.Rngs(0))
+    auto = {(tuple(s), tuple(sorted(k)))
+            for s, k in extract_act_equalization_regions(
+                m, np.zeros((1, 16), np.int32))}
+    hand = {(tuple(s), tuple(sorted(k)))
+            for s, k in transformer_smoothquant_regions(m)}
+    assert hand <= auto
+    assert (("ln_f",), ("head",)) in auto - hand
+
+
+def test_smoothquant_regions_on_llama():
+    """RMSNorm sources on the Llama-family model: attention + MLP norms."""
+    from brevitas_tpu.graph.autograph import extract_act_equalization_regions
+    from brevitas_tpu.models.llama import quant_llama_tiny
+
+    m = quant_llama_tiny(rngs=nnx.Rngs(0))
+    regions = extract_act_equalization_regions(
+        m, np.zeros((1, 16), np.int32))
+    srcs = {s[0] for s, _ in regions}
+    assert any("ln1" in s or "attn_norm" in s or "input" in s for s in srcs) \
+        or len(regions) >= 2, regions
