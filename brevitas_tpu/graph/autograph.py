@@ -149,6 +149,7 @@ class GraphNode:
         self.module = module
         self.prim = prim
         self.eqn = eqn
+        self.out_shape: Optional[Tuple[int, ...]] = None
         self.preds: List["GraphNode"] = []
         self.succs: List["GraphNode"] = []
 
@@ -274,6 +275,10 @@ def trace_module_graph(model: nnx.Module, sample_input) -> ModuleGraph:
         else:
             node = GraphNode("prim", prim=prim, eqn=eqn)
             nodes.append(node)
+        if eqn.outvars:
+            # a module node's out_shape ends up as its LAST eqn's output —
+            # the tensor that leaves the module (used by cost reports)
+            node.out_shape = tuple(eqn.outvars[0].aval.shape)
         eqn_owner.append((node, ins))
         for o in outs:
             if o is not None:
