@@ -10,6 +10,8 @@ shared-chip slow periods cancel in the ratio):
 - ``quantlstm_int8_qat``  2-layer QuantLSTM INT8 QAT train step
 - ``lfc_int8_serving``    LFC int8 integer-domain eval (convert_int path)
 - ``quartznet_int8_serving`` QuartzNet 15x5 INT8 integer-domain eval
+- ``mobilenetv1_4b_qat``  MobileNetV1 4-bit QAT train step (224px, opt-in
+  via BENCH_CONFIGS — not in the default list to bound compile time)
 
 ``vs_baseline`` semantics: QAT legs report QAT/FP throughput on the same
 chip (1.0 = fake-quant training is free — the reference publishes no speed
@@ -372,11 +374,38 @@ def leg_quartznet_int8_serving():
     return rec
 
 
+def leg_mobilenetv1_4b_qat():
+    """MobileNetV1 4-bit QAT (BASELINE "MobileNetV1 4-bit ImageNet" config;
+    throughput leg at 128px to keep the relay compile tractable)."""
+    from brevitas_tpu.models import quant_mobilenet_v1
+
+    steps, batch, hw = 3, 32, 224  # final 7x7 avg-pool needs 224px
+
+    def build(quant):
+        return lambda: quant_mobilenet_v1(bit_width=4 if quant else None,
+                                          rngs=nnx.Rngs(0))
+
+    def ce(logits, y):
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, y).mean()
+
+    qat = _scanned_train(build(True), (hw, hw, 3), steps, batch, loss_fn=ce,
+                         clip=False)
+    fp = _with_timeout(
+        lambda: _scanned_train(build(False), (hw, hw, 3), steps, batch,
+                               loss_fn=ce, clip=False), LEG_TIMEOUT_S)
+    rec = _emit("mobilenetv1_4b_qat_images_per_sec_per_chip",
+                "images/sec/chip", qat, fp)
+    rec["image_size"] = hw
+    return rec
+
+
 LEGS = {
     "cnv_qat": _cnv_legs,
     "quantlstm_qat": lambda: [leg_quantlstm_int8_qat()],
     "lfc_serving": lambda: [leg_lfc_int8_serving()],
     "quartznet_serving": lambda: [leg_quartznet_int8_serving()],
+    "mobilenetv1_qat": lambda: [leg_mobilenetv1_4b_qat()],
 }
 
 

@@ -19,7 +19,7 @@ from flax import nnx
 
 from brevitas_tpu.core.restrict import RestrictType
 from brevitas_tpu.nn import QuantAvgPool2d, QuantConv2d, QuantLinear, QuantReLU
-from brevitas_tpu.quant.config import QuantConfig, ScalingImplType
+from brevitas_tpu.quant.config import QuantConfig, QuantType, ScalingImplType
 from brevitas_tpu.quant.presets import (
     Int8WeightPerTensorFloat,
     IntBias,
@@ -30,22 +30,29 @@ from brevitas_tpu.quant.quantizers import TrainToggleMixin
 FIRST_LAYER_BIT_WIDTH = 8
 
 
-def common_int_weight_per_tensor_quant(bit_width: int) -> QuantConfig:
-    """Reference CommonIntWeightPerTensorQuant (models/common.py:10)."""
+def common_int_weight_per_tensor_quant(bit_width) -> QuantConfig:
+    """Reference CommonIntWeightPerTensorQuant (models/common.py:10).
+    ``None`` disables quantization (float twin for paired benchmarks)."""
+    if bit_width is None:
+        return QuantConfig(quant_type=QuantType.NONE)
     return Int8WeightPerTensorFloat.let(bit_width=float(bit_width),
                                         scaling_min_val=2e-16)
 
 
-def common_int_weight_per_channel_quant(bit_width: int) -> QuantConfig:
+def common_int_weight_per_channel_quant(bit_width) -> QuantConfig:
     """Reference CommonIntWeightPerChannelQuant (models/common.py:19)."""
+    if bit_width is None:
+        return QuantConfig(quant_type=QuantType.NONE)
     return common_int_weight_per_tensor_quant(bit_width).let(
         scaling_per_output_channel=True)
 
 
-def common_uint_act_quant(bit_width: int,
+def common_uint_act_quant(bit_width,
                           per_channel: bool = False) -> QuantConfig:
     """Reference CommonUintActQuant (models/common.py:39): unsigned, learned
     log-domain threshold initialized at 6.0 (ReLU6-style)."""
+    if bit_width is None:
+        return QuantConfig(quant_type=QuantType.NONE)
     return QuantConfig(
         bit_width=float(bit_width), signed=False, narrow_range=False,
         scaling_impl=ScalingImplType.PARAMETER, scaling_const=6.0,
@@ -53,9 +60,11 @@ def common_uint_act_quant(bit_width: int,
         scaling_per_output_channel=per_channel)
 
 
-def common_int_act_quant(bit_width: int) -> QuantConfig:
+def common_int_act_quant(bit_width) -> QuantConfig:
     """Reference CommonIntActQuant (models/common.py:27): signed, learned
     log-domain threshold initialized at 10.0."""
+    if bit_width is None:
+        return QuantConfig(quant_type=QuantType.NONE)
     return QuantConfig(
         bit_width=float(bit_width), signed=True, narrow_range=False,
         scaling_impl=ScalingImplType.PARAMETER, scaling_const=10.0,
@@ -116,7 +125,8 @@ class MobileNetV1(nnx.Module, TrainToggleMixin):
             num_classes: int = 1000, first_stage_stride: bool = False,
             rngs: nnx.Rngs):
         init_ch = channels[0][0]
-        blocks = [ConvBlock(in_channels, init_ch, 3, FIRST_LAYER_BIT_WIDTH,
+        first_bw = None if bit_width is None else FIRST_LAYER_BIT_WIDTH
+        blocks = [ConvBlock(in_channels, init_ch, 3, first_bw,
                             bit_width, stride=2, padding=1,
                             act_scaling_per_channel=True, rngs=rngs)]
         in_ch = init_ch
@@ -130,13 +140,16 @@ class MobileNetV1(nnx.Module, TrainToggleMixin):
                 in_ch = out_ch
         self.features = nnx.List(blocks)
         self.final_pool = QuantAvgPool2d(
-            7, stride=1, trunc_quant=TruncTo8bit.let(bit_width=float(bit_width)),
+            7, stride=1,
+            trunc_quant=(None if bit_width is None else
+                         TruncTo8bit.let(bit_width=float(bit_width))),
             return_quant_tensor=False)
         self.output = QuantLinear(
             in_ch, num_classes, use_bias=True,
             weight_quant=common_int_weight_per_tensor_quant(bit_width),
-            bias_quant=IntBias.let(requires_input_bit_width=False,
-                                   bit_width=32.0),
+            bias_quant=(None if bit_width is None else
+                        IntBias.let(requires_input_bit_width=False,
+                                    bit_width=32.0)),
             input_quant=common_int_act_quant(bit_width), rngs=rngs)
 
     def __call__(self, x):
