@@ -35,6 +35,7 @@ from brevitas_tpu.graph.equalize import (
     split_batch_norm,
 )
 from brevitas_tpu.graph.autograph import (
+    extract_act_equalization_regions,
     extract_regions,
     find_bn_pairs,
     trace_module_graph,
@@ -86,6 +87,7 @@ __all__ = [
     "quantize", "merge_batchnorms", "refresh_weight_quantizers",
     "preprocess_flexml", "quantize_flexml",
     "trace_module_graph", "find_bn_pairs", "extract_regions",
+    "extract_act_equalization_regions",
     "adaptive_avgpool_to_avgpool", "avgpool_to_depthwise_conv",
     "bn_to_quant_scale_bias",
     "convert_integer_inference", "Int8InferenceLinear", "Int8InferenceConv",
