@@ -262,16 +262,24 @@ class _QuantRNNLayer(nnx.Module, TrainToggleMixin):
     def __init__(self, input_size: int, hidden_size: int, *,
                  weight_quant, io_quant, gate_acc_quant, act_fn="tanh",
                  use_bias: bool = True, reverse: bool = False,
+                 shared_input_hidden: Optional[Tuple] = None,
                  dtype=jnp.float32, rngs: nnx.Rngs):
         self.hidden_size = hidden_size
         self.reverse = reverse
         self.act_fn = jnp.tanh if act_fn == "tanh" else jax.nn.relu
         k = 1.0 / hidden_size ** 0.5
         u = nnx.initializers.uniform(2 * k)
-        self.w_ih = nnx.Param(u(rngs.params(), (input_size, hidden_size), dtype) - k)
+        if shared_input_hidden is not None:
+            # reference shared_input_hidden_weights (QuantRNN too): the
+            # reverse direction reuses the forward input-to-hidden weights
+            self.w_ih, self.w_ih_quant = shared_input_hidden
+        else:
+            self.w_ih = nnx.Param(
+                u(rngs.params(), (input_size, hidden_size), dtype) - k)
+            self.w_ih_quant = ParameterQuantizer(
+                _wcfg(weight_quant), self.w_ih[...], 1)
         self.w_hh = nnx.Param(u(rngs.params(), (hidden_size, hidden_size), dtype) - k)
         self.bias = nnx.Param(jnp.zeros((hidden_size,), dtype)) if use_bias else None
-        self.w_ih_quant = ParameterQuantizer(_wcfg(weight_quant), self.w_ih[...], 1)
         self.w_hh_quant = ParameterQuantizer(_wcfg(weight_quant), self.w_hh[...], 1)
         self.input_quant = ActQuantizer(_acfg(io_quant))
         self.gate_acc_quant = ActQuantizer(_acfg(gate_acc_quant))
@@ -419,7 +427,11 @@ class QuantRNN(nnx.Module, TrainToggleMixin):
                  weight_quant: Optional[QuantConfig] = Int8WeightPerTensorFloat,
                  io_quant: Optional[QuantConfig] = Int8ActPerTensorFloat,
                  gate_acc_quant: Optional[QuantConfig] = Int8ActPerTensorFloat,
+                 shared_input_hidden_weights: bool = False,
                  rngs: nnx.Rngs):
+        if shared_input_hidden_weights and not bidirectional:
+            raise ValueError("Shared input-hidden weights requires "
+                             "bidirectional=True.")
         self.bidirectional = bidirectional
         layers = []
         for i in range(num_layers):
@@ -427,10 +439,13 @@ class QuantRNN(nnx.Module, TrainToggleMixin):
             kw = dict(weight_quant=weight_quant, io_quant=io_quant,
                       gate_acc_quant=gate_acc_quant, act_fn=act_fn,
                       use_bias=use_bias, rngs=rngs)
-            layers.append(_QuantRNNLayer(in_sz, hidden_size, **kw))
+            fwd = _QuantRNNLayer(in_sz, hidden_size, **kw)
+            layers.append(fwd)
             if bidirectional:
-                layers.append(_QuantRNNLayer(in_sz, hidden_size,
-                                             reverse=True, **kw))
+                shared = ((fwd.w_ih, fwd.w_ih_quant)
+                          if shared_input_hidden_weights else None)
+                layers.append(_QuantRNNLayer(in_sz, hidden_size, reverse=True,
+                                             shared_input_hidden=shared, **kw))
         self.layers = nnx.List(layers)
 
     def __call__(self, x: Array, h0: Optional[Array] = None):

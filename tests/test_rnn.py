@@ -341,3 +341,18 @@ def test_lstm_option_matrix_qonnx_export(cifg, rng):
     io_scale = float(np.asarray(
         m.lstm.layers[0].quants.hidden_state(y_model).scale))
     np.testing.assert_allclose(y_onnx, y_model, atol=2.1 * io_scale)
+
+
+def test_rnn_shared_input_hidden_weights(rng):
+    """QuantRNN supports shared input-hidden weights too (reference
+    QuantRNN signature, quant_rnn.py:803)."""
+    from brevitas_tpu.nn import QuantRNN
+
+    m = QuantRNN(8, 16, bidirectional=True,
+                 shared_input_hidden_weights=True, rngs=nnx.Rngs(0))
+    assert m.layers[0].w_ih is m.layers[1].w_ih
+    x = jnp.asarray(rng.standard_normal((2, 5, 8)).astype(np.float32))
+    y, _ = m(x)
+    assert y.shape == (2, 5, 32)
+    with pytest.raises(ValueError, match="bidirectional"):
+        QuantRNN(8, 16, shared_input_hidden_weights=True, rngs=nnx.Rngs(0))
