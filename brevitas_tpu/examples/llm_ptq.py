@@ -209,11 +209,12 @@ def main(argv=None):
     if args.rotate:
         pairs, head_dim = G.transformer_rotation_pairs(model)
         G.apply_rotation(model, pairs, block_size=head_dim)
+    # migration regions from the traced graph (auto for any architecture)
+    regions = smoothquant_regions(model, sample_tokens=calib[0][:1])
     if args.awq:
-        G.apply_awq(model, smoothquant_regions(model), calib,
-                    forward_fn=forward)
+        G.apply_awq(model, regions, calib, forward_fn=forward)
     elif not args.no_smoothquant:
-        G.apply_act_equalization(model, smoothquant_regions(model), calib,
+        G.apply_act_equalization(model, regions, calib,
                                  alpha=args.smoothquant_alpha,
                                  forward_fn=forward)
     if args.dynamic_act:
