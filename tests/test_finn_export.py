@@ -233,3 +233,41 @@ def test_finn_rejects_io_quant_on_wbiol(rng):
     eval_mode(m)
     with pytest.raises(ValueError, match="standalone activation"):
         export_finn_onnx(m, x)
+
+
+def test_finn_per_channel_relu_thresholds(rng):
+    """Per-channel activation scales produce per-channel threshold rows and
+    a channel-shaped Mul; oracle-checked through a conv."""
+    class Net(nnx.Module):
+        def __init__(self):
+            r = nnx.Rngs(0)
+            self.conv = qnn.QuantConv2d(
+                3, 8, 3, padding=[(1, 1), (1, 1)], use_bias=False,
+                weight_quant=presets.Int8WeightPerChannelFloat.let(
+                    bit_width=4.0), rngs=r)
+            self.act = qnn.QuantReLU(
+                presets.Uint8ActPerTensorFloat.let(
+                    collect_stats_steps=1, bit_width=4.0,
+                    scaling_per_output_channel=True),
+                num_channels=8)
+
+        def export_layers(self):
+            return [self.conv, self.act]
+
+        def __call__(self, x):
+            return self.act(self.conv(x))
+
+    m = Net()
+    x = rng.standard_normal((2, 8, 8, 3)).astype(np.float32)
+    m(jnp.asarray(x))
+    eval_mode(m)
+    y_model = np.asarray(m(jnp.asarray(x)))
+    blob = export_finn_onnx(m, x)
+    (y_onnx,) = run_onnx(blob, {"input": x.transpose(0, 3, 1, 2)})
+    np.testing.assert_allclose(y_onnx, y_model.transpose(0, 3, 1, 2),
+                               atol=1e-4, rtol=1e-4)
+    g = P.parse_model(blob)
+    mt = next(n for n in g.nodes if n.op_type == "MultiThreshold")
+    thr = g.initializers[mt.inputs[1]]
+    assert thr.shape == (8, 15)  # 8 channels x (2^4 - 1) thresholds
+    assert len({tuple(row) for row in thr}) > 1  # truly per-channel
