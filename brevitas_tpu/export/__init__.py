@@ -16,7 +16,13 @@ in-repo interpreter (:mod:`brevitas_tpu.export.interp`) as the oracle.
 from brevitas_tpu.export.interp import run_onnx
 from brevitas_tpu.export.validate import OnnxValidationError, validate_onnx
 from brevitas_tpu.export.native import export_native, load_native
-from brevitas_tpu.export.qcdq import export_model
+from brevitas_tpu.export.qcdq import debug_probe_names, export_model
+
+
+def export_brevitas_onnx(model, example_input, path=None, **kw) -> bytes:
+    """Deprecated reference alias for QONNX export
+    (reference export/__init__.py:22)."""
+    return export_model(model, example_input, path, style="qonnx", **kw)
 
 
 def export_onnx_qcdq(model, example_input, path=None, **kw) -> bytes:
@@ -64,4 +70,5 @@ def export_torch_qop(model, example_input, path=None):
 __all__ = ["export_onnx_qcdq", "export_onnx_qop", "export_qonnx",
            "export_finn_onnx", "export_torch_qcdq", "export_torch_qop",
            "export_native", "load_native", "run_onnx", "export_model",
+           "export_brevitas_onnx", "debug_probe_names",
            "validate_onnx", "OnnxValidationError"]

@@ -687,11 +687,17 @@ def _export_scale_bias(b: GraphBuilder, layer: QuantScaleBias, x: str) -> str:
 
 def export_model(model, example_input, path: Optional[str] = None,
                  style: str = "qcdq", input_name: str = "input",
-                 output_name: str = "output") -> bytes:
+                 output_name: str = "output", debug: bool = False) -> bytes:
     """Export a sequential quant model. The model must expose
     ``export_layers()`` → list of layers / glue specs; spatial layers assume
     the ONNX side runs NCHW (the caller feeds NCHW inputs to the ONNX graph
-    while the NNX model itself stays NHWC)."""
+    while the NNX model itself stays NHWC).
+
+    ``debug=True`` is the reference's ``enable_debug`` analogue
+    (export/onnx/debug.py:49): every quant layer's output gets a stable
+    named probe (Identity node ``debug_<i>_<Class>``); list them with
+    :func:`debug_probe_names` and read them back via
+    ``run_onnx(blob, inputs, extra_outputs=names)``."""
     from brevitas_tpu.utils import eval_mode
 
     eval_mode(model)
@@ -797,6 +803,9 @@ def export_model(model, example_input, path: Optional[str] = None,
         if handler is None:
             raise ValueError(f"no export handler for {type(item).__name__}")
         x = handler(b, item, x)
+        if debug:
+            x = b.add("Identity", [x], outputs=[
+                f"debug_{len(b.nodes)}_{type(item).__name__}"])
     b.nodes.append(P.node("Identity", [x], [output_name]))
 
     shape = _onnx_input_shape(np.asarray(example_input).shape, items)
@@ -834,6 +843,14 @@ def _onnx_input_shape(nhwc_shape, items) -> List[Optional[int]]:
         n, w, c = nhwc_shape
         return [None, c, w]
     return [None] + list(nhwc_shape[1:])
+
+
+def debug_probe_names(model_bytes: bytes) -> List[str]:
+    """Probe names emitted by ``export_model(..., debug=True)``."""
+    g = P.parse_model(model_bytes)
+    return [n.outputs[0] for n in g.nodes
+            if n.op_type == "Identity" and n.outputs
+            and n.outputs[0].startswith("debug_")]
 
 
 def _sequential_children(model):
