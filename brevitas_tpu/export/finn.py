@@ -320,6 +320,20 @@ def _finn_avgpool(b: GraphBuilder, layer: QuantAvgPool2d, x: str) -> str:
 _QNT_ATTRS = ("weight_qnt", "bias_qnt", "activation_qnt")
 
 
+def _reserialize(field: int, wire: int, val) -> bytes:
+    """Re-emit one parsed field verbatim (P._read_fields unpacks wire-5/1
+    payloads to python floats, so they must be re-packed, not .to_bytes)."""
+    import struct
+
+    if wire == 2:
+        return P.f_bytes(field, bytes(val))
+    if wire == 5:
+        return P._tag(field, 5) + struct.pack("<f", val)
+    if wire == 1:
+        return P._tag(field, 1) + struct.pack("<d", val)
+    return P.f_varint(field, val)
+
+
 def _walk_nodes(model_bytes: bytes, node_fn, graph_suffix_fn=None) -> bytes:
     """Rewrite every NodeProto in a serialized ModelProto via ``node_fn``
     (bytes → bytes), passing all other fields through verbatim; optionally
@@ -331,19 +345,13 @@ def _walk_nodes(model_bytes: bytes, node_fn, graph_suffix_fn=None) -> bytes:
             for f2, w2, v2 in P._read_fields(val):
                 if f2 == 1:  # GraphProto.node
                     g_out += P.f_bytes(1, node_fn(v2))
-                elif w2 == 2:
-                    g_out += P.f_bytes(f2, v2)
                 else:
-                    g_out += P.f_varint(f2, v2)
+                    g_out += _reserialize(f2, w2, v2)
             if graph_suffix_fn is not None:
                 g_out += graph_suffix_fn()
             out += P.f_bytes(7, g_out)
-        elif wire == 2:
-            out += P.f_bytes(field, val)
-        elif wire == 5:
-            out += P._tag(field, 5) + val.to_bytes(4, "little")
         else:
-            out += P.f_varint(field, val)
+            out += _reserialize(field, wire, val)
     return out
 
 
@@ -377,12 +385,7 @@ def move_quant_attributes_into_annotations(model_bytes: bytes) -> bytes:
                                   else inputs[1])
                         annotations.append((target, value))
                     continue  # drop the attribute
-            if w == 2:
-                out += P.f_bytes(f, v)
-            elif w == 5:
-                out += P._tag(f, 5) + v.to_bytes(4, "little")
-            else:
-                out += P.f_varint(f, v)
+            out += _reserialize(f, w, v)
         return out
 
     def suffix() -> bytes:
@@ -403,12 +406,7 @@ def restore_domain(model_bytes: bytes) -> bytes:
         for f, w, v in fields:
             if f == 7 and op_type in ("MatMul", "Conv", "Add", "Div"):
                 continue  # drop domain
-            if w == 2:
-                out += P.f_bytes(f, v)
-            elif w == 5:
-                out += P._tag(f, 5) + v.to_bytes(4, "little")
-            else:
-                out += P.f_varint(f, v)
+            out += _reserialize(f, w, v)
         return out
 
     return _walk_nodes(model_bytes, rewrite)
