@@ -31,7 +31,10 @@ def _axes(module) -> Tuple[int, int]:
     (_get_input_axis, graph/equalize.py:87-104)."""
     if isinstance(module, (QuantLinear, nnx.Linear)):
         return 0, 1
-    if isinstance(module, (_QuantConvNd, nnx.Conv)):
+    if isinstance(module, (_QuantConvNd, nnx.Conv, nnx.ConvTranspose)):
+        # channels-last HWIO kernels put I/O on the same trailing axes for
+        # forward AND transposed convs (unlike torch's OIHW/IOHW split the
+        # reference handles in _get_input_axis/_get_output_axis)
         groups = getattr(module, "groups", None)
         if groups is None:
             groups = getattr(module, "feature_group_count", 1)

@@ -183,3 +183,28 @@ def test_smoothquant_regions_on_llama():
     srcs = {s[0] for s, _ in regions}
     assert any("ln1" in s or "attn_norm" in s or "input" in s for s in srcs) \
         or len(regions) >= 2, regions
+
+
+def test_convtranspose_equalization_region(rng):
+    """Transposed convs participate as sinks (reference _supported_layers
+    includes ConvTranspose with swapped axes; HWIO keeps I/O on the same
+    trailing axes here) and equalization stays function-preserving."""
+    import jax
+
+    class Net(nnx.Module):
+        def __init__(self):
+            r = nnx.Rngs(0)
+            self.conv = nnx.Conv(3, 8, (3, 3), padding="SAME", rngs=r)
+            self.up = nnx.ConvTranspose(8, 4, (2, 2), strides=(2, 2), rngs=r)
+
+        def __call__(self, x):
+            return self.up(jax.nn.relu(self.conv(x)))
+
+    m = Net()
+    sample = np.zeros((1, 8, 8, 3), np.float32)
+    regions = extract_regions(m, sample)
+    assert regions == [(["conv"], ["up"])]
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 3)).astype(np.float32))
+    y0 = np.asarray(m(x))
+    equalize(m, regions, iterations=3)
+    np.testing.assert_allclose(np.asarray(m(x)), y0, rtol=2e-3, atol=1e-4)
