@@ -88,3 +88,43 @@ def log_quantizer_bit_widths(model) -> Dict[str, float]:
                 and mod.quant_type != QuantType.NONE:
             out[path] = float(mod.bit_width_impl())
     return out
+
+
+def quant_grid_regularizer(model, order: float = 1.0) -> jnp.ndarray:
+    """Piecewise-affine distance of quantized weights to their integer grid,
+    averaged over all INT-quantized parameters.
+
+    A soft-quantization regularizer in the spirit of PARQ (Piecewise-Affine
+    Regularized Quantization, arXiv:2503.15748): adding
+    ``strength * quant_grid_regularizer(model)`` to the task loss pulls
+    weights toward representable grid points, shrinking the fake-quant
+    rounding residual the STE otherwise ignores. Anneal ``strength`` upward
+    during training to transition from soft to (near-)hard quantization.
+    ``order=1`` is the W-shaped |·| penalty; ``order=2`` its smooth variant.
+    """
+    import jax
+
+    from brevitas_tpu.nn.quant_layer import QuantWBIOL
+
+    total = jnp.asarray(0.0)
+    count = 0
+    for _path, layer in named_modules(model):
+        if not isinstance(layer, QuantWBIOL):
+            continue
+        wq = layer.weight_quant
+        if wq.quant_type != QuantType.INT:
+            continue
+        qt = layer.quant_weight()
+        if qt.scale is None:
+            continue
+        # the TRUE sawtooth gradient, not the STE (round_ste's identity
+        # backward would cancel the residual's gradient exactly); the scale
+        # is frozen so the penalty pulls weights, not the grid
+        scale = jax.lax.stop_gradient(qt.scale)
+        codes = layer.weight[...] / scale
+        resid = codes - jax.lax.stop_gradient(jnp.round(codes))
+        total = total + jnp.mean(jnp.abs(resid) ** order)
+        count += 1
+    if count == 0:
+        return jnp.asarray(0.0)
+    return total / count
