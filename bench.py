@@ -409,10 +409,34 @@ LEGS = {
 }
 
 
+def _device_alive(budget_s: int = 150) -> bool:
+    """One tiny jit round-trip under a deadline: the relay's compile
+    service sometimes wedges for hours (PERF.md), and burning every leg's
+    timeout against a dead device would stall the driver. A failed probe
+    degrades the whole run to the fallback headline in ~2 minutes."""
+
+    def probe():
+        x = jnp.ones((128, 128))
+        jax.device_get(jax.jit(lambda a: a @ a)(x))
+        return True
+
+    return bool(_with_timeout(probe, budget_s))
+
+
 def main():
     selected = os.environ.get(
         "BENCH_CONFIGS",
         "cnv_qat,quantlstm_qat,lfc_serving,quartznet_serving,lfc_qat")
+    if not _device_alive():
+        print("device probe failed: relay/compile service unresponsive — "
+              "emitting fallback headline only", file=sys.stderr)
+        print(json.dumps({
+            "metric": "lfc_int4_qat_images_per_sec_per_chip",
+            "value": None, "unit": "images/sec/chip",
+            "vs_baseline": _FALLBACK_VS_BASELINE,
+            "vs_baseline_is_fallback": True,
+            "device_unresponsive": True}), flush=True)
+        os._exit(0)
     names = [n.strip() for n in selected.split(",") if n.strip()]
     records = []
     for name in names:
