@@ -10,6 +10,8 @@ shared-chip slow periods cancel in the ratio):
 - ``quantlstm_int8_qat``  2-layer QuantLSTM INT8 QAT train step
 - ``lfc_int8_serving``    LFC int8 integer-domain eval (convert_int path)
 - ``quartznet_int8_serving`` QuartzNet 15x5 INT8 integer-domain eval
+- ``llama_int8_serving``   Llama-style transformer INT8 prefill vs bf16
+  (MXU-bound — the leg where integer serving should win outright)
 - ``mobilenetv1_4b_qat``  MobileNetV1 4-bit QAT train step (224px, opt-in
   via BENCH_CONFIGS — not in the default list to bound compile time)
 
@@ -175,11 +177,17 @@ def _scanned_train(model_fn, data_shape, steps, batch, loss_fn=sqr_hinge_loss,
     return ScannedRun(run_once, steps * batch, flops)
 
 
-def _scanned_eval(model, data_shape, steps, batch):
-    """Scanned eval-forward loop under ONE jit."""
+def _scanned_eval(model, data_shape, steps, batch, int_vocab=None):
+    """Scanned eval-forward loop under ONE jit. ``int_vocab`` switches the
+    synthetic inputs to integer token ids in [0, int_vocab)."""
     rng = np.random.default_rng(0)
-    xs = jnp.asarray(rng.random((steps, batch) + data_shape,
-                                dtype=np.float32))
+    if int_vocab is not None:
+        xs = jnp.asarray(rng.integers(0, int_vocab,
+                                      (steps, batch) + data_shape)
+                         .astype(np.int32))
+    else:
+        xs = jnp.asarray(rng.random((steps, batch) + data_shape,
+                                    dtype=np.float32))
     graphdef, state = nnx.split(model)
 
     @jax.jit
@@ -374,6 +382,113 @@ def leg_quartznet_int8_serving():
     return rec
 
 
+def leg_llama_int8_serving():
+    """Llama-style transformer prefill, integer serving vs bf16 float eval.
+
+    Unlike the LFC/QuartzNet serving legs (bandwidth-bound at their sizes),
+    a dim-512 4-block prefill at batch*seq = 4096 tokens is MXU-bound, where
+    the int8 dot path (2x bf16 peak on v5e) should WIN outright — the
+    "beats the reference" serving leg. Not a BASELINE config (the reference
+    has no transformer at all, SURVEY.md §2.4); emitted as an extra."""
+    from brevitas_tpu.graph import convert_integer_inference
+    from brevitas_tpu.models.llama import QuantLlama
+    from brevitas_tpu.quant.presets import NoneActQuant, NoneWeightQuant
+    from brevitas_tpu.utils import eval_mode
+
+    steps, batch, seq = 6, 8, 512
+    dims = dict(vocab_size=2000, dim=512, depth=4, num_heads=8)
+    rng = np.random.default_rng(0)
+    calib = jnp.asarray(rng.integers(0, dims["vocab_size"],
+                                     (batch, seq)).astype(np.int32))
+
+    def build_int():
+        m = QuantLlama(bit_width=8, rngs=nnx.Rngs(0), **dims)
+        m(calib)  # calibrate runtime act stats
+        eval_mode(m)
+        return convert_integer_inference(m)
+
+    def build_float():
+        m = QuantLlama(weight_quant=NoneWeightQuant, act_quant=NoneActQuant,
+                       uact_quant=NoneActQuant, rngs=nnx.Rngs(0), **dims)
+        eval_mode(m)
+        return _maybe_bf16(m)
+
+    serving = _scanned_eval(build_int(), (seq,), steps, batch,
+                            int_vocab=dims["vocab_size"])
+    fp = _with_timeout(
+        lambda: _scanned_eval(build_float(), (seq,), steps, batch,
+                              int_vocab=dims["vocab_size"]), LEG_TIMEOUT_S)
+    rec = _emit("llama_int8_prefill_sequences_per_sec_per_chip",
+                "sequences/sec/chip", serving, fp)
+    rec["tokens_per_sequence"] = seq
+    return rec
+
+
+def leg_llama_int8_decode():
+    """Llama-style autoregressive decode, integer serving vs bf16 float.
+
+    Decode is KV-cache-bandwidth-bound; the int8 cache is half the bf16
+    cache's bytes (and the int8 GEMV weights half again), so integer serving
+    should win. T decode steps chained in ONE jit (per-dispatch relay
+    overhead otherwise swamps the step, PERF.md)."""
+    from brevitas_tpu.graph import convert_integer_inference
+    from brevitas_tpu.models.llama import QuantLlama
+    from brevitas_tpu.quant.presets import NoneActQuant, NoneWeightQuant
+    from brevitas_tpu.utils import eval_mode
+
+    batch, max_len, t_steps = 16, 1024, 64
+    dims = dict(vocab_size=2000, dim=512, depth=4, num_heads=8)
+    rng = np.random.default_rng(0)
+    calib = jnp.asarray(rng.integers(0, dims["vocab_size"],
+                                     (batch, 64)).astype(np.int32))
+    ids = jnp.asarray(rng.integers(0, dims["vocab_size"],
+                                   (t_steps, batch, 1)).astype(np.int32))
+
+    def build_int():
+        m = QuantLlama(bit_width=8, rngs=nnx.Rngs(0), **dims)
+        m(calib)
+        eval_mode(m)
+        return convert_integer_inference(m)
+
+    def build_float():
+        m = QuantLlama(weight_quant=NoneWeightQuant, act_quant=NoneActQuant,
+                       uact_quant=NoneActQuant, rngs=nnx.Rngs(0), **dims)
+        eval_mode(m)
+        return _maybe_bf16(m)
+
+    def scanned_decode(model):
+        caches = model.init_decode_caches(batch, max_len)
+        graphdef, state = nnx.split(model)
+
+        @jax.jit
+        def run(state, caches, ids):
+            def body(carry, id_t):
+                caches, pos = carry
+                m = nnx.merge(graphdef, state)
+                logits, caches = m.decode_step(id_t, caches, pos)
+                return (caches, pos + 1), jnp.sum(
+                    logits.value if hasattr(logits, "value") else logits,
+                    dtype=jnp.float32)
+
+            (_, _), sums = jax.lax.scan(body, (caches, jnp.int32(0)), ids)
+            return sums
+
+        flops = _cost_flops(run, state, caches, ids)
+
+        def run_once():
+            jax.device_get(run(state, caches, ids))
+
+        run_once()
+        return ScannedRun(run_once, t_steps * batch, flops)
+
+    serving = scanned_decode(build_int())
+    fp = _with_timeout(lambda: scanned_decode(build_float()), LEG_TIMEOUT_S)
+    rec = _emit("llama_int8_decode_tokens_per_sec_per_chip",
+                "tokens/sec/chip", serving, fp)
+    rec["kv_cache_len"] = max_len
+    return rec
+
+
 def leg_mobilenetv1_4b_qat():
     """MobileNetV1 4-bit QAT (BASELINE "MobileNetV1 4-bit ImageNet" config;
     throughput leg at 128px to keep the relay compile tractable)."""
@@ -405,6 +520,8 @@ LEGS = {
     "quantlstm_qat": lambda: [leg_quantlstm_int8_qat()],
     "lfc_serving": lambda: [leg_lfc_int8_serving()],
     "quartznet_serving": lambda: [leg_quartznet_int8_serving()],
+    "llama_serving": lambda: [leg_llama_int8_serving()],
+    "llama_decode": lambda: [leg_llama_int8_decode()],
     "mobilenetv1_qat": lambda: [leg_mobilenetv1_4b_qat()],
 }
 
@@ -420,13 +537,20 @@ def _device_alive(budget_s: int = 150) -> bool:
         jax.device_get(jax.jit(lambda a: a @ a)(x))
         return True
 
+    if _with_timeout(probe, budget_s):
+        return True
+    # relay wedges are often transient (PERF.md "weather"): one more try
+    # after a pause before giving up on the whole suite
+    print("device probe failed once; retrying in 90s", file=sys.stderr)
+    time.sleep(90)
     return bool(_with_timeout(probe, budget_s))
 
 
 def main():
     selected = os.environ.get(
         "BENCH_CONFIGS",
-        "cnv_qat,quantlstm_qat,lfc_serving,quartznet_serving,lfc_qat")
+        "cnv_qat,quantlstm_qat,lfc_serving,quartznet_serving,"
+        "llama_serving,llama_decode,lfc_qat")
     if not _device_alive():
         print("device probe failed: relay/compile service unresponsive — "
               "emitting fallback headline only", file=sys.stderr)

@@ -57,6 +57,139 @@ def epoch_batches(n: int, batch_size: int, seed: int):
 ARCH_HIDDEN = {"tfc": (64, 64, 64), "sfc": (256, 256, 256),
                "lfc": (1024, 1024, 1024)}
 
+LSTM_HIDDEN = 64  # row-sequence MNIST-style classifier: 28 steps x 28 feats
+
+
+# ---------------------------------------------------------------------------
+# recurrent family (QuantLSTM head-to-head; no bnn_pynq analogue — the
+# reference ships QuantLSTM as a layer only, so the shared task is digits
+# rows-as-timesteps classification with a float linear head on both sides)
+# ---------------------------------------------------------------------------
+
+def _lstm_bit_kwargs_reference(w: int, a: int):
+    """Prefixed bit-width overrides routed through the reference's
+    act_kwargs_prefix mechanism (nn/quant_rnn.py:473-501)."""
+    if w == 8 and a == 8:
+        return {}
+    return dict(weight_bit_width=w, io_bit_width=a, gate_acc_bit_width=a,
+                sigmoid_bit_width=a, tanh_bit_width=a, cell_state_bit_width=a)
+
+
+def build_reference_lstm(w: int, a: int, seed: int):
+    from parity.refbridge import import_reference_brevitas
+    import_reference_brevitas()
+    import torch
+    torch.manual_seed(seed)
+    from brevitas.nn import QuantLSTM
+
+    class RefLSTMNet(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            # bias_quant=None matches the tpu twin's default (float bias)
+            self.lstm = QuantLSTM(28, LSTM_HIDDEN, batch_first=True,
+                                  bias_quant=None,
+                                  **_lstm_bit_kwargs_reference(w, a))
+            self.head = torch.nn.Linear(LSTM_HIDDEN, 10)
+
+        def forward(self, x):  # (B, 1, 28, 28) NCHW -> rows as timesteps
+            out, _ = self.lstm(x[:, 0])
+            return self.head(out[:, -1])
+
+    return RefLSTMNet()
+
+
+def train_eval_reference_lstm(w, a, epochs, batch_size, lr, seed=42):
+    import torch
+
+    x_train, y_train, x_test, y_test = digits_dataset("tfc")
+    model = build_reference_lstm(w, a, seed)
+    opt = torch.optim.Adam(model.parameters(), lr=lr)
+    crit = torch.nn.CrossEntropyLoss()
+    xt = torch.from_numpy(np.transpose(x_train, (0, 3, 1, 2))).contiguous()
+    yt = torch.from_numpy(y_train.astype(np.int64))
+
+    model.train()
+    for ep in range(epochs):
+        for sel in epoch_batches(len(x_train), batch_size, seed=ep):
+            sel = np.asarray(sel)
+            loss = crit(model(xt[sel]), yt[sel])
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+
+    model.eval()
+    with torch.no_grad():
+        xe = torch.from_numpy(np.transpose(x_test, (0, 3, 1, 2))).contiguous()
+        pred = model(xe).argmax(-1).numpy()
+    return float((pred == y_test).mean()), model
+
+
+def build_tpu_lstm(w: int, a: int, seed: int):
+    from flax import nnx
+
+    from brevitas_tpu.nn import QuantLSTM
+    from brevitas_tpu.quant.presets import (
+        Int8ActPerTensorFloat, Int8WeightPerTensorFloat,
+        Uint8ActPerTensorFloat)
+
+    wq = Int8WeightPerTensorFloat.let(bit_width=float(w))
+    aq = Int8ActPerTensorFloat.let(bit_width=float(a))
+    uq = Uint8ActPerTensorFloat.let(bit_width=float(a))
+    rngs = nnx.Rngs(seed)
+
+    class TpuLSTMNet(nnx.Module):
+        def __init__(self):
+            self.lstm = QuantLSTM(28, LSTM_HIDDEN, weight_quant=wq,
+                                  io_quant=aq, gate_acc_quant=aq,
+                                  sigmoid_quant=uq, tanh_quant=aq,
+                                  cell_state_quant=aq, rngs=rngs)
+            self.head = nnx.Linear(LSTM_HIDDEN, 10, rngs=rngs)
+
+        def __call__(self, x):  # (B, 28, 28, 1) NHWC -> rows as timesteps
+            out, _ = self.lstm(x[..., 0])
+            return self.head(out[:, -1])
+
+        def train_mode(self):
+            from brevitas_tpu.utils import train_mode
+            train_mode(self)
+
+        def eval_mode(self):
+            from brevitas_tpu.utils import eval_mode
+            eval_mode(self)
+
+    return TpuLSTMNet()
+
+
+def train_eval_tpu_lstm(w, a, epochs, batch_size, lr, seed=42):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax import nnx
+
+    x_train, y_train, x_test, y_test = digits_dataset("tfc")
+    model = build_tpu_lstm(w, a, seed)
+    opt = nnx.Optimizer(model, optax.adam(lr), wrt=nnx.Param)
+    model.train_mode()
+
+    @nnx.jit
+    def step(model, opt, x, y):
+        def loss_fn(m):
+            return optax.softmax_cross_entropy_with_integer_labels(
+                m(x), y).mean()
+
+        loss, grads = nnx.value_and_grad(loss_fn)(model)
+        opt.update(model, grads)
+        return loss
+
+    for ep in range(epochs):
+        for sel in epoch_batches(len(x_train), batch_size, seed=ep):
+            step(model, opt, jnp.asarray(x_train[sel]),
+                 jnp.asarray(y_train[sel]))
+
+    model.eval_mode()
+    pred = np.asarray(jnp.argmax(model(jnp.asarray(x_test)), -1))
+    return float((pred == y_test).mean()), model
+
 
 # ---------------------------------------------------------------------------
 # reference side (torch)
@@ -191,6 +324,22 @@ def parse_config(name: str):
 
 def run_config(name, epochs, batch_size, lr, seed=42, with_logits=True):
     arch, w, a, in_bw = parse_config(name)
+    if arch == "lstm":
+        # recurrent family: CE loss, no weight clipping, float head; the
+        # import-parity column is n/a (no LSTM layout in torch_import yet)
+        lstm_lr = min(lr, 0.005)  # bnn default 0.02 diverges LSTMs
+        t0 = time.time()
+        acc_ref, _ = train_eval_reference_lstm(
+            w, a, epochs, batch_size, lstm_lr, seed)
+        t_ref = time.time() - t0
+        t0 = time.time()
+        acc_tpu, _ = train_eval_tpu_lstm(
+            w, a, epochs, batch_size, lstm_lr, seed)
+        return {"config": name, "epochs": epochs,
+                "ref_top1": round(acc_ref, 4), "tpu_top1": round(acc_tpu, 4),
+                "delta": round(acc_tpu - acc_ref, 4),
+                "ref_s": round(t_ref, 1),
+                "tpu_s": round(time.time() - t0, 1)}
     t0 = time.time()
     acc_ref, ref_model = train_eval_reference(
         arch, w, a, in_bw, epochs, batch_size, lr, seed)

@@ -50,6 +50,20 @@ def test_tfc_accuracy_parity(config, tol):
 
 
 @pytest.mark.slow
+def test_lstm_accuracy_parity():
+    """Recurrent family head-to-head: the same QuantLSTM row-sequence
+    classifier (28 steps x 28 features digits, float linear head, CE loss)
+    trained in both frameworks; top-1 within 8 points at 3 epochs (short
+    schedule + recurrent quant noise needs a wider band than the MLP rows)."""
+    from parity.run_parity import run_config
+
+    row = run_config("lstm_8w8a", epochs=3, batch_size=64, lr=0.005,
+                     with_logits=False)
+    assert row["tpu_top1"] > 0.6, row
+    assert abs(row["delta"]) <= 0.08, row
+
+
+@pytest.mark.slow
 def test_reference_checkpoint_import_logit_parity():
     """Train the reference TFC_1W2A briefly, import its state dict into the
     brevitas_tpu twin, and require (near-)bit-exact eval logits."""
