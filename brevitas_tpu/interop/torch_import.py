@@ -74,6 +74,24 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
+_LSTM_MARKERS = ("input_gate_params", "forget_gate_params",
+                 "cell_gate_params", "output_gate_params", "gate_params",
+                 "io_quant", "cell")
+
+
+def _recurrent_cut(parts: List[str]) -> Optional[int]:
+    """Recurrent stacks nest as ``<name>.layers.<l>.<d>.<rest>``
+    (reference QuantRecurrentStackBase, nn/quant_rnn.py:706): group
+    everything under one (layer, direction) so the whole gate/quantizer
+    bundle imports as a unit."""
+    for i, p in enumerate(parts[:-3]):
+        if (p == "layers" and parts[i + 1].isdigit()
+                and parts[i + 2].isdigit()
+                and parts[i + 3] in _LSTM_MARKERS):
+            return i + 3
+    return None
+
+
 def _group_keys(sd: Dict[str, np.ndarray]) -> List[Tuple[str, Dict[str, np.ndarray]]]:
     """Group flat reference keys by owning-layer prefix, in first-appearance
     order. ``conv1.weight_quant.tensor_quant.scaling_impl.value`` and
@@ -82,11 +100,12 @@ def _group_keys(sd: Dict[str, np.ndarray]) -> List[Tuple[str, Dict[str, np.ndarr
     order: List[str] = []
     for key, val in sd.items():
         parts = key.split(".")
-        cut = None
-        for i, p in enumerate(parts):
-            if p in _PROXY_TOKENS:
-                cut = i
-                break
+        cut = _recurrent_cut(parts)
+        if cut is None:
+            for i, p in enumerate(parts):
+                if p in _PROXY_TOKENS:
+                    cut = i
+                    break
         if cut is None:
             cut = len(parts) - 1  # plain parameter/buffer name
         prefix = ".".join(parts[:cut])
@@ -99,6 +118,8 @@ def _group_keys(sd: Dict[str, np.ndarray]) -> List[Tuple[str, Dict[str, np.ndarr
 
 
 def _classify_group(g: Dict[str, np.ndarray]) -> str:
+    if any("gate_params" in k for k in g):
+        return "recurrent"
     if any(k in _NORM_SUFFIXES for k in g):
         return "norm"
     if "weight" in g or any(k.startswith(("weight_quant", "bias_quant"))
@@ -114,9 +135,13 @@ def _classify_module(mod) -> Optional[str]:
     from brevitas_tpu.nn.activation import QuantNonLinearActLayer
     from brevitas_tpu.nn.misc import QuantEmbedding, ScaleBias
     from brevitas_tpu.nn.quant_layer import QuantWBIOL
+    from brevitas_tpu.nn.rnn import _QuantLSTMLayer, _QuantRNNLayer
 
-    if isinstance(mod, (QuantWBIOL, QuantEmbedding, ScaleBias)):
-        return "param"
+    if isinstance(mod, (QuantWBIOL, QuantEmbedding, ScaleBias,
+                        nnx.Linear, nnx.Conv)):
+        return "param"  # plain float heads import their weights too
+    if isinstance(mod, (_QuantLSTMLayer, _QuantRNNLayer)):
+        return "recurrent"
     if isinstance(mod, QuantNonLinearActLayer):
         return "act"
     if isinstance(mod, (nnx.BatchNorm, TensorNorm)):
@@ -220,6 +245,21 @@ def _sub_scaling(g: Dict[str, np.ndarray], proxy: str,
 def _import_param_layer(mod, g, report, path):
     from brevitas_tpu.quant.quantizers import ActQuantizer
 
+    if isinstance(mod, (nnx.Linear, nnx.Conv)):  # plain float module
+        w = g.get("weight")
+        if w is not None:
+            tw = np.asarray(w, np.float32)
+            tw = (tw.T if tw.ndim == 2 else
+                  tw.transpose(*range(2, tw.ndim), 1, 0))
+            mod.kernel[...] = tw.reshape(mod.kernel[...].shape)
+            report.loaded.append(f"{path}.kernel")
+        b = g.get("bias")
+        if b is not None and mod.bias is not None:
+            mod.bias[...] = np.asarray(b, np.float32).reshape(
+                mod.bias[...].shape)
+            report.loaded.append(f"{path}.bias")
+        return
+
     w = g.get("weight")
     if w is not None:
         tw = _weight_to_tpu(mod, np.asarray(w, np.float32))
@@ -285,6 +325,110 @@ def _import_norm(mod, g, report, path):
             report.loaded.append(f"{path}.{key}")
 
 
+_LSTM_GATES = ("input", "forget", "cell", "output")
+
+
+def _assign_act_scaling_from(g, ref_name, targets, report, path):
+    base = f"{ref_name}.{_ACT_SCALING}."
+    sub = {k[len(base):]: v for k, v in g.items() if k.startswith(base)}
+    if not sub:
+        return
+    for q in targets:
+        if q is not None and hasattr(q, "scaling"):
+            _assign_scaling(q.scaling, sub, report, f"{path}.{ref_name}")
+
+
+def _import_recurrent_layer(mod, g, report, path):
+    """One reference recurrent direction (``layers.<l>.<d>``,
+    nn/quant_rnn.py:304/444) onto our ``_QuantLSTMLayer``/``_QuantRNNLayer``.
+
+    The reference keeps one ``GateParams`` per gate with separate
+    ``input_weight``/``hidden_weight`` ``(H, in)`` matrices; ours pack the
+    gates into ``w_ih (I, G*H)`` / ``w_hh (H, G*H)`` column blocks in
+    (i, f, g, o) order (i, g, o under CIFG — the reference omits the forget
+    gate's params the same way). Activation-quantizer scaling state maps by
+    cell-slot name; the reference's ``cell.output_quant`` is the same object
+    as the outer ``io_quant``, which here covers both ``input_quant`` and
+    the ``hidden_state`` quantizer."""
+    from brevitas_tpu.nn.rnn import _QuantLSTMLayer
+
+    H = mod.hidden_size
+    is_lstm = isinstance(mod, _QuantLSTMLayer)
+
+    if is_lstm:
+        gates = (("input", "cell", "output") if mod.cifg else _LSTM_GATES)
+        gate_prefix = {name: f"{name}_gate_params" for name in gates}
+        w_ih_quants, w_hh_quants = mod.w_ih_quants, mod.w_hh_quants
+    else:
+        gates = ("gate",)
+        gate_prefix = {"gate": "gate_params"}
+        w_ih_quants = [mod.w_ih_quant]
+        w_hh_quants = [mod.w_hh_quant]
+
+    w_ih = np.array(mod.w_ih[...])
+    w_hh = np.array(mod.w_hh[...])
+    bias = np.array(mod.bias[...]) if mod.bias is not None else None
+    for slot, name in enumerate(gates):
+        p = gate_prefix[name]
+        iw = g.get(f"{p}.input_weight.weight")
+        hw = g.get(f"{p}.hidden_weight.weight")
+        b = g.get(f"{p}.bias")
+        sl = slice(slot * H, (slot + 1) * H)
+        if iw is not None:
+            w_ih[:, sl] = np.asarray(iw, np.float32).T
+            report.loaded.append(f"{path}.w_ih[{name}]")
+        if hw is not None:
+            w_hh[:, sl] = np.asarray(hw, np.float32).T
+            report.loaded.append(f"{path}.w_hh[{name}]")
+        if b is not None and bias is not None:
+            bias[sl] = np.asarray(b, np.float32)
+            report.loaded.append(f"{path}.bias[{name}]")
+        elif b is not None:
+            report.skipped.append(f"{path}: checkpoint {p}.bias but "
+                                  f"layer has none")
+        # learned weight-quant scaling (ParameterScaling checkpoints), per
+        # gate weight; stats-scaling configs persist nothing here
+        for wk, quants in (("input_weight", w_ih_quants),
+                           ("hidden_weight", w_hh_quants)):
+            base = (f"{p}.{wk}.weight_quant.tensor_quant.scaling_impl.")
+            sub = {k[len(base):]: v
+                   for k, v in g.items() if k.startswith(base)}
+            if sub:
+                q = quants[0] if len(quants) == 1 else quants[slot]
+                if hasattr(q, "scaling"):
+                    _assign_scaling(q.scaling, sub, report,
+                                    f"{path}.{name}.{wk}")
+    mod.w_ih[...] = w_ih
+    mod.w_hh[...] = w_hh
+    if bias is not None:
+        mod.bias[...] = bias
+
+    if is_lstm:
+        q = mod.quants
+        act_map = {
+            "io_quant": (mod.input_quant, q.hidden_state),
+            "cell.output_quant": (q.hidden_state,),
+            "cell.input_acc_quant": (q.gate_acc,),
+            "cell.forget_acc_quant": (q.forget_acc,),
+            "cell.cell_acc_quant": (q.cell_acc,),
+            "cell.output_acc_quant": (q.out_acc,),
+            "cell.input_sigmoid_quant": (q.in_sigmoid,),
+            "cell.forget_sigmoid_quant": (q.forget_sigmoid,),
+            "cell.cell_tanh_quant": (q.cell_tanh,),
+            "cell.output_sigmoid_quant": (q.out_sigmoid,),
+            "cell.hidden_state_tanh_quant": (q.hidden_tanh,),
+            "cell.cell_state_quant": (q.cell_state,),
+        }
+    else:
+        act_map = {
+            "io_quant": (mod.input_quant, mod.out_quant),
+            "cell.output_quant": (mod.out_quant,),
+            "cell.gate_acc_quant": (mod.gate_acc_quant,),
+        }
+    for ref_name, targets in act_map.items():
+        _assign_act_scaling_from(g, ref_name, targets, report, path)
+
+
 @dataclass
 class ImportReport:
     loaded: List[str] = field(default_factory=list)
@@ -321,7 +465,7 @@ def import_torch_state_dict(model: nnx.Module, sd: Dict[str, np.ndarray],
 
     # pinned matches first
     importers = {"param": _import_param_layer, "act": _import_act_layer,
-                 "norm": _import_norm}
+                 "norm": _import_norm, "recurrent": _import_recurrent_layer}
     for path, mod, kind in ours:
         if path in pinned:
             prefix = pinned[path]
@@ -335,7 +479,7 @@ def import_torch_state_dict(model: nnx.Module, sd: Dict[str, np.ndarray],
     # then order-by-kind
     remaining_groups = [(p, g, _classify_group(g)) for p, g in groups
                         if p not in used_prefix]
-    for kind in ("param", "act", "norm"):
+    for kind in ("param", "act", "norm", "recurrent"):
         gs = [(p, g) for p, g, k in remaining_groups if k == kind]
         ms = [(path, mod) for path, mod, k in ours
               if k == kind and path not in used_path]
@@ -350,7 +494,8 @@ def import_torch_state_dict(model: nnx.Module, sd: Dict[str, np.ndarray],
 
     if strict:
         fatal = [p for p in report.unmatched_torch
-                 if "weight" in by_prefix.get(p, {})]
+                 if any(k == "weight" or k.endswith(".weight")
+                        for k in by_prefix.get(p, {}))]
         if fatal:
             raise ValueError(f"unmatched torch layers with weights: {fatal}; "
                              f"pass pairs=[...] to pin them")

@@ -64,6 +64,57 @@ def test_lstm_accuracy_parity():
 
 
 @pytest.mark.slow
+def test_lstm_checkpoint_import_logit_parity():
+    """Import a briefly-trained reference QuantLSTM state dict into our
+    twin: every tensor (packed gate weights, biases, all 12 act-quant
+    scales, float head) must land, and eval logits must agree closely.
+    Exact bit-parity is not expected here: the reference sums
+    (x@W + h@U) + b per gate per timestep while we hoist (x@W + b) out of
+    the scan, so f32 addition order differs and quant-grid boundary
+    crossings amplify it over 28 recurrent steps (measured ~6e-3)."""
+    import jax.numpy as jnp
+    import torch
+
+    from brevitas_tpu.interop.torch_import import import_torch_state_dict
+    from parity.run_parity import (
+        build_reference_lstm,
+        build_tpu_lstm,
+        digits_dataset,
+        epoch_batches,
+    )
+
+    x_train, y_train, x_test, y_test = digits_dataset("tfc")
+    ref = build_reference_lstm(8, 8, seed=0)
+    opt = torch.optim.Adam(ref.parameters(), lr=0.005)
+    crit = torch.nn.CrossEntropyLoss()
+    xt = torch.from_numpy(np.transpose(x_train, (0, 3, 1, 2)).copy())
+    yt = torch.from_numpy(y_train.astype(np.int64))
+    ref.train()
+    for sel in epoch_batches(len(x_train), 64, seed=0)[:8]:
+        sel = np.asarray(sel)
+        loss = crit(ref(xt[sel]), yt[sel])
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+    ref.eval()
+    sd = {k: v.detach().cpu().numpy() for k, v in ref.state_dict().items()}
+
+    model = build_tpu_lstm(8, 8, seed=1)
+    rep = import_torch_state_dict(model, sd)
+    assert not rep.skipped and not rep.unmatched_torch \
+        and not rep.unmatched_ours, str(rep)
+    assert len(rep.loaded) >= 26, rep.loaded
+    model.eval_mode()
+    with torch.no_grad():
+        xe = torch.from_numpy(np.transpose(x_test, (0, 3, 1, 2)).copy())
+        logits_ref = ref(xe).numpy()
+    logits_tpu = np.asarray(model(jnp.asarray(x_test)))
+    assert float(np.abs(logits_tpu - logits_ref).max()) < 0.05
+    agree = float((logits_tpu.argmax(-1) == logits_ref.argmax(-1)).mean())
+    assert agree > 0.9, agree
+
+
+@pytest.mark.slow
 def test_reference_checkpoint_import_logit_parity():
     """Train the reference TFC_1W2A briefly, import its state dict into the
     brevitas_tpu twin, and require (near-)bit-exact eval logits."""

@@ -217,6 +217,47 @@ def test_strict_raises_on_unmatched_weights():
     assert rep.unmatched_torch == ["b"]
 
 
+def test_recurrent_lstm_import_synthetic():
+    """Reference QuantLSTM key layout (per-gate GateParams + cell quantizer
+    scales, nn/quant_rnn.py:444-546) lands in our packed-gate layer: gate
+    column blocks in (i, f, g, o) order, transposed weights, act scales."""
+    H, I = 4, 3
+    rng = np.random.default_rng(0)
+    sd = {}
+    gates = ("input", "forget", "cell", "output")
+    for name in gates:
+        p = f"rnn.layers.0.0.{name}_gate_params"
+        sd[f"{p}.input_weight.weight"] = rng.standard_normal(
+            (H, I)).astype(np.float32)
+        sd[f"{p}.hidden_weight.weight"] = rng.standard_normal(
+            (H, H)).astype(np.float32)
+        sd[f"{p}.bias"] = rng.standard_normal((H,)).astype(np.float32)
+    act = "fused_activation_quant_proxy.tensor_quant.scaling_impl.value"
+    sd[f"rnn.layers.0.0.io_quant.{act}"] = np.float32(0.5)
+    sd[f"rnn.layers.0.0.cell.input_acc_quant.{act}"] = np.float32(2.0)
+    sd[f"rnn.layers.0.0.cell.cell_state_quant.{act}"] = np.float32(1.5)
+
+    lstm = qnn.QuantLSTM(I, H, rngs=nnx.Rngs(0))
+    rep = import_torch_state_dict(lstm, sd)
+    assert not rep.unmatched_torch and not rep.unmatched_ours, str(rep)
+    layer = lstm.layers[0]
+    for g, name in enumerate(gates):
+        np.testing.assert_array_equal(
+            np.asarray(layer.w_ih[...][:, g * H:(g + 1) * H]),
+            sd[f"rnn.layers.0.0.{name}_gate_params.input_weight.weight"].T)
+        np.testing.assert_array_equal(
+            np.asarray(layer.w_hh[...][:, g * H:(g + 1) * H]),
+            sd[f"rnn.layers.0.0.{name}_gate_params.hidden_weight.weight"].T)
+        np.testing.assert_array_equal(
+            np.asarray(layer.bias[...][g * H:(g + 1) * H]),
+            sd[f"rnn.layers.0.0.{name}_gate_params.bias"])
+    # io scale reaches both the input quant and the shared hidden-state quant
+    assert float(layer.input_quant.scaling.value[...]) == 0.5
+    assert float(layer.quants.hidden_state.scaling.value[...]) == 0.5
+    assert float(layer.quants.gate_acc.scaling.value[...]) == 2.0
+    assert float(layer.quants.cell_state.scaling.value[...]) == 1.5
+
+
 def test_import_cli_tfc_roundtrip(tmp_path):
     """Fake reference TFC_1W1A checkpoint (the reference trainer's envelope +
     key layout) -> import CLI -> orbax checkpoint -> restored model serves."""
