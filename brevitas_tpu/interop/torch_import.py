@@ -31,6 +31,11 @@ Reference key layout (determined by the proxy module tree):
 - Norms: ``running_mean`` / ``running_var`` / ``weight`` / ``bias``
   (torch BatchNorm and the bnn_pynq ``TensorNorm``,
   ``bnn_pynq/models/tensor_norm.py``).
+- Recurrent stacks (``QuantLSTM``/``QuantRNN``): ``layers.<l>.<d>`` groups
+  with per-gate ``<gate>_gate_params.{input,hidden}_weight.weight`` / ``bias``
+  (``nn/quant_rnn.py:444-546``) map onto our packed ``w_ih (I, G*H)`` /
+  ``w_hh (H, G*H)`` gate column blocks; ``io_quant`` / ``cell.*_quant``
+  scaling state lands in the matching cell quantizer slots.
 
 Matching strategy: reference keys are grouped by layer prefix and matched to
 this model's importable modules **in definition order by kind** (parameter
