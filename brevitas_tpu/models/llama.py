@@ -58,12 +58,14 @@ class QuantLlamaBlock(nnx.Module):
     def __init__(self, dim: int, num_heads: int, hidden: int, *,
                  weight_quant: QuantConfig, act_quant: QuantConfig,
                  uact_quant: QuantConfig, rope_theta: float,
-                 num_kv_heads: Optional[int] = None, rngs: nnx.Rngs):
+                 num_kv_heads: Optional[int] = None,
+                 kv_quant: Optional[QuantConfig] = None, rngs: nnx.Rngs):
+        kv_quant = kv_quant if kv_quant is not None else act_quant
         self.attn_norm = nnx.RMSNorm(dim, rngs=rngs)
         self.attn = QuantMultiheadAttention(
             dim, num_heads, use_bias=False, weight_quant=weight_quant,
             in_proj_input_quant=act_quant, q_quant=act_quant,
-            k_quant=act_quant, v_quant=act_quant,
+            k_quant=kv_quant, v_quant=kv_quant,
             attn_probs_quant=uact_quant, out_proj_input_quant=act_quant,
             use_rope=True, rope_theta=rope_theta,
             num_kv_heads=num_kv_heads, rngs=rngs)
@@ -97,13 +99,20 @@ class QuantLlama(nnx.Module, TrainToggleMixin):
                  num_kv_heads: Optional[int] = None,
                  hidden: Optional[int] = None, rope_theta: float = 10000.0,
                  bit_width: int = 8, weight_quant=None, act_quant=None,
-                 uact_quant=None, rngs: nnx.Rngs):
+                 uact_quant=None, kv_bit_width: Optional[int] = None,
+                 rngs: nnx.Rngs):
         wq = weight_quant if weight_quant is not None \
             else Int8WeightPerTensorFloat.let(bit_width=float(bit_width))
         aq = act_quant if act_quant is not None \
             else Int8ActPerTensorFloat.let(bit_width=float(bit_width))
         uq = uact_quant if uact_quant is not None \
             else Uint8ActPerTensorFloat.let(bit_width=float(bit_width))
+        # kv_bit_width=4 trains a nibble-sized K/V grid; the integer serving
+        # twin then auto-packs the decode cache two-positions-per-byte
+        # (kernels/int8_attention.py int4kv_decode_attention — 1.51x decode,
+        # 2x smaller cache)
+        kvq = (aq.let(bit_width=float(kv_bit_width))
+               if kv_bit_width is not None else None)
         # Llama-2 sizing: hidden = 8/3 * dim rounded up to a multiple of 32
         if hidden is None:
             hidden = -(-(8 * dim // 3) // 32) * 32
@@ -113,7 +122,8 @@ class QuantLlama(nnx.Module, TrainToggleMixin):
             QuantLlamaBlock(dim, num_heads, hidden, weight_quant=wq,
                             act_quant=aq, uact_quant=uq,
                             rope_theta=rope_theta,
-                            num_kv_heads=num_kv_heads, rngs=rngs)
+                            num_kv_heads=num_kv_heads, kv_quant=kvq,
+                            rngs=rngs)
             for _ in range(depth)])
         self.final_norm = nnx.RMSNorm(dim, rngs=rngs)
         self.head = QuantLinear(dim, vocab_size, use_bias=False,

@@ -217,3 +217,27 @@ def test_llama_gqa_int4_kv_cache(rng):
         logits_t, caches = m.decode_step(ids[:, t:t + 1], caches, t)
         np.testing.assert_allclose(np.asarray(logits_t[:, 0]), full[:, t],
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_llama_kv_bit_width_option(rng):
+    """First-class 4-bit KV: QuantLlama(kv_bit_width=4) trains a nibble K/V
+    grid and the serving twin auto-packs the decode cache (the manual
+    quantizer-swap path above, as a constructor option)."""
+    m = _tiny(kv_bit_width=4)
+    for blk in m.blocks:
+        assert float(blk.attn.k_quant.cfg.bit_width) == 4.0
+        assert float(blk.attn.v_quant.cfg.bit_width) == 4.0
+        assert float(blk.attn.q_quant.cfg.bit_width) == 8.0
+    ids = jnp.asarray(rng.integers(0, 64, (2, 8)))
+    with G.calibration_mode(m):
+        m(ids)
+        m(ids[:, ::-1])
+    eval_mode(m)
+    G.convert_integer_inference(m)
+    assert m.blocks[0].attn.kv_int4
+    caches = m.init_decode_caches(2, 16)
+    full = np.asarray(m(ids, causal=True))
+    for t in range(8):
+        logits_t, caches = m.decode_step(ids[:, t:t + 1], caches, t)
+        np.testing.assert_allclose(np.asarray(logits_t[:, 0]), full[:, t],
+                                   atol=1e-4, rtol=1e-4)
