@@ -395,8 +395,11 @@ def leg_llama_int8_serving():
     from brevitas_tpu.quant.presets import NoneActQuant, NoneWeightQuant
     from brevitas_tpu.utils import eval_mode
 
-    steps, batch, seq = 6, 8, 512
-    dims = dict(vocab_size=2000, dim=512, depth=4, num_heads=8)
+    steps, batch, seq = 4, 8, 512
+    # dim-1024 6-block: (4096, 1024)x(1024, ~2752) GEMMs — MXU-bound, where
+    # the int8 dot path (2x bf16 peak) actually shows; dim-512 measured
+    # overhead-bound (int8 0.91x bf16)
+    dims = dict(vocab_size=2000, dim=1024, depth=6, num_heads=16)
     rng = np.random.default_rng(0)
     calib = jnp.asarray(rng.integers(0, dims["vocab_size"],
                                      (batch, seq)).astype(np.int32))
@@ -424,20 +427,22 @@ def leg_llama_int8_serving():
     return rec
 
 
-def leg_llama_int8_decode():
+def leg_llama_int8_decode(kv_bit_width=None):
     """Llama-style autoregressive decode, integer serving vs bf16 float.
 
     Decode is KV-cache-bandwidth-bound; the int8 cache is half the bf16
     cache's bytes (and the int8 GEMV weights half again), so integer serving
     should win. T decode steps chained in ONE jit (per-dispatch relay
-    overhead otherwise swamps the step, PERF.md)."""
+    overhead otherwise swamps the step, PERF.md). ``kv_bit_width=4``
+    (opt-in leg ``llama_decode4``) additionally packs the cache two
+    positions per byte through the int4kv Pallas decode kernel."""
     from brevitas_tpu.graph import convert_integer_inference
     from brevitas_tpu.models.llama import QuantLlama
     from brevitas_tpu.quant.presets import NoneActQuant, NoneWeightQuant
     from brevitas_tpu.utils import eval_mode
 
     batch, max_len, t_steps = 16, 1024, 64
-    dims = dict(vocab_size=2000, dim=512, depth=4, num_heads=8)
+    dims = dict(vocab_size=2000, dim=1024, depth=6, num_heads=16)
     rng = np.random.default_rng(0)
     calib = jnp.asarray(rng.integers(0, dims["vocab_size"],
                                      (batch, 64)).astype(np.int32))
@@ -445,7 +450,8 @@ def leg_llama_int8_decode():
                                    (t_steps, batch, 1)).astype(np.int32))
 
     def build_int():
-        m = QuantLlama(bit_width=8, rngs=nnx.Rngs(0), **dims)
+        m = QuantLlama(bit_width=8, kv_bit_width=kv_bit_width,
+                       rngs=nnx.Rngs(0), **dims)
         m(calib)
         eval_mode(m)
         return convert_integer_inference(m)
@@ -483,9 +489,12 @@ def leg_llama_int8_decode():
 
     serving = scanned_decode(build_int())
     fp = _with_timeout(lambda: scanned_decode(build_float()), LEG_TIMEOUT_S)
-    rec = _emit("llama_int8_decode_tokens_per_sec_per_chip",
-                "tokens/sec/chip", serving, fp)
+    name = ("llama_int4kv_decode_tokens_per_sec_per_chip"
+            if kv_bit_width else "llama_int8_decode_tokens_per_sec_per_chip")
+    rec = _emit(name, "tokens/sec/chip", serving, fp)
     rec["kv_cache_len"] = max_len
+    if kv_bit_width:
+        rec["kv_bit_width"] = kv_bit_width
     return rec
 
 
@@ -522,6 +531,7 @@ LEGS = {
     "quartznet_serving": lambda: [leg_quartznet_int8_serving()],
     "llama_serving": lambda: [leg_llama_int8_serving()],
     "llama_decode": lambda: [leg_llama_int8_decode()],
+    "llama_decode4": lambda: [leg_llama_int8_decode(kv_bit_width=4)],
     "mobilenetv1_qat": lambda: [leg_mobilenetv1_4b_qat()],
 }
 

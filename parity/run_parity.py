@@ -75,34 +75,44 @@ def _lstm_bit_kwargs_reference(w: int, a: int):
                 sigmoid_bit_width=a, tanh_bit_width=a, cell_state_bit_width=a)
 
 
-def build_reference_lstm(w: int, a: int, seed: int):
+def build_reference_lstm(w: int, a: int, seed: int, kind: str = "lstm"):
     from parity.refbridge import import_reference_brevitas
     import_reference_brevitas()
     import torch
     torch.manual_seed(seed)
-    from brevitas.nn import QuantLSTM
+    from brevitas.nn import QuantLSTM, QuantRNN
 
-    class RefLSTMNet(torch.nn.Module):
+    if kind == "lstm":
+        rec = QuantLSTM(28, LSTM_HIDDEN, batch_first=True, bias_quant=None,
+                        **_lstm_bit_kwargs_reference(w, a))
+    else:
+        kw = {} if (w == 8 and a == 8) else dict(
+            weight_bit_width=w, io_bit_width=a,
+            # the RNN cell uses a different act prefix than the LSTM cell
+            # (quant_rnn.py:325 'gate_acc_quant_' vs :477 'gate_acc_')
+            gate_acc_quant_bit_width=a)
+        rec = QuantRNN(28, LSTM_HIDDEN, batch_first=True, bias_quant=None,
+                       **kw)
+
+    class RefRecurrentNet(torch.nn.Module):
         def __init__(self):
             super().__init__()
-            # bias_quant=None matches the tpu twin's default (float bias)
-            self.lstm = QuantLSTM(28, LSTM_HIDDEN, batch_first=True,
-                                  bias_quant=None,
-                                  **_lstm_bit_kwargs_reference(w, a))
+            self.rec = rec
             self.head = torch.nn.Linear(LSTM_HIDDEN, 10)
 
         def forward(self, x):  # (B, 1, 28, 28) NCHW -> rows as timesteps
-            out, _ = self.lstm(x[:, 0])
+            out, _ = self.rec(x[:, 0])
             return self.head(out[:, -1])
 
-    return RefLSTMNet()
+    return RefRecurrentNet()
 
 
-def train_eval_reference_lstm(w, a, epochs, batch_size, lr, seed=42):
+def train_eval_reference_lstm(w, a, epochs, batch_size, lr, seed=42,
+                              kind="lstm"):
     import torch
 
     x_train, y_train, x_test, y_test = digits_dataset("tfc")
-    model = build_reference_lstm(w, a, seed)
+    model = build_reference_lstm(w, a, seed, kind)
     opt = torch.optim.Adam(model.parameters(), lr=lr)
     crit = torch.nn.CrossEntropyLoss()
     xt = torch.from_numpy(np.transpose(x_train, (0, 3, 1, 2))).contiguous()
@@ -124,10 +134,10 @@ def train_eval_reference_lstm(w, a, epochs, batch_size, lr, seed=42):
     return float((pred == y_test).mean()), model
 
 
-def build_tpu_lstm(w: int, a: int, seed: int):
+def build_tpu_lstm(w: int, a: int, seed: int, kind: str = "lstm"):
     from flax import nnx
 
-    from brevitas_tpu.nn import QuantLSTM
+    from brevitas_tpu.nn import QuantLSTM, QuantRNN
     from brevitas_tpu.quant.presets import (
         Int8ActPerTensorFloat, Int8WeightPerTensorFloat,
         Uint8ActPerTensorFloat)
@@ -139,14 +149,19 @@ def build_tpu_lstm(w: int, a: int, seed: int):
 
     class TpuLSTMNet(nnx.Module):
         def __init__(self):
-            self.lstm = QuantLSTM(28, LSTM_HIDDEN, weight_quant=wq,
-                                  io_quant=aq, gate_acc_quant=aq,
-                                  sigmoid_quant=uq, tanh_quant=aq,
-                                  cell_state_quant=aq, rngs=rngs)
+            if kind == "lstm":
+                self.rec = QuantLSTM(28, LSTM_HIDDEN, weight_quant=wq,
+                                     io_quant=aq, gate_acc_quant=aq,
+                                     sigmoid_quant=uq, tanh_quant=aq,
+                                     cell_state_quant=aq, rngs=rngs)
+            else:
+                self.rec = QuantRNN(28, LSTM_HIDDEN, weight_quant=wq,
+                                    io_quant=aq, gate_acc_quant=aq,
+                                    rngs=rngs)
             self.head = nnx.Linear(LSTM_HIDDEN, 10, rngs=rngs)
 
         def __call__(self, x):  # (B, 28, 28, 1) NHWC -> rows as timesteps
-            out, _ = self.lstm(x[..., 0])
+            out, _ = self.rec(x[..., 0])
             return self.head(out[:, -1])
 
         def train_mode(self):
@@ -160,14 +175,14 @@ def build_tpu_lstm(w: int, a: int, seed: int):
     return TpuLSTMNet()
 
 
-def train_eval_tpu_lstm(w, a, epochs, batch_size, lr, seed=42):
+def train_eval_tpu_lstm(w, a, epochs, batch_size, lr, seed=42, kind="lstm"):
     import jax
     import jax.numpy as jnp
     import optax
     from flax import nnx
 
     x_train, y_train, x_test, y_test = digits_dataset("tfc")
-    model = build_tpu_lstm(w, a, seed)
+    model = build_tpu_lstm(w, a, seed, kind)
     opt = nnx.Optimizer(model, optax.adam(lr), wrt=nnx.Param)
     model.train_mode()
 
@@ -324,17 +339,16 @@ def parse_config(name: str):
 
 def run_config(name, epochs, batch_size, lr, seed=42, with_logits=True):
     arch, w, a, in_bw = parse_config(name)
-    if arch == "lstm":
-        # recurrent family: CE loss, no weight clipping, float head; the
-        # import-parity column is n/a (no LSTM layout in torch_import yet)
-        lstm_lr = min(lr, 0.005)  # bnn default 0.02 diverges LSTMs
+    if arch in ("lstm", "rnn"):
+        # recurrent family: CE loss, no weight clipping, float head
+        lstm_lr = min(lr, 0.005)  # bnn default 0.02 diverges recurrences
         t0 = time.time()
         acc_ref, _ = train_eval_reference_lstm(
-            w, a, epochs, batch_size, lstm_lr, seed)
+            w, a, epochs, batch_size, lstm_lr, seed, kind=arch)
         t_ref = time.time() - t0
         t0 = time.time()
         acc_tpu, _ = train_eval_tpu_lstm(
-            w, a, epochs, batch_size, lstm_lr, seed)
+            w, a, epochs, batch_size, lstm_lr, seed, kind=arch)
         return {"config": name, "epochs": epochs,
                 "ref_top1": round(acc_ref, 4), "tpu_top1": round(acc_tpu, 4),
                 "delta": round(acc_tpu - acc_ref, 4),
