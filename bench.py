@@ -539,8 +539,9 @@ LEGS = {
 def _device_alive(budget_s: int = 150) -> bool:
     """One tiny jit round-trip under a deadline: the relay's compile
     service sometimes wedges for hours (PERF.md), and burning every leg's
-    timeout against a dead device would stall the driver. A failed probe
-    degrades the whole run to the fallback headline in ~2 minutes."""
+    timeout against a dead device would stall the driver. With the single
+    90s-spaced retry below, a dead relay degrades the whole run to the
+    fallback headline in ~6.5 minutes worst case."""
 
     def probe():
         x = jnp.ones((128, 128))

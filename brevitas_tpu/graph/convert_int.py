@@ -320,7 +320,9 @@ class Int8InferenceAttention(nnx.Module):
     # The K/V quantizers are frozen per-tensor grids, so caching the int8
     # codes is EXACT — and costs 2x less HBM than bf16, 4x less than f32.
 
-    def init_decode_cache(self, batch: int, max_len: int):
+    def init_decode_cache(self, batch: int, max_len: int, dtype=None):
+        # dtype is accepted for fake-quant-API compatibility and ignored:
+        # the integer cache is int8 (or int4-packed) by construction
         bh = batch * self.num_kv_heads
         if self.kv_int4:
             # split-halves packed bytes: position r and r + l_half per byte;

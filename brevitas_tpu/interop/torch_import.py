@@ -256,7 +256,11 @@ def _import_param_layer(mod, g, report, path):
             tw = np.asarray(w, np.float32)
             tw = (tw.T if tw.ndim == 2 else
                   tw.transpose(*range(2, tw.ndim), 1, 0))
-            mod.kernel[...] = tw.reshape(mod.kernel[...].shape)
+            if tw.shape != mod.kernel[...].shape:
+                raise ValueError(
+                    f"{path}: weight {tw.shape} != {mod.kernel[...].shape} "
+                    f"after layout transform")
+            mod.kernel[...] = tw
             report.loaded.append(f"{path}.kernel")
         b = g.get("bias")
         if b is not None and mod.bias is not None:

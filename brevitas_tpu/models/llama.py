@@ -137,8 +137,8 @@ class QuantLlama(nnx.Module, TrainToggleMixin):
 
     # -- incremental decoding --------------------------------------------------
 
-    def init_decode_caches(self, batch: int, max_len: int):
-        return [blk.attn.init_decode_cache(batch, max_len)
+    def init_decode_caches(self, batch: int, max_len: int, dtype=None):
+        return [blk.attn.init_decode_cache(batch, max_len, dtype)
                 for blk in self.blocks]
 
     def decode_step(self, id_t: Array, caches, pos):

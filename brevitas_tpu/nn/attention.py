@@ -99,6 +99,7 @@ class QuantMultiheadAttention(nnx.Module, TrainToggleMixin):
         self.k_quant = ActQuantizer(k_quant or NoneActQuant)
         self.v_quant = ActQuantizer(v_quant or NoneActQuant)
         self.probs_quant = ActQuantizer(attn_probs_quant or NoneActQuant)
+        self.compute_dtype = None  # einsum operand dtype; see __call__
 
     def _split_heads(self, x: Array) -> Array:
         b, t, _ = x.shape
@@ -124,6 +125,13 @@ class QuantMultiheadAttention(nnx.Module, TrainToggleMixin):
         k = self._expand_kv(unpack(self.k_quant(k_f)))
         v = self._expand_kv(self._split_heads(unpack(self.v_quant(
             self.v_proj(kv)))))
+        if self.compute_dtype is not None:
+            # MXU operand dtype for the attention einsums (accumulation and
+            # softmax stay f32) — utils.set_compute_dtype sets this alongside
+            # the WBIOL layers so bf16 baselines are bf16 end-to-end
+            q = q.astype(self.compute_dtype)
+            k = k.astype(self.compute_dtype)
+            v = v.astype(self.compute_dtype)
         scale = 1.0 / math.sqrt(self.head_dim)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32) * scale
@@ -145,10 +153,13 @@ class QuantMultiheadAttention(nnx.Module, TrainToggleMixin):
 
     # -- incremental decoding -------------------------------------------------
 
-    def init_decode_cache(self, batch: int, max_len: int, dtype=jnp.float32):
+    def init_decode_cache(self, batch: int, max_len: int, dtype=None):
         """(k_cache, v_cache) of shape (B, max_len, KVH, D) holding fake-quant
         K/V values (the integer serving twin caches int8 instead). Under GQA
-        the cache holds only the KV heads — H/KVH times smaller."""
+        the cache holds only the KV heads — H/KVH times smaller. Default
+        dtype follows ``compute_dtype`` (bf16 models cache bf16 — half the
+        decode bandwidth, like any production bf16 serving stack)."""
+        dtype = dtype or self.compute_dtype or jnp.float32
         shape = (batch, max_len, self.num_kv_heads, self.head_dim)
         return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
@@ -164,8 +175,11 @@ class QuantMultiheadAttention(nnx.Module, TrainToggleMixin):
             q_f = apply_rope(q_f, pos_arr, self.rope_theta)
             k_f = apply_rope(k_f, pos_arr, self.rope_theta)
         q = unpack(self.q_quant(q_f))
-        k_t = unpack(self.k_quant(k_f))
-        v_t = self._split_heads(unpack(self.v_quant(self.v_proj(x_t))))
+        k_t = unpack(self.k_quant(k_f)).astype(k_cache.dtype)
+        v_t = self._split_heads(
+            unpack(self.v_quant(self.v_proj(x_t)))).astype(v_cache.dtype)
+        if self.compute_dtype is not None:
+            q = q.astype(self.compute_dtype)
         k_cache = jax.lax.dynamic_update_slice(k_cache, k_t, (0, pos, 0, 0))
         v_cache = jax.lax.dynamic_update_slice(v_cache, v_t, (0, pos, 0, 0))
         k_full = self._expand_kv(k_cache)

@@ -314,7 +314,9 @@ class ParameterFromRuntimeStatsScaling(nnx.Module):
 
         def _active_branch(_):
             stats = _expand(_stats_call(self, stats_input), self.bshape)
-            clamped = self.rc.clamp_only(stats)
+            # buffer dtype (f32): cond branches must agree on output types
+            # even when the activation is bf16/f16
+            clamped = self.rc.clamp_only(stats).astype(self.buffer[...].dtype)
             # EMA / running-mean update of the buffer while collecting
             new_buf = jnp.where(
                 c == 0, clamped,

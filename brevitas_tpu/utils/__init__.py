@@ -26,17 +26,20 @@ def eval_mode(model: nnx.Module) -> nnx.Module:
 
 
 def set_compute_dtype(model: nnx.Module, dtype) -> nnx.Module:
-    """Set the MXU operand dtype (usually jnp.bfloat16) on every WBIOL layer.
+    """Set the MXU operand dtype (usually jnp.bfloat16) on every WBIOL layer
+    and attention module.
 
     Fake-quant math, accumulators, params, and optimizer state all stay f32;
-    only the matmul/conv operands are cast, so the MXU runs at full bf16 rate
-    instead of the fp32 multi-pass decomposition. Pass None to restore f32
-    operands.
+    only the matmul/conv/einsum operands are cast, so the MXU runs at full
+    bf16 rate instead of the fp32 multi-pass decomposition. Attention decode
+    caches created after this call default to the same dtype (half the
+    decode bandwidth of f32). Pass None to restore f32 operands.
     """
     from brevitas_tpu.graph.base import named_modules
+    from brevitas_tpu.nn.attention import QuantMultiheadAttention
     from brevitas_tpu.nn.quant_layer import QuantWBIOL
 
     for _path, mod in named_modules(model):
-        if isinstance(mod, QuantWBIOL):
+        if isinstance(mod, (QuantWBIOL, QuantMultiheadAttention)):
             mod.compute_dtype = dtype
     return model

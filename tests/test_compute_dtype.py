@@ -129,7 +129,12 @@ def test_transformer_bf16_matches_f32(rng):
     a = np.asarray(m32(ids, causal=True))
     b = np.asarray(mbf(ids, causal=True))
     rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
-    assert rel < 5e-4, rel  # linears exact; attention internals unchanged
+    # linears run the exact-code path; attention einsum operands now cast to
+    # bf16 too (set_compute_dtype covers QuantMultiheadAttention so bf16
+    # baselines are bf16 end-to-end, incl. decode caches), which rounds the
+    # fake-quant values — standard mixed-precision noise, not exact
+    assert rel < 0.03, rel
+    assert (a.argmax(-1) == b.argmax(-1)).mean() > 0.95
 
 
 def test_lm_bf16_training_learns():

@@ -328,3 +328,28 @@ def test_convert_runtime_stats_to_parameter(rng):
     # the migrated scale is a trainable Param
     from flax import nnx as _nnx
     assert isinstance(q.scaling.value, _nnx.Param)
+
+
+def test_act_two_phase_bf16_input(rng):
+    """The lax.cond phases must trace with non-f32 activations: collect,
+    handoff and steady state all run on bf16 inputs (the cond branches'
+    output types agree on the f32 buffer dtype)."""
+    cfg = presets.Int8ActPerTensorFloat.let(collect_stats_steps=2)
+    q = ActQuantizer(cfg)
+
+    @nnx.jit
+    def step(q, x):
+        return q(x)
+
+    x = jnp.asarray(rng.standard_normal(256).astype(np.float32) * 3)
+    for i in range(4):  # collect(2) + handoff + steady
+        qt = step(q, x.astype(jnp.bfloat16))
+    assert int(q.scaling.counter[...]) == 3
+    assert float(q.scaling.value[...]) != 1.0
+    # steady-state grads still flow to the learned scale through the cond
+    def loss(q, x):
+        return jnp.sum(jnp.abs(q(x).value.astype(jnp.float32)))
+
+    grads = nnx.grad(loss)(q, x.astype(jnp.bfloat16))
+    g = jax.tree.leaves(grads)
+    assert any(float(jnp.max(jnp.abs(leaf))) > 0 for leaf in g)
