@@ -310,7 +310,21 @@ def leg_quantlstm_int8_qat():
         return optax.softmax_cross_entropy_with_integer_labels(
             logits, y).mean()
 
-    qat = _scanned_train(lambda: LSTMModel(True), (seq, feat), steps=5,
+    def build_qat():
+        from brevitas_tpu.quant.quantizers import \
+            convert_runtime_stats_to_parameter
+
+        m = LSTMModel(True)
+        rng = np.random.default_rng(0)
+        m(jnp.asarray(rng.random((batch, seq, feat), dtype=np.float32)))
+        # steady-state QAT recipe (reference ConvertRuntimeStatsToParameter):
+        # migrate collected stats to plain learned scales — no per-call
+        # collection cond left in the scan (PERF.md quantlstm: the cond
+        # alone costs ~4x in a recurrent cell)
+        convert_runtime_stats_to_parameter(m)
+        return m
+
+    qat = _scanned_train(build_qat, (seq, feat), steps=5,
                          batch=batch, loss_fn=ce, clip=False)
     fp = _with_timeout(
         lambda: _scanned_train(lambda: LSTMModel(False), (seq, feat),

@@ -1019,11 +1019,24 @@ def convert_runtime_stats_to_parameter(root: nnx.Module) -> int:
     for _, mod in named_modules(root):
         scaling = getattr(mod, "scaling", None)
         cfg = getattr(mod, "cfg", None)
-        if not isinstance(scaling, RuntimeStatsScaling) or cfg is None:
+        if cfg is None:
             continue
-        seed = scaling.buffer[...]
-        if scaling.affine:
-            seed = seed * scaling.affine_weight[...] + scaling.affine_bias[...]
+        if isinstance(scaling, RuntimeStatsScaling):
+            seed = scaling.buffer[...]
+            if scaling.affine:
+                seed = (seed * scaling.affine_weight[...]
+                        + scaling.affine_bias[...])
+        elif isinstance(scaling, ParameterFromRuntimeStatsScaling):
+            # two-phase scaler: seed from the learned value once the handoff
+            # happened, from the stats buffer mid-collection (both mapped to
+            # the linear domain — ParameterScaling re-preprocesses). Besides
+            # reference parity this is the steady-state QAT fast path: the
+            # plain learned parameter carries no per-call lax.cond.
+            post = int(scaling.counter[...]) > scaling.steps
+            seed = (scaling.rc.forward(scaling.value[...]) if post
+                    else scaling.buffer[...])
+        else:
+            continue
         new_cfg = cfg.let(scaling_impl=ScalingImplType.PARAMETER,
                           scaling_affine=False)
         mod.cfg = new_cfg

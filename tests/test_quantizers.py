@@ -353,3 +353,31 @@ def test_act_two_phase_bf16_input(rng):
     grads = nnx.grad(loss)(q, x.astype(jnp.bfloat16))
     g = jax.tree.leaves(grads)
     assert any(float(jnp.max(jnp.abs(leaf))) > 0 for leaf in g)
+
+
+def test_convert_two_phase_to_parameter_preserves_scale(rng):
+    """ParameterFromRuntimeStatsScaling migrates to a plain ParameterScaling
+    (reference ConvertRuntimeStatsToParameter covers it too) with the SAME
+    effective scale — post-handoff from the learned value, mid-collection
+    from the stats buffer. The migrated module carries no per-call cond
+    (the steady-state QAT fast path, PERF.md quantlstm leg)."""
+    from brevitas_tpu.quant.quantizers import (
+        ParameterFromRuntimeStatsScaling,
+        ParameterScaling,
+        convert_runtime_stats_to_parameter,
+    )
+
+    x = jnp.asarray(rng.standard_normal(512).astype(np.float32) * 2)
+    for phase_calls in (1, 5):  # mid-collection / post-handoff
+        cfg = presets.Int8ActPerTensorFloat.let(collect_stats_steps=3)
+        q = ActQuantizer(cfg)
+        assert isinstance(q.scaling, ParameterFromRuntimeStatsScaling)
+        for _ in range(phase_calls):
+            q(x)
+        q.eval_mode()
+        scale_before = np.asarray(q(x).scale)
+        n = convert_runtime_stats_to_parameter(q)
+        assert n == 1
+        assert isinstance(q.scaling, ParameterScaling)
+        scale_after = np.asarray(q(x).scale)
+        np.testing.assert_allclose(scale_after, scale_before, rtol=1e-6)
