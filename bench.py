@@ -10,8 +10,10 @@ shared-chip slow periods cancel in the ratio):
 - ``quantlstm_int8_qat``  2-layer QuantLSTM INT8 QAT train step
 - ``lfc_int8_serving``    LFC int8 integer-domain eval (convert_int path)
 - ``quartznet_int8_serving`` QuartzNet 15x5 INT8 integer-domain eval
-- ``llama_int8_serving``   Llama-style transformer INT8 prefill vs bf16
-  (MXU-bound — the leg where integer serving should win outright)
+- ``llama_int8_serving``   Llama-style transformer INT8 prefill vs an
+  end-to-end bf16 float model (attention einsums + decode caches included)
+- ``llama_int8_decode``    Llama-style INT8 decode (64 steps in one jit)
+- ``llama_decode4``        opt-in: 4-bit-KV decode (int4-packed cache)
 - ``mobilenetv1_4b_qat``  MobileNetV1 4-bit QAT train step (224px, opt-in
   via BENCH_CONFIGS — not in the default list to bound compile time)
 
@@ -553,22 +555,26 @@ LEGS = {
 def _device_alive(budget_s: int = 150) -> bool:
     """One tiny jit round-trip under a deadline: the relay's compile
     service sometimes wedges for hours (PERF.md), and burning every leg's
-    timeout against a dead device would stall the driver. With the single
-    90s-spaced retry below, a dead relay degrades the whole run to the
-    fallback headline in ~6.5 minutes worst case."""
+    timeout against a dead device would stall the driver. With the two
+    120s-spaced retries below, a dead relay degrades the whole run to the
+    fallback headline in ~9.5 minutes worst case."""
 
     def probe():
         x = jnp.ones((128, 128))
         jax.device_get(jax.jit(lambda a: a @ a)(x))
         return True
 
-    if _with_timeout(probe, budget_s):
-        return True
-    # relay wedges are often transient (PERF.md "weather"): one more try
-    # after a pause before giving up on the whole suite
-    print("device probe failed once; retrying in 90s", file=sys.stderr)
-    time.sleep(90)
-    return bool(_with_timeout(probe, budget_s))
+    # relay wedges are often transient over minutes (PERF.md "weather"):
+    # retry twice with pauses before abandoning the whole suite (~9.5 min
+    # worst case — cheaper than losing every leg to a short wedge window)
+    for attempt in range(3):
+        if _with_timeout(probe, budget_s):
+            return True
+        if attempt < 2:
+            print(f"device probe failed (attempt {attempt + 1}/3); "
+                  f"retrying in 120s", file=sys.stderr)
+            time.sleep(120)
+    return False
 
 
 def main():
