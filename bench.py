@@ -332,8 +332,13 @@ def leg_quantlstm_int8_qat():
         lambda: _scanned_train(lambda: LSTMModel(False), (seq, feat),
                                steps=5, batch=batch, loss_fn=ce, clip=False),
         LEG_TIMEOUT_S)
-    return _emit("quantlstm_int8_qat_sequences_per_sec_per_chip",
-                 "sequences/sec/chip", qat, fp)
+    rec = _emit("quantlstm_int8_qat_sequences_per_sec_per_chip",
+                "sequences/sec/chip", qat, fp)
+    # the leg measures the learned-scale steady state (scalers pre-migrated
+    # after one calibration batch), NOT the stats-collection warmup — keep
+    # historical rows of this metric name comparable (round-2 advisor)
+    rec["recipe"] = "steady_state_migrated_scales"
+    return rec
 
 
 def leg_lfc_int8_serving():
@@ -557,7 +562,8 @@ def _device_alive(budget_s: int = 150) -> bool:
     service sometimes wedges for hours (PERF.md), and burning every leg's
     timeout against a dead device would stall the driver. With the two
     120s-spaced retries below, a dead relay degrades the whole run to the
-    fallback headline in ~9.5 minutes worst case."""
+    fallback headline in ~11.5 minutes worst case (3x150s probes + 2x120s
+    pauses)."""
 
     def probe():
         x = jnp.ones((128, 128))

@@ -65,8 +65,10 @@ def _node_classes():
 
 
 def _is_supported(mod) -> bool:
-    """Equalization source/sink kinds (reference _supported_layers,
-    equalize.py:23): non-grouped convs and linears."""
+    """Equalization source/sink kinds (reference _supported_layers +
+    _get_input_axis, equalize.py:23,87-104): linears, non-grouped convs, and
+    depthwise convs (groups == out_channels — channel i maps to channel i,
+    so equalization scales pass straight through)."""
     from brevitas_tpu.nn.conv import _QuantConvNd
     from brevitas_tpu.nn.linear import QuantLinear
 
@@ -76,7 +78,10 @@ def _is_supported(mod) -> bool:
         groups = getattr(mod, "groups", None)
         if groups is None:
             groups = getattr(mod, "feature_group_count", 1)
-        return groups == 1
+        if groups == 1:
+            return True
+        w = mod.weight[...] if hasattr(mod, "weight") else mod.kernel[...]
+        return groups == w.shape[-1] and w.shape[-2] == 1
     return False
 
 
@@ -127,11 +132,18 @@ def _patched(classes):
         return wrapper
 
     for cls in classes:
-        call = cls.__dict__.get("__call__")
-        if call is None or getattr(call, "__brevitas_tpu_trace__", False):
+        # patch the MRO class that actually defines __call__: concrete
+        # layers (QuantConv2d, QuantConv1d, ...) inherit it from a shared
+        # base, and patching only cls.__dict__ would miss them entirely
+        owner = next((c for c in cls.__mro__ if "__call__" in c.__dict__),
+                     None)
+        if owner is None or owner in originals:
             continue
-        originals[cls] = call
-        cls.__call__ = make_wrapper(call)
+        call = owner.__dict__["__call__"]
+        if getattr(call, "__brevitas_tpu_trace__", False):
+            continue
+        originals[owner] = call
+        owner.__call__ = make_wrapper(call)
     try:
         yield
     finally:
@@ -235,7 +247,7 @@ def trace_module_graph(model: nnx.Module, sample_input) -> ModuleGraph:
                 best = part  # innermost registered scope wins
         return best
 
-    def walk(jaxpr, env):
+    def walk(jaxpr, env, inherited: Optional[str] = None):
         for eqn in jaxpr.eqns:
             inner = _inner_jaxpr(eqn)
             if inner is not None:
@@ -243,13 +255,17 @@ def trace_module_graph(model: nnx.Module, sample_input) -> ModuleGraph:
                 for iv, ov in zip(inner.invars, eqn.invars):
                     if not isinstance(ov, jax.extend.core.Literal):
                         ienv[id(iv)] = vid(ov, env)
-                walk(inner, ienv)
+                # inner eqns of custom_vjp/pjit bodies may drop the caller's
+                # name stack — inherit the call eqn's scope so ops inside a
+                # module's custom-VJP conv/matmul stay attributed to it
+                walk(inner, ienv, scope_of(eqn) or inherited)
                 for outer_ov, inner_ov in zip(eqn.outvars, inner.outvars):
                     env[id(outer_ov)] = vid(inner_ov, ienv)
                 continue
             ins = [vid(v, env) for v in eqn.invars]
             outs = [vid(v, env) for v in eqn.outvars]
-            flat.append((eqn.primitive.name, ins, outs, scope_of(eqn), eqn))
+            flat.append((eqn.primitive.name, ins, outs,
+                         scope_of(eqn) or inherited, eqn))
 
     env: Dict[int, int] = {}
     walk(closed.jaxpr, env)

@@ -27,8 +27,12 @@ def _axes(module) -> Tuple[int, int]:
     """(input_axis, output_axis) of the module's kernel.
 
     Channels-last layouts: Linear kernels are (in, out); conv kernels are
-    (*spatial, I, O). Grouped convolutions are rejected like the reference
-    (_get_input_axis, graph/equalize.py:87-104)."""
+    (*spatial, I, O). Depthwise convolutions (``groups == out_channels``,
+    i.e. one input channel per group) map input channel i to output channel
+    i, so BOTH roles live on the kernel's O axis — the HWIO analogue of the
+    reference's depthwise input axis 0 on OIHW kernels (_get_input_axis,
+    graph/equalize.py:87-104). Other grouped convs are rejected like the
+    reference."""
     if isinstance(module, (QuantLinear, nnx.Linear)):
         return 0, 1
     if isinstance(module, (_QuantConvNd, nnx.Conv, nnx.ConvTranspose)):
@@ -38,10 +42,13 @@ def _axes(module) -> Tuple[int, int]:
         groups = getattr(module, "groups", None)
         if groups is None:
             groups = getattr(module, "feature_group_count", 1)
-        if groups != 1:
-            raise ValueError("grouped/depthwise convolutions are not "
-                             "supported for cross-layer equalization")
         w = module.weight[...] if hasattr(module, "weight") else module.kernel[...]
+        if groups != 1:
+            out_channels = w.shape[-1]
+            if groups == out_channels and w.shape[-2] == 1:
+                return w.ndim - 1, w.ndim - 1
+            raise ValueError("grouped (non-depthwise) convolutions are not "
+                             "supported for cross-layer equalization")
         return w.ndim - 2, w.ndim - 1
     raise ValueError(f"unsupported module for equalization: {type(module)}")
 

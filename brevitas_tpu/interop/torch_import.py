@@ -247,6 +247,14 @@ def _sub_scaling(g: Dict[str, np.ndarray], proxy: str,
     return {k[len(base):]: v for k, v in g.items() if k.startswith(base)}
 
 
+def _scaling_state_equal(a: Dict[str, np.ndarray],
+                         b: Dict[str, np.ndarray]) -> bool:
+    if a.keys() != b.keys():
+        return False
+    return all(np.allclose(np.asarray(a[k], np.float32),
+                           np.asarray(b[k], np.float32)) for k in a)
+
+
 def _import_param_layer(mod, g, report, path):
     from brevitas_tpu.quant.quantizers import ActQuantizer
 
@@ -377,6 +385,7 @@ def _import_recurrent_layer(mod, g, report, path):
     w_ih = np.array(mod.w_ih[...])
     w_hh = np.array(mod.w_hh[...])
     bias = np.array(mod.bias[...]) if mod.bias is not None else None
+    shared_scaling_seen: Dict[str, Dict[str, np.ndarray]] = {}
     for slot, name in enumerate(gates):
         p = gate_prefix[name]
         iw = g.get(f"{p}.input_weight.weight")
@@ -403,7 +412,23 @@ def _import_recurrent_layer(mod, g, report, path):
             sub = {k[len(base):]: v
                    for k, v in g.items() if k.startswith(base)}
             if sub:
-                q = quants[0] if len(quants) == 1 else quants[slot]
+                if len(quants) == 1:
+                    # shared quantizer: first gate's scaling wins EXPLICITLY;
+                    # later gates with different checkpoint values are a
+                    # fidelity loss that must show up in the report
+                    prev = shared_scaling_seen.get(wk)
+                    if prev is None:
+                        shared_scaling_seen[wk] = sub
+                        if hasattr(quants[0], "scaling"):
+                            _assign_scaling(quants[0].scaling, sub, report,
+                                            f"{path}.{name}.{wk}")
+                    elif not _scaling_state_equal(prev, sub):
+                        report.skipped.append(
+                            f"{path}.{name}.{wk}: checkpoint carries a "
+                            f"distinct per-gate scaling but this layer "
+                            f"shares one weight quantizer (first gate wins)")
+                    continue
+                q = quants[slot]
                 if hasattr(q, "scaling"):
                     _assign_scaling(q.scaling, sub, report,
                                     f"{path}.{name}.{wk}")
@@ -492,6 +517,33 @@ def import_torch_state_dict(model: nnx.Module, sd: Dict[str, np.ndarray],
         gs = [(p, g) for p, g, k in remaining_groups if k == kind]
         ms = [(path, mod) for path, mod, k in ours
               if k == kind and path not in used_path]
+        if kind == "param":
+            # a float module with no checkpoint counterpart (e.g. an extra
+            # plain head) must not shift the zip for every later layer: on a
+            # shape mismatch, skip the module and retry the same group
+            # against the next one. _import_param_layer shape-checks before
+            # mutating, so a failed attempt leaves the module untouched.
+            gi = mi = 0
+            while gi < len(gs) and mi < len(ms):
+                prefix, g = gs[gi]
+                path, mod = ms[mi]
+                try:
+                    importers[kind](mod, g, report, path)
+                except ValueError as e:
+                    report.skipped.append(
+                        f"{path}: {e} — skipping module, retrying group "
+                        f"{prefix!r} against the next param module")
+                    mi += 1
+                    continue
+                used_prefix.add(prefix)
+                used_path.add(path)
+                gi += 1
+                mi += 1
+            for prefix, _g in gs[gi:]:
+                report.unmatched_torch.append(prefix)
+            for path, _m in ms[mi:]:
+                report.unmatched_ours.append(path)
+            continue
         for (prefix, g), (path, mod) in zip(gs, ms):
             importers[kind](mod, g, report, path)
             used_prefix.add(prefix)

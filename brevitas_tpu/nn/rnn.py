@@ -42,6 +42,10 @@ from brevitas_tpu.quant_tensor import QuantTensor, unpack
 Array = jnp.ndarray
 
 
+class _FusedUnsupported(Exception):
+    """A cell quantizer needs its stateful per-call path — run the slow cell."""
+
+
 def _acfg(q):
     return NoneActQuant if q is None else q
 
@@ -131,6 +135,7 @@ class _QuantLSTMLayer(nnx.Module, TrainToggleMixin):
         self.hidden_size = hidden_size
         self.reverse = reverse
         self.cifg = cifg
+        self.fused_cell: bool = True  # auto fast path; False forces module cell
         self.num_gates = 3 if cifg else 4  # (i, g, o) | (i, f, g, o)
         G = self.num_gates
         k = 1.0 / hidden_size ** 0.5
@@ -193,6 +198,122 @@ class _QuantLSTMLayer(nnx.Module, TrainToggleMixin):
             [unpack(q(w[:, g * H:(g + 1) * H]))
              for g, q in enumerate(quants)], axis=1)
 
+    def _fused_stage(self, quants):
+        """Static quant params for one packed stage of the fused cell.
+
+        Returns ``(scale, bit_width, q0)`` where ``scale`` broadcasts over
+        the packed (B, len(quants)·H) block (scalar when every quantizer is
+        the same shared instance, else an (n·H,) vector with gradients
+        flowing back into each learned scale), ``None`` for an all-identity
+        stage, or raises ``_FusedUnsupported`` when any quantizer carries
+        per-call state and the slow path must run."""
+        params = [q.static_int_params() for q in quants]
+        if any(p is None for p in params):
+            raise _FusedUnsupported
+        idents = [p == "identity" for p in params]
+        if all(idents):
+            return None
+        if any(idents):
+            raise _FusedUnsupported  # mixed identity/quant block
+        q0 = quants[0]
+        if any(q.cfg != q0.cfg for q in quants[1:]):
+            raise _FusedUnsupported
+        if all(q is q0 for q in quants[1:]):
+            return params[0][0], params[0][1], q0
+        from brevitas_tpu.quant.config import BitWidthImplType
+        if BitWidthImplType(q0.cfg.bit_width_impl) != BitWidthImplType.CONST:
+            # one packed clamp needs one shared static bit-width
+            raise _FusedUnsupported
+        H = self.hidden_size
+        scale = jnp.concatenate(
+            [jnp.broadcast_to(p[0].reshape(-1), (H,)) for p in params])
+        return scale, params[0][1], q0
+
+    def _fused_cell_params(self):
+        """Build the per-stage static quant params of the whole cell, or
+        return None when any quantizer needs its stateful path (runtime
+        stats, two-phase collection, delay) — the caller then runs the
+        per-gate module cell. Reference hot loop: _QuantLSTMCell.forward_iter
+        (nn/quant_rnn.py:193-303); here the 8 per-timestep quant chains
+        collapse to 3 batched fake-quants plus the cell/hidden chain."""
+        q = self.quants
+        if self.cifg:
+            accs = [q.gate_acc, q.cell_acc, q.out_acc]
+            sigs = [q.in_sigmoid, q.out_sigmoid]
+        else:
+            accs = [q.gate_acc, q.forget_acc, q.cell_acc, q.out_acc]
+            sigs = [q.in_sigmoid, q.forget_sigmoid, q.out_sigmoid]
+        try:
+            stages = {
+                "acc": self._fused_stage(accs),
+                "sig": self._fused_stage(sigs),
+                "tanh_g": self._fused_stage([q.cell_tanh]),
+                "cell": self._fused_stage([q.cell_state]),
+                "tanh_h": self._fused_stage([q.hidden_tanh]),
+                "hidden": self._fused_stage([q.hidden_state]),
+            }
+            if self.cifg:
+                # CIFG forget gate needs ones on the INPUT sigmoid's grid
+                stages["sig_i"] = self._fused_stage([q.in_sigmoid])
+            return stages
+        except _FusedUnsupported:
+            return None
+
+    @staticmethod
+    def _fused_quant(x: Array, stage) -> Array:
+        if stage is None:
+            return x
+        scale, bit_width, q = stage
+        from brevitas_tpu.core import quant as Qf
+        from brevitas_tpu.ops import tensor_clamp, tensor_clamp_ste
+
+        return Qf.int_quant(
+            x, scale, jnp.zeros(()), bit_width, signed=q.cfg.signed,
+            narrow_range=q.cfg.narrow_range, float_to_int=q._float_to_int,
+            clamp_fn=tensor_clamp_ste if q.cfg.clamp_ste else tensor_clamp)
+
+    def _fused_scan(self, x_proj: Array, h0: Array, c0: Array, qw_hh: Array,
+                    stages) -> Tuple[Array, Tuple[Array, Array]]:
+        """lax.scan with data-independent quant grids: no quantizer state in
+        the carry, batched gate fake-quants instead of per-gate module calls."""
+        H = self.hidden_size
+        cifg = self.cifg
+        fq = self._fused_quant
+        if cifg:
+            # forget = quant(1) - input on the input sigmoid's grid
+            # (reference forward_iter, quant_rnn.py:217-221) — static, so
+            # hoisted out of the scan entirely
+            q_ones = fq(jnp.ones(()), stages["sig_i"])
+        else:
+            q_ones = jnp.ones(())
+
+        def step(carry, xp_t):
+            h, c = carry
+            gates = fq(xp_t + h @ qw_hh, stages["acc"])
+            if cifg:
+                # packed (i, g, o): sigmoid blocks i,o; tanh block g
+                sig = fq(jax.nn.sigmoid(
+                    jnp.concatenate([gates[:, :H], gates[:, 2 * H:]], -1)),
+                    stages["sig"])
+                i_t, o_t = sig[:, :H], sig[:, H:]
+                f_t = q_ones - i_t
+                g_t = fq(jnp.tanh(gates[:, H:2 * H]), stages["tanh_g"])
+            else:
+                # packed (i, f, g, o): sigmoid blocks i,f,o; tanh block g
+                sig = fq(jax.nn.sigmoid(
+                    jnp.concatenate([gates[:, :2 * H], gates[:, 3 * H:]], -1)),
+                    stages["sig"])
+                i_t, f_t, o_t = sig[:, :H], sig[:, H:2 * H], sig[:, 2 * H:]
+                g_t = fq(jnp.tanh(gates[:, 2 * H:3 * H]), stages["tanh_g"])
+            c_new = fq(f_t * c + i_t * g_t, stages["cell"])
+            h_new = fq(o_t * fq(jnp.tanh(c_new), stages["tanh_h"]),
+                       stages["hidden"])
+            return (h_new, c_new), h_new
+
+        (h_T, c_T), ys = jax.lax.scan(step, (h0, c0),
+                                      jnp.swapaxes(x_proj, 0, 1))
+        return jnp.swapaxes(ys, 0, 1), (h_T, c_T)
+
     def __call__(self, x: Array, h0: Optional[Array] = None,
                  c0: Optional[Array] = None) -> Tuple[Array, Tuple[Array, Array]]:
         b, t, _ = x.shape
@@ -212,6 +333,19 @@ class _QuantLSTMLayer(nnx.Module, TrainToggleMixin):
             x_proj = x_proj + unpack(self.bias_quant(self.bias[...]))
         if self.reverse:
             x_proj = jnp.flip(x_proj, axis=1)
+
+        # fast path: when every cell quantizer's grid is data-independent
+        # (const/learned scales — e.g. after convert_runtime_stats_to_
+        # parameter migration), run the fused scan: batched gate fake-quants,
+        # no quantizer state in the carry
+        if self.fused_cell:
+            stages = self._fused_cell_params()
+            if stages is not None:
+                ys, (h_T, c_T) = self._fused_scan(x_proj, h0, c0, qw_hh,
+                                                  stages)
+                if self.reverse:
+                    ys = jnp.flip(ys, axis=1)
+                return ys, (h_T, c_T)
 
         graphdef, quant_state = nnx.split(self.quants)
         cifg = self.cifg

@@ -852,6 +852,33 @@ class ActQuantizer(nnx.Module, TrainToggleMixin, FloatToIntMixin):
         t = self._token_rc.forward(self._token_rc.preprocess_runtime(t))
         return t.reshape(x.shape[:-1] + (1,))
 
+    def static_int_params(self):
+        """``(scale, bit_width)`` when this INT quantizer's output grid is
+        data-independent (const/learned scale, zero zero-point, no delay) —
+        gradients flow through the returned scale into the learned
+        parameter. Returns ``"identity"`` for disabled quantizers and
+        ``None`` when the quantizer carries per-call state (runtime stats,
+        two-phase collection, dynamic/per-token scaling), in which case the
+        caller must invoke the quantizer normally. Used to fuse per-timestep
+        quant chains (QuantLSTM scan) into batched fake-quant calls."""
+        if self.quant_type == QuantType.NONE:
+            return "identity"
+        cfg = self.cfg
+        if (self.quant_type != QuantType.INT or self.disable_quant
+                or self.per_token or self.per_channel
+                or cfg.quant_delay_steps > 0):
+            return None
+        if ZeroPointImplType(cfg.zero_point_impl) != ZeroPointImplType.ZERO:
+            return None
+        if not isinstance(self.scaling, (ConstScaling, ParameterScaling)):
+            return None
+        bit_width = self.bit_width_impl()
+        threshold = self.scaling(None)
+        scale = Qf.rescaling_scale(
+            threshold, bit_width, signed=cfg.signed,
+            narrow_range=cfg.narrow_range, po2_int_scale=cfg.po2_int_scale)
+        return scale, bit_width
+
     def __call__(self, x: Array) -> QuantTensor:
         cfg = self.cfg
         if self.quant_type == QuantType.NONE:

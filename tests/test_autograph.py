@@ -103,6 +103,60 @@ def test_mobilenet_regions_after_bn_merge_group_residual_chains():
         assert len(sinks) >= len(srcs) - 1
 
 
+def test_depthwise_separable_regions():
+    """Depthwise convs participate in regions (reference _get_input_axis
+    depthwise branch, graph/equalize.py:89-95): the MobileNetV1 pattern
+    conv → dw → pw yields BOTH the conv→dw and dw→pw regions instead of
+    stopping at the grouped conv."""
+    import brevitas_tpu.nn as qnn
+
+    class Net(nnx.Module):
+        def __init__(self):
+            r = nnx.Rngs(0)
+            self.conv = qnn.QuantConv2d(3, 8, 3, padding="SAME",
+                                        weight_quant=None, rngs=r)
+            self.dw = qnn.QuantConv2d(8, 8, 3, groups=8, padding="SAME",
+                                      weight_quant=None, rngs=r)
+            self.pw = qnn.QuantConv2d(8, 16, 1, weight_quant=None, rngs=r)
+
+        def __call__(self, x):
+            import jax
+            x = jax.nn.relu(self.conv(x))
+            x = jax.nn.relu(self.dw(x))
+            return self.pw(x)
+
+    m = Net()
+    x = np.zeros((1, 16, 16, 3), np.float32)
+    assert extract_regions(m, x) == [
+        (["conv"], ["dw"]), (["dw"], ["pw"])]
+
+
+def test_quant_mobilenet_v1_regions_cover_depthwise():
+    """The actual MobileNetV1 model (a named BASELINE config) discovers
+    equalization regions through every depthwise-separable block after BN
+    merge — the case the DFQ paper (arXiv:1906.04721) targets."""
+    from brevitas_tpu.models.mobilenetv1 import quant_mobilenet_v1
+
+    m = quant_mobilenet_v1(bit_width=None, width_scale=0.25, num_classes=10,
+                           rngs=nnx.Rngs(0))
+    sample = np.zeros((1, 224, 224, 3), np.float32)
+    merge_batchnorms(m, find_bn_pairs(m, sample))
+    regions = extract_regions(m, sample)
+    dw_paths = {p for p, mod in _named_quant_convs(m) if mod.groups > 1}
+    as_sink = {p for _, sinks in regions for p in sinks} & dw_paths
+    as_src = {p for srcs, _ in regions for p in srcs} & dw_paths
+    assert as_sink == dw_paths, "every depthwise conv must be a sink"
+    assert as_src == dw_paths, "every depthwise conv must be a source"
+
+
+def _named_quant_convs(model):
+    from brevitas_tpu.graph.base import named_modules
+    from brevitas_tpu.nn.conv import _QuantConvNd
+
+    return [(p, m) for p, m in named_modules(model)
+            if isinstance(m, _QuantConvNd)]
+
+
 def test_auto_equalization_preserves_function(rng):
     """Equalizing auto-extracted regions is function-preserving."""
     from brevitas_tpu.models.torchvision_zoo import float_mobilenet_v2

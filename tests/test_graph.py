@@ -585,12 +585,51 @@ def test_quantize_preserves_dilation(rng):
     np.testing.assert_allclose(m(x), y_float, rtol=1e-5, atol=1e-5)
 
 
-def test_equalize_rejects_depthwise(rng):
-    conv = qnn.QuantConv2d(4, 4, 3, groups=4, padding="SAME",
+def test_equalize_rejects_grouped_non_depthwise(rng):
+    """groups not in {1, out_channels} stays rejected (reference
+    _get_input_axis raises, graph/equalize.py:95)."""
+    conv = qnn.QuantConv2d(4, 4, 3, groups=2, padding="SAME",
                            weight_quant=None, rngs=rngs())
     lin = qnn.QuantLinear(4, 4, weight_quant=None, rngs=rngs())
     with np.testing.assert_raises(ValueError):
         G.cross_layer_equalization([lin], [conv])
+
+
+def test_equalize_depthwise_preserves_function(rng):
+    """Depthwise convs (groups == out_channels) equalize like the reference
+    (input axis == output axis on the HWIO kernel's O axis; reference
+    _get_input_axis returns 0 on OIHW, graph/equalize.py:89-95). The
+    MobileNetV1 pattern conv → dw → pw is function-preserving and the
+    per-channel weight ranges actually converge."""
+    class Net(nnx.Module):
+        def __init__(self, r):
+            self.conv = qnn.QuantConv2d(3, 8, 3, padding="SAME",
+                                        weight_quant=None, rngs=r)
+            self.dw = qnn.QuantConv2d(8, 8, 3, groups=8, padding="SAME",
+                                      weight_quant=None, rngs=r)
+            self.pw = qnn.QuantConv2d(8, 16, 1, weight_quant=None, rngs=r)
+
+        def __call__(self, x):
+            x = jax.nn.relu(self.conv(x))
+            x = jax.nn.relu(self.dw(x))
+            return self.pw(x)
+
+    m = Net(rngs())
+    # widen channel-range disparity so equalization has work to do
+    m.conv.weight[...] = m.conv.weight[...].at[..., 0].mul(10.0)
+    m.dw.weight[...] = m.dw.weight[...].at[..., 3].mul(0.05)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 3)).astype(np.float32))
+    y_before = m(x)
+
+    def dw_range_spread(w):
+        r = jnp.max(jnp.abs(w[...].reshape(-1, w[...].shape[-1])), axis=0)
+        return float(jnp.max(r) / jnp.min(r))
+
+    spread_before = dw_range_spread(m.dw.weight)
+    G.equalize(m, [(["conv"], ["dw"]), (["dw"], ["pw"])], iterations=10)
+    y_after = m(x)
+    np.testing.assert_allclose(y_after, y_before, rtol=1e-3, atol=1e-4)
+    assert dw_range_spread(m.dw.weight) < spread_before
 
 
 def test_equalize_constant_channel_guard(rng):

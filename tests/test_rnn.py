@@ -356,3 +356,91 @@ def test_rnn_shared_input_hidden_weights(rng):
     assert y.shape == (2, 5, 32)
     with pytest.raises(ValueError, match="bidirectional"):
         QuantRNN(8, 16, shared_input_hidden_weights=True, rngs=nnx.Rngs(0))
+
+
+# ---- fused cell (static-grid fast path) -------------------------------------
+
+
+def _force_module_cell(lstm):
+    for layer in lstm.layers:
+        layer.fused_cell = False
+
+
+@pytest.mark.parametrize("opts", [
+    dict(),
+    dict(coupled_input_forget_gates=True),
+    dict(shared_intra_layer_gate_acc_quant=True),
+    dict(bidirectional=True, num_layers=2),
+    dict(coupled_input_forget_gates=True, bidirectional=True),
+])
+def test_lstm_fused_cell_matches_module_cell(opts, rng):
+    """After runtime-stats → parameter migration every cell quantizer grid
+    is static, and the fused scan (batched gate fake-quants, no quant state
+    in the carry) must equal the per-gate module cell exactly."""
+    from brevitas_tpu.quant.quantizers import (
+        convert_runtime_stats_to_parameter,
+    )
+
+    lstm = make_lstm(**opts)
+    x = jnp.asarray(rng.standard_normal((3, 7, 8)).astype(np.float32))
+    # collection phase: grids are data-dependent, module cell must run
+    assert lstm.layers[0]._fused_cell_params() is None
+    lstm(x)
+    lstm(x)
+    convert_runtime_stats_to_parameter(lstm)
+    assert lstm.layers[0]._fused_cell_params() is not None
+    y_fused, (h_f, c_f) = lstm(x)
+    _force_module_cell(lstm)
+    y_slow, (h_s, c_s) = lstm(x)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_slow),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_s),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_f), np.asarray(c_s),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_lstm_fused_cell_grads_match_module_cell(rng):
+    """Gradients — including through the learned scale parameters the fused
+    path bakes into its packed scale vectors — agree with the module cell."""
+    from brevitas_tpu.quant.quantizers import (
+        convert_runtime_stats_to_parameter,
+    )
+
+    lstm = make_lstm()
+    x = jnp.asarray(rng.standard_normal((2, 5, 8)).astype(np.float32))
+    lstm(x)
+    lstm(x)
+    convert_runtime_stats_to_parameter(lstm)
+
+    def loss_fn(model):
+        y, _ = model(x)
+        return jnp.sum(y ** 2)
+
+    g_fused = nnx.grad(loss_fn)(lstm)
+    _force_module_cell(lstm)
+    g_slow = nnx.grad(loss_fn)(lstm)
+    flat_f = jax.tree.leaves(g_fused)
+    flat_s = jax.tree.leaves(g_slow)
+    assert len(flat_f) == len(flat_s)
+    for a, b in zip(flat_f, flat_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_lstm_fused_cell_inactive_without_quant(rng):
+    """A fully-disabled-quant LSTM fuses to the identity stages (no
+    fake-quant at all in the scan)."""
+    lstm = QuantLSTM(8, 16, weight_quant=None, io_quant=None,
+                     gate_acc_quant=None, sigmoid_quant=None,
+                     tanh_quant=None, cell_state_quant=None,
+                     rngs=nnx.Rngs(0))
+    stages = lstm.layers[0]._fused_cell_params()
+    assert stages is not None
+    assert all(v is None for v in stages.values())
+    x = jnp.asarray(rng.standard_normal((2, 5, 8)).astype(np.float32))
+    y_fused, _ = lstm(x)
+    _force_module_cell(lstm)
+    y_slow, _ = lstm(x)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_slow),
+                               rtol=1e-6, atol=1e-6)
