@@ -14,8 +14,8 @@ shared-chip slow periods cancel in the ratio):
   end-to-end bf16 float model (attention einsums + decode caches included)
 - ``llama_int8_decode``    Llama-style INT8 decode (64 steps in one jit)
 - ``llama_decode4``        opt-in: 4-bit-KV decode (int4-packed cache)
-- ``mobilenetv1_4b_qat``  MobileNetV1 4-bit QAT train step (224px, opt-in
-  via BENCH_CONFIGS — not in the default list to bound compile time)
+- ``mobilenetv1_4b_qat``  MobileNetV1 4-bit QAT train step (224px; in the
+  default list — a named BASELINE config)
 
 ``vs_baseline`` semantics: QAT legs report QAT/FP throughput on the same
 chip (1.0 = fake-quant training is free — the reference publishes no speed
@@ -63,12 +63,20 @@ _FALLBACK_VS_BASELINE = 1.008
 
 # chip peaks for MFU (v5e / "TPU v5 lite"); MFU is omitted on other chips
 _V5E_PEAK = {"bf16": 197e12, "f32": 197e12 / 4, "int8": 394e12}
+_V5E_HBM_BW = 819e9  # bytes/s
 
 
 def _peak_flops():
     kind = jax.devices()[0].device_kind.lower()
     if "v5 lite" in kind or "v5e" in kind:
         return _V5E_PEAK["bf16"] if BF16 else _V5E_PEAK["f32"]
+    return None
+
+
+def _peak_bw():
+    kind = jax.devices()[0].device_kind.lower()
+    if "v5 lite" in kind or "v5e" in kind:
+        return _V5E_HBM_BW
     return None
 
 
@@ -109,12 +117,14 @@ def _with_timeout(fn, seconds):
 
 
 class ScannedRun:
-    """A compiled scanned program + its per-run item count and FLOPs."""
+    """A compiled scanned program + its per-run item count and FLOPs/bytes."""
 
-    def __init__(self, run_once, items_per_run, flops_per_run=None):
+    def __init__(self, run_once, items_per_run, flops_per_run=None,
+                 bytes_per_run=None):
         self.run_once = run_once
         self.items = items_per_run
         self.flops = flops_per_run
+        self.bytes = bytes_per_run
 
     def best_dt(self, repeats=REPEATS, interleave_with=None):
         best = other_best = float("inf")
@@ -130,15 +140,18 @@ class ScannedRun:
 
 
 def _cost_flops(jitted, *args):
-    """FLOPs per invocation from XLA cost analysis (None if unavailable)."""
+    """(FLOPs, bytes accessed) per invocation from XLA cost analysis
+    (None where unavailable)."""
     try:
         ca = jitted.lower(*args).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         flops = float(ca.get("flops", 0.0))
-        return flops if flops > 0 else None
+        nbytes = float(ca.get("bytes accessed", 0.0))
+        return (flops if flops > 0 else None,
+                nbytes if nbytes > 0 else None)
     except Exception:
-        return None
+        return None, None
 
 
 def _scanned_train(model_fn, data_shape, steps, batch, loss_fn=sqr_hinge_loss,
@@ -167,7 +180,7 @@ def _scanned_train(model_fn, data_shape, steps, batch, loss_fn=sqr_hinge_loss,
         state, losses = jax.lax.scan(body, state, (xs, ys))
         return state, losses
 
-    flops = _cost_flops(epoch, state, xs, ys)
+    flops, nbytes = _cost_flops(epoch, state, xs, ys)
     box = {"state": state}
 
     def run_once():
@@ -176,7 +189,7 @@ def _scanned_train(model_fn, data_shape, steps, batch, loss_fn=sqr_hinge_loss,
         # through the axon relay for scanned programs (PERF.md)
 
     run_once()  # compile + warmup
-    return ScannedRun(run_once, steps * batch, flops)
+    return ScannedRun(run_once, steps * batch, flops, nbytes)
 
 
 def _scanned_eval(model, data_shape, steps, batch, int_vocab=None):
@@ -203,13 +216,13 @@ def _scanned_eval(model, data_shape, steps, batch, int_vocab=None):
         state, sums = jax.lax.scan(body, state, xs)
         return sums
 
-    flops = _cost_flops(epoch, state, xs)
+    flops, nbytes = _cost_flops(epoch, state, xs)
 
     def run_once():
         jax.device_get(epoch(state, xs))
 
     run_once()
-    return ScannedRun(run_once, steps * batch, flops)
+    return ScannedRun(run_once, steps * batch, flops, nbytes)
 
 
 def _emit(name, unit, qat: ScannedRun, fp, fallback_vs=None):
@@ -227,6 +240,17 @@ def _emit(name, unit, qat: ScannedRun, fp, fallback_vs=None):
     peak = _peak_flops()
     if qat.flops and peak:
         record["mfu"] = round(qat.flops / qat_dt / peak, 4)
+    # roofline: the leg's minimum possible time on this chip given its FLOPs
+    # and HBM bytes (whichever bounds), over the measured time. 1.0 = the
+    # chip cannot run this program faster; quantifies "as fast as this chip
+    # allows" for bandwidth-bound legs where MFU is meaningless.
+    bw = _peak_bw()
+    if peak and bw and (qat.flops or qat.bytes):
+        t_bound = max((qat.flops or 0.0) / peak, (qat.bytes or 0.0) / bw)
+        if t_bound > 0:
+            record["roofline_frac"] = round(t_bound / qat_dt, 4)
+            record["bound"] = ("hbm" if (qat.bytes or 0.0) / bw
+                               >= (qat.flops or 0.0) / peak else "mxu")
     return record
 
 
@@ -471,6 +495,12 @@ def leg_llama_int8_decode(kv_bit_width=None):
                                    (t_steps, batch, 1)).astype(np.int32))
 
     def build_int():
+        if kv_bit_width:
+            # this leg measures the PACKED cache path; the default "auto"
+            # policy would decline at head_dim 64 (int8 decode is faster
+            # there — the packed win is capacity, PERF.md int4-KV section)
+            import brevitas_tpu.config as _cfg
+            _cfg.INT4_KV_CACHE = "1"
         m = QuantLlama(bit_width=8, kv_bit_width=kv_bit_width,
                        rngs=nnx.Rngs(0), **dims)
         m(calib)
@@ -500,13 +530,13 @@ def leg_llama_int8_decode(kv_bit_width=None):
             (_, _), sums = jax.lax.scan(body, (caches, jnp.int32(0)), ids)
             return sums
 
-        flops = _cost_flops(run, state, caches, ids)
+        flops, nbytes = _cost_flops(run, state, caches, ids)
 
         def run_once():
             jax.device_get(run(state, caches, ids))
 
         run_once()
-        return ScannedRun(run_once, t_steps * batch, flops)
+        return ScannedRun(run_once, t_steps * batch, flops, nbytes)
 
     serving = scanned_decode(build_int())
     fp = _with_timeout(lambda: scanned_decode(build_float()), LEG_TIMEOUT_S)
@@ -587,7 +617,7 @@ def main():
     selected = os.environ.get(
         "BENCH_CONFIGS",
         "cnv_qat,quantlstm_qat,lfc_serving,quartznet_serving,"
-        "llama_serving,llama_decode,lfc_qat")
+        "llama_serving,llama_decode,mobilenetv1_qat,lfc_qat")
     if not _device_alive():
         print("device probe failed: relay/compile service unresponsive — "
               "emitting fallback headline only", file=sys.stderr)

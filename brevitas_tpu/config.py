@@ -32,5 +32,13 @@ VERBOSE: bool = env_to_bool("BREVITAS_TPU_VERBOSE", False)
 INT4_PACKED_SERVING: bool = env_to_bool("BREVITAS_TPU_INT4_PACKED", True)
 
 # pack the decode KV cache two-positions-per-byte when the K/V quantizers
-# are <= 4-bit (2x less cache memory + HBM traffic than int8; exact)
-INT4_KV_CACHE: bool = env_to_bool("BREVITAS_TPU_INT4_KV", True)
+# are <= 4-bit (2x less cache memory + HBM traffic than int8; exact).
+# Policy: "auto" (default) packs only where the int4kv decode kernel
+# measured >= int8 decode speed (head_dim >= 128; at head_dim 64 the
+# in-VMEM nibble unpack costs ~12%, PERF.md int4-KV section); "1" always
+# packs nibble-capable caches (capacity over speed); "0" never packs.
+INT4_KV_CACHE: str = os.environ.get("BREVITAS_TPU_INT4_KV", "auto").lower()
+
+# the measured win boundary for the packed int4 KV decode kernel (PERF.md)
+INT4_KV_MIN_HEAD_DIM: int = int(
+    os.environ.get("BREVITAS_TPU_INT4_KV_MIN_HEAD_DIM", "128"))

@@ -297,11 +297,20 @@ def run_onnx(model_bytes: bytes, inputs: Dict[str, np.ndarray],
             out = np.transpose(i[0], a["perm"])
         elif n.op_type == "Resize":
             x_r, scales = i[0], np.asarray(i[1], np.float64).reshape(-1)
-            assert a.get("mode", "nearest") == "linear", a
+            mode = a.get("mode", "nearest")
             out = x_r
-            for ax, s in enumerate(scales):
-                if s != 1.0:
-                    out = _resize_linear_axis(out, ax, float(s))
+            if mode == "linear":
+                for ax, s in enumerate(scales):
+                    if s != 1.0:
+                        out = _resize_linear_axis(out, ax, float(s))
+            elif mode == "nearest":
+                # integer-factor asymmetric nearest = repeat along the axis
+                for ax, s in enumerate(scales):
+                    if s != 1.0:
+                        assert s == int(s) and s > 0, (ax, s)
+                        out = np.repeat(out, int(s), axis=ax)
+            else:
+                raise AssertionError(f"unsupported Resize mode {mode}")
         elif n.op_type == "Shape":
             out = np.asarray(i[0].shape, np.int64)
         elif n.op_type == "Expand":

@@ -649,6 +649,32 @@ def _export_folded_bn(b: GraphBuilder, layer, x: str) -> str:
     return x  # already folded into the preceding layer's weights
 
 
+def _register_upsample_handler():
+    from brevitas_tpu.nn.misc import QuantUpsample
+
+    @handles(QuantUpsample)
+    def _export_upsample(b: GraphBuilder, layer: QuantUpsample,
+                         x: str) -> str:
+        """Resize by the layer's static scale factor (reference QuantUpsample
+        QCDQ export path via torch.onnx's Upsample→Resize)."""
+        if layer.size is not None:
+            raise ValueError("size-target QuantUpsample export needs a "
+                             "static scale factor; use scale_factor=")
+        sf = layer.scale_factor
+        sh, sw = (sf, sf) if not isinstance(sf, (tuple, list)) else sf
+        mode = "nearest" if layer.mode == "nearest" else "linear"
+        scales = b.init_tensor(
+            "resize_scales",
+            np.asarray([1.0, 1.0, float(sh), float(sw)], np.float32))
+        return b.add("Resize", [x, "", scales], mode=mode,
+                     coordinate_transformation_mode=(
+                         "half_pixel" if mode == "linear"
+                         else "asymmetric"))
+
+
+_register_upsample_handler()
+
+
 @handles(QuantScaleBias)
 def _export_scale_bias(b: GraphBuilder, layer: QuantScaleBias, x: str) -> str:
     """Per-channel Mul/Add with QDQ'd weight — the exported form of a
@@ -707,7 +733,18 @@ def export_model(model, example_input, path: Optional[str] = None,
     if hasattr(model, "export_layers"):
         items = model.export_layers()
     else:
-        items = [m for _, m in _sequential_children(model)]
+        # derive the walk from the traced module graph (the reference
+        # exports any traced model, export/onnx/manager.py:66); unknown
+        # structure falls back to plain child order
+        from brevitas_tpu.export.derive import (
+            DeriveError,
+            derive_export_items,
+        )
+
+        try:
+            items = derive_export_items(model, example_input)
+        except DeriveError:
+            items = [m for _, m in _sequential_children(model)]
     b = GraphBuilder(style)
     in_shape = np.asarray(example_input).shape
     if len(in_shape) >= 3:
@@ -784,6 +821,16 @@ def export_model(model, example_input, path: Optional[str] = None,
             elif item[0] == "expand_like":
                 shp = b.add("Shape", [saved[item[1]]])
                 x = b.add("Expand", [x, shp])
+            # broadcast (B,C,1,1) to static spatial dims (derived exports
+            # read H,W off the traced broadcast_in_dim)
+            elif item[0] == "expand_hw":
+                _, h, w = item
+                x = b.add("Expand", [x, b.init_tensor(
+                    "expand_shape", np.asarray([1, 1, h, w], np.int64))])
+            # (B,C) -> (B,C,1,1): re-expand a flat tensor for conv consumers
+            elif item[0] == "unflatten2d":
+                x = b.add("Reshape", [x, b.init_tensor(
+                    "unflatten_shape", np.asarray([0, -1, 1, 1], np.int64))])
             else:
                 raise ValueError(f"unknown glue spec {item}")
             continue

@@ -124,6 +124,11 @@ def _patched(classes):
             tag = reg.get(id(self))
             if tag is None:
                 return orig(self, *args, **kwargs)
+            if reg.get("__per_call__"):
+                counts = reg["__counts__"]
+                n = counts.get(tag, 0)
+                counts[tag] = n + 1
+                tag = f"{tag}c{n}"
             with jax.named_scope(tag):
                 return orig(self, *args, **kwargs)
 
@@ -155,12 +160,14 @@ class GraphNode:
     """One node of the module-level dataflow graph."""
 
     def __init__(self, kind: str, path: Optional[str] = None,
-                 module=None, prim: Optional[str] = None, eqn=None):
+                 module=None, prim: Optional[str] = None, eqn=None,
+                 call_index: int = 0):
         self.kind = kind          # 'module' | 'prim'
         self.path = path
         self.module = module
         self.prim = prim
         self.eqn = eqn
+        self.call_index = call_index  # nth call of this module (per_call)
         self.out_shape: Optional[Tuple[int, ...]] = None
         self.preds: List["GraphNode"] = []
         self.succs: List["GraphNode"] = []
@@ -194,11 +201,29 @@ def _inner_jaxpr(eqn):
     return None
 
 
-def trace_module_graph(model: nnx.Module, sample_input) -> ModuleGraph:
-    """Trace one forward and return the module-level dataflow graph."""
+_CALL_RE = None  # compiled lazily
+
+
+def trace_module_graph(model: nnx.Module, sample_input, *,
+                       per_call: bool = False,
+                       extra_classes: Tuple[type, ...] = (),
+                       ) -> ModuleGraph:
+    """Trace one forward and return the module-level dataflow graph.
+
+    ``per_call=True`` makes each CALL of a module its own node (the analogue
+    of the reference FX graph's call_module nodes — a shared quantizer
+    invoked three times yields three nodes) instead of merging all of a
+    module's eqns into one node. Required by the export derivation
+    (export/derive.py); region/BN discovery uses the merged default."""
+    import re
+
     from brevitas_tpu.graph.base import named_modules
 
-    classes = _node_classes()
+    global _CALL_RE
+    if _CALL_RE is None:
+        _CALL_RE = re.compile(rf"^({_SCOPE_PREFIX}\d+_)c(\d+)$")
+
+    classes = _node_classes() + tuple(extra_classes)
     # leaf policy: deepest registered module wins — a QuantLinear's inner
     # quantizer modules are not registered classes, so the innermost
     # registered scope on an eqn is the layer itself
@@ -214,7 +239,7 @@ def trace_module_graph(model: nnx.Module, sample_input) -> ModuleGraph:
 
     def fwd(state, x):
         merged = nnx.merge(graphdef, state)
-        registry = {}
+        registry = {"__per_call__": per_call, "__counts__": {}}
         for path, mod in named_modules(merged):
             if path in tags:
                 registry[id(mod)] = tags[path]
@@ -239,12 +264,18 @@ def trace_module_graph(model: nnx.Module, sample_input) -> ModuleGraph:
             env[key] = next(counter)
         return env[key]
 
-    def scope_of(eqn) -> Optional[str]:
+    def scope_of(eqn):
+        """Innermost registered scope: the base tag, or (per_call) the
+        ``(base_tag, call_index)`` pair parsed from the suffixed tag."""
         stack = str(eqn.source_info.name_stack)
         best = None
         for part in stack.split("/"):
-            if part in tag_to_path:
-                best = part  # innermost registered scope wins
+            if per_call:
+                m = _CALL_RE.match(part)
+                if m and m.group(1) in tag_to_path:
+                    best = (m.group(1), int(m.group(2)))
+            elif part in tag_to_path:
+                best = (part, 0)
         return best
 
     def walk(jaxpr, env, inherited: Optional[str] = None):
@@ -271,16 +302,18 @@ def trace_module_graph(model: nnx.Module, sample_input) -> ModuleGraph:
     walk(closed.jaxpr, env)
 
     # -- group into nodes ---------------------------------------------------
-    module_nodes: Dict[str, GraphNode] = {}
+    call_nodes: Dict[Tuple[str, int], GraphNode] = {}
     producer: Dict[int, GraphNode] = {}
     nodes: List[GraphNode] = []
 
-    def module_node(tag: str) -> GraphNode:
+    def module_node(scope: Tuple[str, int]) -> GraphNode:
+        tag, idx = scope
         path = tag_to_path[tag]
-        node = module_nodes.get(path)
+        node = call_nodes.get((path, idx))
         if node is None:
-            node = GraphNode("module", path=path, module=paths[path])
-            module_nodes[path] = node
+            node = GraphNode("module", path=path, module=paths[path],
+                             call_index=idx)
+            call_nodes[(path, idx)] = node
             nodes.append(node)
         return node
 
@@ -313,6 +346,8 @@ def trace_module_graph(model: nnx.Module, sample_input) -> ModuleGraph:
             src.succs.append(node)
             node.preds.append(src)
 
+    module_nodes = {path: node for (path, idx), node in call_nodes.items()
+                    if idx == 0}
     return ModuleGraph(nodes, module_nodes)
 
 

@@ -253,11 +253,22 @@ class Int8InferenceAttention(nnx.Module):
         self.p_scale = jnp.asarray(p_s).reshape(())
         self.p_levels = int(p_hi)
         # <=4-bit K/V codes fit a nibble: pack the decode cache two positions
-        # per byte (2x less cache HBM than int8, exact — codes are lossless)
+        # per byte (2x less cache HBM than int8, exact — codes are lossless).
+        # Default policy "auto" packs only at the kernel's measured win
+        # boundary (head_dim >= INT4_KV_MIN_HEAD_DIM, PERF.md: at head_dim
+        # 64 the nibble unpack costs ~12% vs int8 decode); "1" forces
+        # packing (capacity over speed), "0" disables.
         from brevitas_tpu import config as _cfg
-        self.kv_int4 = (_cfg.INT4_KV_CACHE
-                        and self.k_lo >= -8.0 and self.k_hi <= 7.0
-                        and self.v_lo >= -8.0 and self.v_hi <= 7.0)
+        fits_nibble = (self.k_lo >= -8.0 and self.k_hi <= 7.0
+                       and self.v_lo >= -8.0 and self.v_hi <= 7.0)
+        policy = str(_cfg.INT4_KV_CACHE).lower()
+        if policy in ("0", "false", "off"):
+            self.kv_int4 = False
+        elif policy in ("1", "true", "on"):
+            self.kv_int4 = fits_nibble
+        else:  # auto
+            self.kv_int4 = (fits_nibble
+                            and self.head_dim >= _cfg.INT4_KV_MIN_HEAD_DIM)
 
     def _to_int8(self, x: Array, name: str) -> Array:
         """Straight to the integer domain — no fake-quant round trip."""

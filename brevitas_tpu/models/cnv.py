@@ -54,7 +54,7 @@ class CNV(nnx.Module, TrainToggleMixin):
             convs.append(QuantConv2d(
                 in_ch, out_ch, KERNEL_SIZE, padding="VALID", use_bias=False,
                 weight_quant=wq(weight_bit_width), rngs=rngs))
-            convs.append(nnx.BatchNorm(out_ch, epsilon=1e-4,
+            convs.append(nnx.BatchNorm(out_ch, epsilon=1e-4, momentum=0.9,
                                        use_running_average=False, rngs=rngs))
             convs.append(QuantIdentity(common_act_quant(act_bit_width),
                                        return_quant_tensor=True))
@@ -68,7 +68,7 @@ class CNV(nnx.Module, TrainToggleMixin):
             fcs.append(QuantLinear(
                 feat_in, feat_out, use_bias=False,
                 weight_quant=wq(weight_bit_width), rngs=rngs))
-            fcs.append(nnx.BatchNorm(feat_out, epsilon=1e-4,
+            fcs.append(nnx.BatchNorm(feat_out, epsilon=1e-4, momentum=0.9,
                                      use_running_average=False, rngs=rngs))
             fcs.append(QuantIdentity(common_act_quant(act_bit_width),
                                      return_quant_tensor=True))

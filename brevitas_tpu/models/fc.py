@@ -51,7 +51,8 @@ class FC(nnx.Module, TrainToggleMixin):
             layers.append(QuantLinear(
                 feat_in, feat_out, use_bias=False,
                 weight_quant=common_weight_quant(weight_bit_width), rngs=rngs))
-            layers.append(nnx.BatchNorm(feat_out, use_running_average=False,
+            layers.append(nnx.BatchNorm(feat_out, momentum=0.9,
+                                        use_running_average=False,
                                         rngs=rngs))
             layers.append(QuantIdentity(common_act_quant(act_bit_width),
                                         return_quant_tensor=True))

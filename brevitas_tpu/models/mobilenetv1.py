@@ -87,7 +87,7 @@ class ConvBlock(nnx.Module):
             groups=groups, use_bias=False,
             weight_quant=common_int_weight_per_channel_quant(weight_bit_width),
             rngs=rngs)
-        self.bn = nnx.BatchNorm(out_ch, epsilon=bn_eps,
+        self.bn = nnx.BatchNorm(out_ch, epsilon=bn_eps, momentum=0.9,
                                 use_running_average=False, rngs=rngs)
         self.activation = QuantReLU(
             common_uint_act_quant(act_bit_width,
@@ -123,11 +123,13 @@ class MobileNetV1(nnx.Module, TrainToggleMixin):
             (512, 512, 512, 512, 512, 512), (1024, 1024)),
             bit_width: int = 4, in_channels: int = 3,
             num_classes: int = 1000, first_stage_stride: bool = False,
-            rngs: nnx.Rngs):
+            pool_size: int = 7, rngs: nnx.Rngs):
         init_ch = channels[0][0]
         first_bw = None if bit_width is None else FIRST_LAYER_BIT_WIDTH
+        # the reference init block passes NO padding (ConvBlock default 0,
+        # mobilenetv1.py:129-136): 224 -> 111, and the 32px stand-in -> 15
         blocks = [ConvBlock(in_channels, init_ch, 3, first_bw,
-                            bit_width, stride=2, padding=1,
+                            bit_width, stride=2, padding=0,
                             act_scaling_per_channel=True, rngs=rngs)]
         in_ch = init_ch
         stages = channels[1:]
@@ -139,18 +141,19 @@ class MobileNetV1(nnx.Module, TrainToggleMixin):
                                            pw_per_channel, rngs=rngs))
                 in_ch = out_ch
         self.features = nnx.List(blocks)
+        # reference structure (mobilenetv1.py:153-159): the trunc-quant pool
+        # emits a QuantTensor whose scale/bit-width feed the head's IntBias
+        # directly — the head has NO input re-quantizer
         self.final_pool = QuantAvgPool2d(
-            7, stride=1,
+            pool_size, stride=1,
             trunc_quant=(None if bit_width is None else
                          TruncTo8bit.let(bit_width=float(bit_width))),
-            return_quant_tensor=False)
+            return_quant_tensor=bit_width is not None)
         self.output = QuantLinear(
             in_ch, num_classes, use_bias=True,
             weight_quant=common_int_weight_per_tensor_quant(bit_width),
-            bias_quant=(None if bit_width is None else
-                        IntBias.let(requires_input_bit_width=False,
-                                    bit_width=32.0)),
-            input_quant=common_int_act_quant(bit_width), rngs=rngs)
+            bias_quant=(None if bit_width is None else IntBias),
+            rngs=rngs)
 
     def __call__(self, x):
         for blk in self.features:
@@ -161,10 +164,14 @@ class MobileNetV1(nnx.Module, TrainToggleMixin):
 
 
 def quant_mobilenet_v1(bit_width: int = 4, width_scale: float = 1.0,
-                       num_classes: int = 1000, *, rngs: nnx.Rngs) -> MobileNetV1:
+                       num_classes: int = 1000, pool_size: int = 7,
+                       *, rngs: nnx.Rngs) -> MobileNetV1:
+    """``width_scale``/``pool_size`` support reduced-scale twins (the 224px
+    ImageNet geometry pools 7x7; a 32px stand-in reaches the pool at 1x1)."""
     channels = [[32], [64], [128, 128], [256, 256],
                 [512] * 6, [1024, 1024]]
     if width_scale != 1.0:
         channels = [[int(c * width_scale) for c in stage] for stage in channels]
     return MobileNetV1(channels=channels, bit_width=bit_width,
-                       num_classes=num_classes, rngs=rngs)
+                       num_classes=num_classes, pool_size=pool_size,
+                       rngs=rngs)

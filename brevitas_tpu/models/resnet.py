@@ -95,22 +95,6 @@ class BasicBlock(nnx.Module):
         y = self.conv2(jax.nn.relu(self.conv1(x)))
         return _aligned_residual(self.shared_act, y, identity)
 
-    def export_layers(self, tag):
-        items = [("save", f"in{tag}"),
-                 self.conv1.conv, self.conv1.bn, ("relu",),
-                 self.conv2.conv, self.conv2.bn]
-        return items + _residual_export_items(self, tag)
-
-
-def _residual_export_items(block, tag):
-    """ONNX items for ``_aligned_residual``: requantize both branches onto
-    the shared grid, Add, requantize, Relu."""
-    items = [block.shared_act, ("save", f"y{tag}"), ("load", f"in{tag}")]
-    if block.downsample is not None:
-        items += [block.downsample.conv, block.downsample.bn]
-    items += [block.shared_act, ("add_saved", f"y{tag}"), block.shared_act,
-              ("relu",)]
-    return items
 
 
 def _aligned_residual(shared_act, y, identity):
@@ -149,12 +133,6 @@ class Bottleneck(nnx.Module):
         y = self.conv3(jax.nn.relu(self.conv2(jax.nn.relu(self.conv1(x)))))
         return _aligned_residual(self.shared_act, y, identity)
 
-    def export_layers(self, tag):
-        items = [("save", f"in{tag}"),
-                 self.conv1.conv, self.conv1.bn, ("relu",),
-                 self.conv2.conv, self.conv2.bn, ("relu",),
-                 self.conv3.conv, self.conv3.bn]
-        return items + _residual_export_items(self, tag)
 
 
 class QuantResNet(nnx.Module, TrainToggleMixin):
@@ -234,17 +212,6 @@ class QuantResNet(nnx.Module, TrainToggleMixin):
                                   f"blocks.{i}.{name}.bn"))
         return pairs
 
-    def export_layers(self):
-        """Flattened layer/glue walk for the ONNX exporter
-        (``export/qcdq.py:export_model``); residual joins use save/load/add
-        glue so the skip topology survives the sequential emission."""
-        items = [self.stem.conv, self.stem.bn, ("relu",)]
-        if self.stem_pool is not None:
-            items.append(self.stem_pool)
-        for i, blk in enumerate(self.blocks):
-            items += blk.export_layers(i)
-        items += [self.final_pool, ("flatten",), self.output]
-        return items
 
 
 def quant_resnet18(bit_width: int = 8, **kw) -> QuantResNet:

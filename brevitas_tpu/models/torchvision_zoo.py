@@ -494,10 +494,6 @@ class _DenseLayer(nnx.Module):
         y = self.conv1(jax.nn.relu(self.bn1(x)))
         return self.conv2(jax.nn.relu(self.bn2(y)))
 
-    def export_layers(self, tag):
-        return ([("save", f"dl{tag}")] + _bn_items(self.bn1) + [("relu",),
-                self.conv1] + _bn_items(self.bn2) + [("relu",), self.conv2,
-                ("concat", [f"dl{tag}", "@"])])
 
 
 class _Transition(nnx.Module):
@@ -509,8 +505,6 @@ class _Transition(nnx.Module):
         x = self.conv(jax.nn.relu(self.bn(x)))
         return nnx.avg_pool(x, (2, 2), strides=(2, 2))
 
-    def export_layers(self):
-        return _bn_items(self.bn) + [("relu",), self.conv, ("avgpool", 2, 2)]
 
 
 class FloatDenseNet(nnx.Module):
@@ -552,16 +546,6 @@ class FloatDenseNet(nnx.Module):
         x = jax.nn.relu(self.final_bn(x))
         return self.classifier(jnp.mean(x, axis=(1, 2)))
 
-    def export_layers(self):
-        items = [self.stem_conv] + _bn_items(self.stem_bn) + [
-            ("relu",), ("maxpool", 3, 2, "SAME")]
-        for bi, block in enumerate(self.blocks):
-            for li, layer in enumerate(block):
-                items += layer.export_layers(f"{bi}_{li}")
-            if bi < len(self.transitions):
-                items += self.transitions[bi].export_layers()
-        return items + _bn_items(self.final_bn) + [
-            ("relu",), ("gap",), ("flatten",), self.classifier]
 
 
 def float_densenet(**kw) -> FloatDenseNet:
@@ -657,8 +641,6 @@ class _FCNHead(nnx.Module):
         return self.classifier(
             self.drop(self.conv(x), deterministic=deterministic))
 
-    def export_layers(self):
-        return self.conv.export_layers() + [self.classifier]
 
 
 class _ASPP(nnx.Module):
@@ -683,21 +665,6 @@ class _ASPP(nnx.Module):
         y = self.project(jnp.concatenate(feats, axis=-1))
         return self.drop(y, deterministic=deterministic)
 
-    def export_layers(self):
-        items = [("save", "aspp_in")]
-        items += self.branch0.export_layers() + [
-            ("save", "aspp_b0"), ("load", "aspp_in")]
-        names = ["aspp_b0"]
-        for k, br in enumerate(self.branches):
-            items += br.export_layers() + [
-                ("save", f"aspp_b{k + 1}"), ("load", "aspp_in")]
-            names.append(f"aspp_b{k + 1}")
-        # image pooling: global pool → 1x1 conv → broadcast back to the
-        # branch spatial dims
-        items += [("gap",)] + self.image_pool.export_layers() + [
-            ("expand_like", "aspp_b0")]
-        items.append(("concat", names + ["@"]))
-        return items + self.project.export_layers()
 
 
 class FloatSegmentation(nnx.Module):
@@ -736,42 +703,23 @@ class FloatSegmentation(nnx.Module):
         else:
             raise ValueError(head)
         self.head_kind = head
+        # backbone output stride is 8 (stem /2, maxpool /2, stage-1 /2); an
+        # Upsample MODULE (not raw jax.image.resize) so the traced export
+        # derivation sees one Resize node instead of the bilinear gather soup
+        from brevitas_tpu.nn.misc import QuantUpsample
+        self.upsample = QuantUpsample(scale_factor=8, mode="bilinear")
 
     def __call__(self, x, *, deterministic: bool = True):
-        in_hw = x.shape[1:3]
         x = _max_pool(jax.nn.relu(self.stem(x)), 3, 2, padding="SAME")
         for blk in self.blocks:
             x = blk(x)
         if self.head_kind == "deeplabv3":
             x = self.aspp(x, deterministic=deterministic)
         x = self.head(x, deterministic=deterministic)
-        return jax.image.resize(
-            x, x.shape[:1] + in_hw + x.shape[3:], method="bilinear")
-
-    def export_layers(self):
-        items = [self.stem.conv] + _bn_items(self.stem.bn) + [
-            ("relu",), ("maxpool", 3, 2, "SAME")]
-        for i, blk in enumerate(self.blocks):
-            items += _float_basic_block_items(blk, i)
-        if self.head_kind == "deeplabv3":
-            items += self.aspp.export_layers()
-        items += self.head.export_layers()
-        # backbone output stride is 8 (stem /2, maxpool /2, stage-1 /2)
-        return items + [("resize_scale", 8.0, 8.0)]
+        return self.upsample(x)
 
 
-def _float_basic_block_items(blk, tag):
-    """ONNX items for a ``models.resnet._FloatBasicBlock`` (possibly already
-    quantized in place): conv-BN pairs with residual save/add glue."""
-    t = f"fbb{tag}"
-    items = [("save", f"{t}i"), blk.conv1.conv] + _bn_items(blk.conv1.bn) + [
-        ("relu",), blk.conv2.conv] + _bn_items(blk.conv2.bn)
-    if blk.downsample is not None:
-        items += ([("save", f"{t}y"), ("load", f"{t}i"), blk.downsample.conv]
-                  + _bn_items(blk.downsample.bn) + [("add_saved", f"{t}y")])
-    else:
-        items.append(("add_saved", f"{t}i"))
-    return items + [("relu",)]
+
 
 
 def float_fcn(**kw) -> FloatSegmentation:

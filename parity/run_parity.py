@@ -207,6 +207,144 @@ def train_eval_tpu_lstm(w, a, epochs, batch_size, lr, seed=42, kind="lstm"):
 
 
 # ---------------------------------------------------------------------------
+# MobileNetV1 family (the remaining BASELINE config: depthwise-separable
+# ImageNet recipe at reduced scale — width 0.25 at 32px on the digits
+# stand-in, 4W4A per-channel with the recipe's 8-bit first layer)
+# ---------------------------------------------------------------------------
+
+MOBILENET_WIDTH = 0.25
+MOBILENET_CHANNELS = [[32], [64], [128, 128], [256, 256],
+                      [512] * 6, [1024, 1024]]
+
+
+def build_reference_mobilenet(bit_width: int, seed: int):
+    """Reduced-width reference MobileNetV1 (the REAL reference class,
+    imagenet_classification/models/mobilenetv1.py:117), final pool resized
+    for the 32px stand-in (feature map reaches the pool at 1x1, not 7x7)."""
+    from parity.refbridge import import_reference_brevitas
+    import_reference_brevitas()
+    import torch
+    torch.manual_seed(seed)
+    from brevitas.nn import QuantAvgPool2d
+    from brevitas_examples.imagenet_classification.models.mobilenetv1 import (
+        MobileNet,
+    )
+
+    channels = [[int(c * MOBILENET_WIDTH) for c in stage]
+                for stage in MOBILENET_CHANNELS]
+    net = MobileNet(channels=channels, first_stage_stride=False,
+                    bit_width=bit_width, num_classes=10)
+    net.final_pool = QuantAvgPool2d(kernel_size=1, stride=1,
+                                    bit_width=bit_width)
+    return net
+
+
+def train_eval_reference_mobilenet(bit_width, epochs, batch_size, lr,
+                                   seed=42):
+    import torch
+
+    x_train, y_train, x_test, y_test = digits_dataset("cnv")
+    model = build_reference_mobilenet(bit_width, seed)
+    opt = torch.optim.Adam(model.parameters(), lr=lr)
+    crit = torch.nn.CrossEntropyLoss()
+    xt = torch.from_numpy(np.transpose(x_train, (0, 3, 1, 2))).contiguous()
+    yt = torch.from_numpy(y_train.astype(np.int64))
+
+    model.train()
+    for ep in range(epochs):
+        for sel in epoch_batches(len(x_train), batch_size, seed=ep):
+            sel = np.asarray(sel)
+            loss = crit(model(xt[sel]), yt[sel])
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+
+    model.eval()
+    with torch.no_grad():
+        xe = torch.from_numpy(np.transpose(x_test, (0, 3, 1, 2))).contiguous()
+        preds = []
+        for i in range(0, len(xe), 256):
+            preds.append(model(xe[i:i + 256]).argmax(-1).numpy())
+        pred = np.concatenate(preds)
+    return float((pred == y_test).mean()), model
+
+
+def build_tpu_mobilenet(bit_width: int, seed: int):
+    from flax import nnx
+
+    from brevitas_tpu.models import quant_mobilenet_v1
+
+    return quant_mobilenet_v1(bit_width=bit_width,
+                              width_scale=MOBILENET_WIDTH, num_classes=10,
+                              pool_size=1, rngs=nnx.Rngs(seed))
+
+
+def train_eval_tpu_mobilenet(bit_width, epochs, batch_size, lr, seed=42):
+    import jax.numpy as jnp
+    import optax
+    from flax import nnx
+
+    from brevitas_tpu.utils import eval_mode, train_mode
+
+    x_train, y_train, x_test, y_test = digits_dataset("cnv")
+    model = build_tpu_mobilenet(bit_width, seed)
+    opt = nnx.Optimizer(model, optax.adam(lr), wrt=nnx.Param)
+    train_mode(model)
+
+    @nnx.jit
+    def step(model, opt, x, y):
+        def loss_fn(m):
+            return optax.softmax_cross_entropy_with_integer_labels(
+                m(x), y).mean()
+
+        loss, grads = nnx.value_and_grad(loss_fn)(model)
+        opt.update(model, grads)
+        return loss
+
+    for ep in range(epochs):
+        for sel in epoch_batches(len(x_train), batch_size, seed=ep):
+            step(model, opt, jnp.asarray(x_train[sel]),
+                 jnp.asarray(y_train[sel]))
+
+    eval_mode(model)
+
+    @nnx.jit
+    def infer(model, x):
+        return jnp.argmax(model(x), -1)
+
+    preds = []
+    for i in range(0, len(x_test), 256):
+        preds.append(np.asarray(infer(model, jnp.asarray(x_test[i:i + 256]))))
+    pred = np.concatenate(preds)
+    return float((pred == y_test).mean()), model
+
+
+def mobilenet_logits_parity(bit_width, ref_model):
+    """Import the reference-trained MobileNetV1 state dict into the twin and
+    compare logits/top-1 on the test set."""
+    import jax.numpy as jnp
+    import torch
+
+    from brevitas_tpu.interop.torch_import import import_torch_state_dict
+    from brevitas_tpu.utils import eval_mode
+
+    _, _, x_test, y_test = digits_dataset("cnv")
+    sd = {k: v.detach().cpu().numpy()
+          for k, v in ref_model.state_dict().items()}
+    model = build_tpu_mobilenet(bit_width, seed=0)
+    import_torch_state_dict(model, sd)
+    eval_mode(model)
+    logits_tpu = np.asarray(model(jnp.asarray(x_test)))
+    ref_model.eval()
+    with torch.no_grad():
+        xe = torch.from_numpy(np.transpose(x_test, (0, 3, 1, 2))).contiguous()
+        logits_ref = ref_model(xe).numpy()
+    max_delta = float(np.abs(logits_tpu - logits_ref).max())
+    agree = float((logits_tpu.argmax(-1) == logits_ref.argmax(-1)).mean())
+    return max_delta, agree
+
+
+# ---------------------------------------------------------------------------
 # reference side (torch)
 # ---------------------------------------------------------------------------
 
@@ -333,12 +471,33 @@ def parse_config(name: str):
     arch, bits = name.split("_")
     w = int(bits[0])
     a = int(bits[2])
-    in_bw = 8 if arch == "cnv" else w
+    # published .ini pattern: CNV quantizes inputs at 8 bits, the FC family
+    # at the ACT bit width (tfc_1w2a.ini IN_BIT_WIDTH: 2)
+    in_bw = 8 if arch == "cnv" else a
     return arch, w, a, in_bw
 
 
 def run_config(name, epochs, batch_size, lr, seed=42, with_logits=True):
     arch, w, a, in_bw = parse_config(name)
+    if arch == "mobilenet":
+        # depthwise-separable family: CE loss, Adam, no weight clipping
+        mob_lr = min(lr, 0.002)
+        t0 = time.time()
+        acc_ref, ref_model = train_eval_reference_mobilenet(
+            w, epochs, batch_size, mob_lr, seed)
+        t_ref = time.time() - t0
+        t0 = time.time()
+        acc_tpu, _ = train_eval_tpu_mobilenet(
+            w, epochs, batch_size, mob_lr, seed)
+        row = {"config": name, "epochs": epochs,
+               "ref_top1": round(acc_ref, 4), "tpu_top1": round(acc_tpu, 4),
+               "delta": round(acc_tpu - acc_ref, 4),
+               "ref_s": round(t_ref, 1), "tpu_s": round(time.time() - t0, 1)}
+        if with_logits:
+            max_delta, agree = mobilenet_logits_parity(w, ref_model)
+            row["import_logit_maxdiff"] = round(max_delta, 5)
+            row["import_top1_agreement"] = round(agree, 4)
+        return row
     if arch in ("lstm", "rnn"):
         # recurrent family: CE loss, no weight clipping, float head
         lstm_lr = min(lr, 0.005)  # bnn default 0.02 diverges recurrences

@@ -190,3 +190,83 @@ def test_load_cifar10_pickle_roundtrip(tmp_path):
         x[0, :, :, 0], raw[1][0][0, :1024].reshape(32, 32) / 255.0)
     xt, yt = load_cifar10(str(tmp_path), "test")
     assert xt.shape == (per_batch, 32, 32, 3)
+
+
+# ---- real-dataset file loaders (bnn_pynq.load_mnist / load_cifar10) ---------
+# Synthetic on-the-fly fixtures in the exact wire formats (idx / python
+# pickle batches) so the parsers the MNIST/CIFAR-10 CLI uses are proven
+# without shipping datasets (reference trainer data layer,
+# src/brevitas_examples/bnn_pynq/trainer.py:126-160).
+
+
+def _write_idx_images(path, arr, gz=False):
+    import gzip
+    import struct
+
+    header = struct.pack(">HBB", 0, 0x08, arr.ndim)
+    header += struct.pack(f">{arr.ndim}I", *arr.shape)
+    opener = gzip.open if gz else open
+    with opener(path, "wb") as f:
+        f.write(header + arr.astype(np.uint8).tobytes())
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_load_mnist_idx_roundtrip(tmp_path, gz):
+    from brevitas_tpu.examples.bnn_pynq import load_mnist
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (5, 28, 28)).astype(np.uint8)
+    labels = np.array([3, 1, 4, 1, 5], np.uint8)
+    ext = ".gz" if gz else ""
+    _write_idx_images(tmp_path / f"train-images-idx3-ubyte{ext}", imgs, gz)
+    _write_idx_images(tmp_path / f"train-labels-idx1-ubyte{ext}", labels, gz)
+    _write_idx_images(tmp_path / f"t10k-images-idx3-ubyte{ext}", imgs[:2], gz)
+    _write_idx_images(tmp_path / f"t10k-labels-idx1-ubyte{ext}", labels[:2],
+                      gz)
+
+    x, y = load_mnist(str(tmp_path), "train")
+    assert x.shape == (5, 28, 28, 1) and x.dtype == np.float32
+    np.testing.assert_array_equal(y, labels.astype(np.int32))
+    np.testing.assert_allclose(x[..., 0], imgs.astype(np.float32) / 255.0)
+    x2, y2 = load_mnist(str(tmp_path), "test")
+    assert x2.shape == (2, 28, 28, 1) and list(y2) == [3, 1]
+
+
+def test_load_mnist_missing_dir_raises(tmp_path):
+    from brevitas_tpu.examples.bnn_pynq import load_mnist
+
+    with pytest.raises(FileNotFoundError):
+        load_mnist(str(tmp_path), "train")
+
+
+def test_load_cifar10_pickle_batches(tmp_path):
+    import pickle
+
+    from brevitas_tpu.examples.bnn_pynq import load_cifar10
+
+    rng = np.random.default_rng(0)
+    n_per = 4
+    all_data, all_labels = [], []
+    for i in range(1, 6):
+        data = rng.integers(0, 256, (n_per, 3072)).astype(np.uint8)
+        labels = rng.integers(0, 10, n_per).tolist()
+        with open(tmp_path / f"data_batch_{i}", "wb") as f:
+            pickle.dump({b"data": data, b"labels": labels}, f)
+        all_data.append(data)
+        all_labels += labels
+    # test batch inside the standard extracted directory name
+    sub = tmp_path / "cifar-10-batches-py"
+    sub.mkdir()
+    tdata = rng.integers(0, 256, (3, 3072)).astype(np.uint8)
+    with open(sub / "test_batch", "wb") as f:
+        pickle.dump({b"data": tdata, b"labels": [7, 8, 9]}, f)
+
+    x, y = load_cifar10(str(tmp_path), "train")
+    assert x.shape == (5 * n_per, 32, 32, 3) and x.dtype == np.float32
+    np.testing.assert_array_equal(y, np.asarray(all_labels, np.int32))
+    # CHW pickle rows -> NHWC: red plane first in the row
+    row0 = np.concatenate(all_data)[0].astype(np.float32) / 255.0
+    np.testing.assert_allclose(x[0, :, :, 0], row0[:1024].reshape(32, 32))
+    np.testing.assert_allclose(x[0, :, :, 2], row0[2048:].reshape(32, 32))
+    xt, yt = load_cifar10(str(tmp_path), "test")
+    assert xt.shape == (3, 32, 32, 3) and list(yt) == [7, 8, 9]

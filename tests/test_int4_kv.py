@@ -26,6 +26,37 @@ def rng():
     return np.random.default_rng(123456)
 
 
+@pytest.fixture(autouse=True)
+def force_int4_kv_packing():
+    """These tests exercise the PACKED path on tiny heads; the default
+    "auto" policy only packs at the kernel's measured win boundary
+    (head_dim >= 128) — force packing, restore after."""
+    import brevitas_tpu.config as cfg
+
+    prev = cfg.INT4_KV_CACHE
+    cfg.INT4_KV_CACHE = "1"
+    yield
+    cfg.INT4_KV_CACHE = prev
+
+
+def test_auto_policy_packs_only_at_measured_boundary(rng):
+    """Default "auto": head_dim below INT4_KV_MIN_HEAD_DIM stays unpacked
+    (int8 decode measured faster there, PERF.md); "0" never packs."""
+    import brevitas_tpu.config as cfg
+
+    mha, _ = _calibrated_mha(rng, kv_bits=4)  # head_dim 32
+    cfg.INT4_KV_CACHE = "auto"
+    assert not Int8InferenceAttention(mha).kv_int4
+    prev_dim = cfg.INT4_KV_MIN_HEAD_DIM
+    cfg.INT4_KV_MIN_HEAD_DIM = 32  # pretend the boundary sits at this size
+    try:
+        assert Int8InferenceAttention(mha).kv_int4
+    finally:
+        cfg.INT4_KV_MIN_HEAD_DIM = prev_dim
+    cfg.INT4_KV_CACHE = "0"
+    assert not Int8InferenceAttention(mha).kv_int4
+
+
 def test_pack_unpack_roundtrip(rng):
     codes = rng.integers(-8, 8, (4, 96, 64)).astype(np.int8)
     packed = pack_kv_halves(jnp.asarray(codes), l_half=128)
