@@ -31,6 +31,15 @@ VERBOSE: bool = env_to_bool("BREVITAS_TPU_VERBOSE", False)
 # footprint; ~1.05x at decode shapes on v5e (PERF.md).
 INT4_PACKED_SERVING: bool = env_to_bool("BREVITAS_TPU_INT4_PACKED", True)
 
+# Run the QuantLSTM static-grid fast path's post-GEMM cell through the
+# fused Pallas kernel (kernels/lstm_cell.py) on TPU — one VMEM pass for the
+# six fake-quant stages + nonlinearities instead of ~6 XLA fusions.
+PALLAS_RNN_CELL: bool = env_to_bool("BREVITAS_TPU_PALLAS_RNN_CELL", True)
+
+# Allow Pallas kernels to run in interpret mode on non-TPU backends (slow;
+# for tests exercising the kernel paths on CPU).
+PALLAS_INTERPRET: bool = env_to_bool("BREVITAS_TPU_PALLAS_INTERPRET", False)
+
 # pack the decode KV cache two-positions-per-byte when the K/V quantizers
 # are <= 4-bit (2x less cache memory + HBM traffic than int8; exact).
 # Policy: "auto" (default) packs only where the int4kv decode kernel

@@ -11,7 +11,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from brevitas_tpu.export.onnx_proto import OnnxGraph, parse_model
+from brevitas_tpu.export.onnx_proto import _ONNX_TO_NP, OnnxGraph, parse_model
 
 
 def _quantize_linear(x, scale, zp, axis: Optional[int]):
@@ -362,10 +362,52 @@ def run_onnx(model_bytes: bytes, inputs: Dict[str, np.ndarray],
                                     i[3] if len(i) > 3 else None, a)
         elif n.op_type == "Identity":
             out = i[0]
+        # ---- ops emitted by EXTERNAL producers (torch.onnx.export of the
+        # reference, consumed as the independent-producer oracle) ----------
+        elif n.op_type == "Constant":
+            out = np.asarray(a["value"])
+        elif n.op_type == "Gemm":
+            x, w = i[0], i[1]
+            if int(a.get("transA", 0)):
+                x = x.T
+            if int(a.get("transB", 0)):
+                w = w.T
+            out = float(a.get("alpha", 1.0)) * (x @ w)
+            if len(i) > 2:
+                out = out + float(a.get("beta", 1.0)) * i[2]
+        elif n.op_type == "Cast":
+            out = i[0].astype(_ONNX_TO_NP[int(a["to"])])
+        elif n.op_type == "Unsqueeze":
+            axes = (np.asarray(i[1], np.int64).reshape(-1).tolist()
+                    if len(i) > 1 else list(a.get("axes", [])))
+            out = i[0]
+            for ax in sorted(axes):
+                out = np.expand_dims(out, int(ax))
+        elif n.op_type == "Squeeze":
+            axes = (np.asarray(i[1], np.int64).reshape(-1).tolist()
+                    if len(i) > 1 else list(a.get("axes", [])))
+            out = np.squeeze(i[0], axis=tuple(int(ax) for ax in axes)) \
+                if axes else np.squeeze(i[0])
+        elif n.op_type == "Sub":
+            out = i[0] - i[1]
+        elif n.op_type == "Pow":
+            out = np.power(i[0], i[1])
+        elif n.op_type == "Sqrt":
+            out = np.sqrt(i[0])
+        elif n.op_type == "Neg":
+            out = -i[0]
+        elif n.op_type == "Exp":
+            out = np.exp(i[0])
+        elif n.op_type in ("ReduceMean", "ReduceSum"):
+            axes = (tuple(np.asarray(i[1], np.int64).reshape(-1).tolist())
+                    if len(i) > 1 else tuple(a.get("axes", ())) or None)
+            fn = np.mean if n.op_type == "ReduceMean" else np.sum
+            out = fn(i[0], axis=axes, keepdims=bool(a.get("keepdims", 1)))
         else:
             raise NotImplementedError(f"op {n.op_type}")
         env[n.outputs[0]] = np.asarray(out, dtype=np.float32) \
             if n.op_type not in ("QuantizeLinear", "Clip", "Reshape", "Shape",
+                                 "Constant", "Cast", "Unsqueeze", "Squeeze",
                                  "QLinearConv", "QLinearMatMul") else out
 
     return [env[name] for name in g.outputs] + \

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
+from brevitas_tpu.ops import round_ste
 from brevitas_tpu.quant.config import QuantConfig
 from brevitas_tpu.quant.presets import (
     Int8ActPerTensorFloat,
@@ -272,6 +273,60 @@ class _QuantLSTMLayer(nnx.Module, TrainToggleMixin):
             narrow_range=q.cfg.narrow_range, float_to_int=q._float_to_int,
             clamp_fn=tensor_clamp_ste if q.cfg.clamp_ste else tensor_clamp)
 
+    def _pallas_cell_args(self, stages, batch: int, dtype):
+        """Static scale/bounds arguments for the fused Pallas cell kernel
+        (kernels/lstm_cell.py), or None when the jnp fused path must run
+        (CIFG, a disabled stage, learned bit-widths, non-f32, unaligned
+        shapes, non-TPU backend)."""
+        from brevitas_tpu import config as _cfg
+        from brevitas_tpu.kernels.lstm_cell import cell_shapes_ok
+        from brevitas_tpu.quant.config import BitWidthImplType
+
+        if not _cfg.PALLAS_RNN_CELL or self.cifg:
+            return None
+        if dtype != jnp.float32:
+            return None
+        keys = ("acc", "sig", "tanh_g", "cell", "tanh_h", "hidden")
+        if any(stages[k] is None for k in keys):
+            return None
+        H = self.hidden_size
+        if not cell_shapes_ok(batch, H):
+            return None
+        interpret = jax.default_backend() != "tpu"
+        if interpret and not _cfg.PALLAS_INTERPRET:
+            return None
+        args = {}
+        bounds = []
+        for k in keys:
+            scale, bit_width, q = stages[k]
+            cfg = q.cfg
+            if BitWidthImplType(cfg.bit_width_impl) != BitWidthImplType.CONST:
+                return None
+            if cfg.clamp_ste or q._stochastic \
+                    or getattr(q, "_f2i_static", None) is not round_ste:
+                return None
+            # pure-Python bounds (ops.min_int/max_int build jnp constants,
+            # which are TRACERS inside a jit trace on current jax)
+            bw = float(cfg.bit_width)
+            if cfg.signed:
+                lo = -(2.0 ** (bw - 1.0)) + (1.0 if cfg.narrow_range else 0.0)
+                hi = 2.0 ** (bw - 1.0) - 1.0
+            else:
+                lo = 0.0
+                hi = 2.0 ** bw - (2.0 if cfg.narrow_range else 1.0)
+            bounds.append((lo, hi))
+            args[k] = scale
+        sa = jnp.broadcast_to(args["acc"].reshape(-1),
+                              (4 * H,)) if args["acc"].ndim <= 1 else None
+        ss = jnp.broadcast_to(args["sig"].reshape(-1),
+                              (3 * H,)) if args["sig"].ndim <= 1 else None
+        if sa is None or ss is None:
+            return None
+        return (sa.astype(jnp.float32), ss.astype(jnp.float32),
+                args["tanh_g"].reshape(()), args["cell"].reshape(()),
+                args["tanh_h"].reshape(()), args["hidden"].reshape(()),
+                tuple(bounds), interpret)
+
     def _fused_scan(self, x_proj: Array, h0: Array, c0: Array, qw_hh: Array,
                     stages) -> Tuple[Array, Tuple[Array, Array]]:
         """lax.scan with data-independent quant grids: no quantizer state in
@@ -279,6 +334,36 @@ class _QuantLSTMLayer(nnx.Module, TrainToggleMixin):
         H = self.hidden_size
         cifg = self.cifg
         fq = self._fused_quant
+
+        def gemm(h):
+            # bf16 operand storage (compute_dtype): cast the carry down,
+            # accumulate in f32 on the MXU
+            return jnp.matmul(h.astype(qw_hh.dtype), qw_hh,
+                              preferred_element_type=jnp.float32)
+
+        # TPU fast path: the whole post-GEMM cell in ONE Pallas kernel
+        pallas_args = self._pallas_cell_args(stages, x_proj.shape[0],
+                                             jnp.float32)
+        if pallas_args is not None:
+            from brevitas_tpu.kernels.lstm_cell import quant_lstm_cell
+
+            sa, ss, st, sc, sth, sh, bounds, interpret = pallas_args
+
+            # remat: save only the (h, c) carries per step and recompute the
+            # GEMM + cell in the backward — residual HBM traffic drops from
+            # ~5H floats/step to the carries the scan saves anyway, and this
+            # leg is bandwidth-bound (PERF.md quantlstm)
+            @jax.checkpoint
+            def pallas_step(carry, xp_t):
+                h, c = carry
+                gates = xp_t.astype(jnp.float32) + gemm(h)
+                h_new, c_new = quant_lstm_cell(gates, c, sa, ss, st, sc,
+                                               sth, sh, H, bounds, interpret)
+                return (h_new, c_new), h_new
+
+            (h_T, c_T), ys = jax.lax.scan(pallas_step, (h0, c0),
+                                          jnp.swapaxes(x_proj, 0, 1))
+            return jnp.swapaxes(ys, 0, 1), (h_T, c_T)
         if cifg:
             # forget = quant(1) - input on the input sigmoid's grid
             # (reference forward_iter, quant_rnn.py:217-221) — static, so
@@ -287,9 +372,10 @@ class _QuantLSTMLayer(nnx.Module, TrainToggleMixin):
         else:
             q_ones = jnp.ones(())
 
+        @jax.checkpoint
         def step(carry, xp_t):
             h, c = carry
-            gates = fq(xp_t + h @ qw_hh, stages["acc"])
+            gates = fq(xp_t.astype(jnp.float32) + gemm(h), stages["acc"])
             if cifg:
                 # packed (i, g, o): sigmoid blocks i,o; tanh block g
                 sig = fq(jax.nn.sigmoid(
@@ -341,6 +427,14 @@ class _QuantLSTMLayer(nnx.Module, TrainToggleMixin):
         if self.fused_cell:
             stages = self._fused_cell_params()
             if stages is not None:
+                # compute_dtype (set_compute_dtype): store the streamed
+                # input projection and the recurrent weight matrix in bf16 —
+                # halves the scan's dominant HBM traffic; the per-step GEMM
+                # accumulates in f32 and the cell math stays f32
+                cd = getattr(self, "compute_dtype", None)
+                if cd is not None:
+                    x_proj = x_proj.astype(cd)
+                    qw_hh = qw_hh.astype(cd)
                 ys, (h_T, c_T) = self._fused_scan(x_proj, h0, c0, qw_hh,
                                                   stages)
                 if self.reverse:

@@ -38,8 +38,10 @@ def set_compute_dtype(model: nnx.Module, dtype) -> nnx.Module:
     from brevitas_tpu.graph.base import named_modules
     from brevitas_tpu.nn.attention import QuantMultiheadAttention
     from brevitas_tpu.nn.quant_layer import QuantWBIOL
+    from brevitas_tpu.nn.rnn import _QuantLSTMLayer, _QuantRNNLayer
 
     for _path, mod in named_modules(model):
-        if isinstance(mod, (QuantWBIOL, QuantMultiheadAttention)):
+        if isinstance(mod, (QuantWBIOL, QuantMultiheadAttention,
+                            _QuantLSTMLayer, _QuantRNNLayer)):
             mod.compute_dtype = dtype
     return model

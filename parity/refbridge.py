@@ -59,3 +59,74 @@ def reference_available():
         return True
     except Exception:
         return False
+
+
+def _install_onnx_shims():
+    """Minimal ``onnx``/``onnxoptimizer`` stand-ins so the REFERENCE's own
+    ONNX export manager (`/root/reference/src/brevitas/export/onnx/manager.py:75-146`)
+    can run in-image. torch's C++ serializer produces the ModelProto BYTES
+    itself; the real packages are only used afterwards for (a) torch's
+    onnxscript-function scan (no-op for QCDQ graphs) and (b) the reference's
+    optimizer passes, which these shims skip — the test consumes the RAW
+    torch-serialized bytes, which is the point: an independent producer for
+    the repo's wire-format parser/interpreter."""
+    if "onnx" in sys.modules and not getattr(
+            sys.modules["onnx"], "__brevitas_tpu_shim__", False):
+        return  # the real package exists; use it
+
+    class _Graph:
+        node = ()
+
+    class _Blob:
+        """Opaque byte carrier standing in for onnx.ModelProto."""
+
+        def __init__(self, data: bytes):
+            self._bytes = data
+            self.graph = _Graph()
+            self.functions = []
+
+        def SerializeToString(self):
+            return self._bytes
+
+        @staticmethod
+        def FromString(data: bytes):
+            return _Blob(data)
+
+    onnx_mod = types.ModuleType("onnx")
+    onnx_mod.__brevitas_tpu_shim__ = True
+    onnx_mod.ModelProto = _Blob
+    onnx_mod.load = lambda path: _Blob(open(path, "rb").read())
+    onnx_mod.load_model_from_string = _Blob.FromString
+    onnx_mod.save = lambda model, path: open(path, "wb").write(
+        model.SerializeToString())
+    sys.modules["onnx"] = onnx_mod
+
+    opt_mod = types.ModuleType("onnxoptimizer")
+    opt_mod.__brevitas_tpu_shim__ = True
+    opt_mod.optimize = lambda model, passes=None: model
+    sys.modules["onnxoptimizer"] = opt_mod
+
+
+def export_reference_qcdq(module, example_input) -> bytes:
+    """Run the REFERENCE's own QCDQ exporter (handler patching +
+    ``torch.onnx.export``) and return the raw torch-serialized ONNX bytes —
+    the independent-producer oracle for ``export/validate.py`` /
+    ``export/interp.py`` (the reference's tier-2 uses onnxruntime the same
+    way, `/root/reference/tests/brevitas_ort/common.py:37`)."""
+    _install_onnx_shims()
+    import_reference_brevitas()
+    # the reference reads the active opset from torch.onnx._globals
+    # (export/onnx/standard/function.py:73); torch 2.13 moved that module
+    if "torch.onnx._globals" not in sys.modules:
+        from torch.onnx._internal.torchscript_exporter import (  # noqa
+            _globals as _tsg,
+        )
+        sys.modules["torch.onnx._globals"] = _tsg
+    from brevitas.export import export_onnx_qcdq
+
+    # the TorchScript (non-dynamo) exporter serializes the ModelProto in
+    # C++ with no onnx-package involvement; the shimmed manager returns the
+    # bytes untouched (its optimizer passes are skipped)
+    blob = export_onnx_qcdq(module, args=example_input, export_path=None,
+                            dynamo=False)
+    return blob.SerializeToString()

@@ -347,3 +347,126 @@ def test_int8_inference_linear_uses_int4_packed(rng):
     assert twin.w_packed.shape == (256, 512)
     y_int = np.asarray(twin(x))  # CPU → int4_matmul_reference path
     np.testing.assert_allclose(y_int, y_fake, rtol=1e-3, atol=1e-3)
+
+
+# ---- fused quantized-LSTM cell (kernels/lstm_cell.py) -----------------------
+
+
+def _lstm_cell_ref(gates, c, sa, ss, st, sc, sth, sh, H, bounds):
+    """jnp twin of the fused cell (the rnn.py _fused_scan composition)."""
+    from brevitas_tpu.ops import round_ste, tensor_clamp
+
+    def fq(x, s, lo, hi):
+        q = round_ste(x / s)
+        return tensor_clamp(q, jnp.asarray(float(lo)),
+                            jnp.asarray(float(hi))) * s
+
+    ga = fq(gates, sa, *bounds[0])
+    i_a, f_a = ga[:, :H], ga[:, H:2 * H]
+    g_a, o_a = ga[:, 2 * H:3 * H], ga[:, 3 * H:]
+    i_t = fq(jax.nn.sigmoid(i_a), ss[:H], *bounds[1])
+    f_t = fq(jax.nn.sigmoid(f_a), ss[H:2 * H], *bounds[1])
+    o_t = fq(jax.nn.sigmoid(o_a), ss[2 * H:], *bounds[1])
+    g_t = fq(jnp.tanh(g_a), st, *bounds[2])
+    c_new = fq(f_t * c + i_t * g_t, sc, *bounds[3])
+    th = fq(jnp.tanh(c_new), sth, *bounds[4])
+    return fq(o_t * th, sh, *bounds[5]), c_new
+
+
+_CELL_BOUNDS = ((-128, 127), (0, 255), (-128, 127), (-128, 127),
+                (-128, 127), (-128, 127))
+
+
+def _cell_args(rng, B=8, H=128):
+    return (
+        jnp.asarray(rng.standard_normal((B, 4 * H)).astype(np.float32) * 2),
+        jnp.asarray(rng.standard_normal((B, H)).astype(np.float32)),
+        jnp.asarray(rng.uniform(0.01, 0.05, (4 * H,)).astype(np.float32)),
+        jnp.asarray(rng.uniform(0.002, 0.01, (3 * H,)).astype(np.float32)),
+        jnp.asarray(0.008, jnp.float32), jnp.asarray(0.02, jnp.float32),
+        jnp.asarray(0.008, jnp.float32), jnp.asarray(0.008, jnp.float32))
+
+
+def test_lstm_cell_kernel_forward_exact(rng):
+    import functools
+
+    from brevitas_tpu.kernels.lstm_cell import quant_lstm_cell
+
+    args = _cell_args(rng)
+    H = 128
+    cell = functools.partial(quant_lstm_cell, hidden=H,
+                             bounds=_CELL_BOUNDS, interpret=True)
+    h_k, c_k = cell(*args)
+    h_r, c_r = _lstm_cell_ref(*args, H, _CELL_BOUNDS)
+    np.testing.assert_array_equal(np.asarray(h_k), np.asarray(h_r))
+    np.testing.assert_array_equal(np.asarray(c_k), np.asarray(c_r))
+
+
+def test_lstm_cell_kernel_grads_match_reference(rng):
+    """Input grads match to f32 noise; scale grads match within the f32
+    reduction-order noise floor (the kernel's single-pass sums measured
+    CLOSER to an f64 ground truth than jax.grad of the f32 jnp chain)."""
+    import functools
+
+    from brevitas_tpu.kernels.lstm_cell import quant_lstm_cell
+
+    args = _cell_args(rng)
+    H = 128
+    cell = functools.partial(quant_lstm_cell, hidden=H,
+                             bounds=_CELL_BOUNDS, interpret=True)
+
+    def loss_k(*a):
+        h, cn = cell(*a)
+        return jnp.sum(h ** 2) + jnp.sum(jnp.sin(cn))
+
+    def loss_r(*a):
+        h, cn = _lstm_cell_ref(*a, H, _CELL_BOUNDS)
+        return jnp.sum(h ** 2) + jnp.sum(jnp.sin(cn))
+
+    gk = jax.grad(loss_k, argnums=tuple(range(8)))(*args)
+    gr = jax.grad(loss_r, argnums=tuple(range(8)))(*args)
+    for idx, (a, b) in enumerate(zip(gk[:2], gr[:2])):  # gates, c: tight
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+    for a, b in zip(gk[2:], gr[2:]):  # scale sums: f32 cancellation noise
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=1e-2)
+
+
+def test_lstm_fused_scan_uses_pallas_cell_and_matches(rng):
+    """End-to-end: the QuantLSTM fused path through the Pallas cell
+    (interpret mode) equals the jnp fused path."""
+    import brevitas_tpu.config as cfg
+    from flax import nnx
+    from brevitas_tpu.nn import QuantLSTM
+    from brevitas_tpu.quant import presets
+    from brevitas_tpu.quant.quantizers import (
+        convert_runtime_stats_to_parameter,
+    )
+
+    fast = dict(collect_stats_steps=1)
+    act = presets.Int8ActPerTensorFloat.let(**fast)
+    uact = presets.Uint8ActPerTensorFloat.let(**fast)
+    lstm = QuantLSTM(8, 128, io_quant=act, gate_acc_quant=act.let(),
+                     sigmoid_quant=uact, tanh_quant=act.let(),
+                     cell_state_quant=act.let(), rngs=nnx.Rngs(0))
+    x = jnp.asarray(rng.standard_normal((8, 6, 8)).astype(np.float32))
+    lstm(x)
+    convert_runtime_stats_to_parameter(lstm)
+    layer = lstm.layers[0]
+    stages = layer._fused_cell_params()
+    assert stages is not None
+
+    prev_interp, prev_cell = cfg.PALLAS_INTERPRET, cfg.PALLAS_RNN_CELL
+    try:
+        cfg.PALLAS_INTERPRET = True
+        cfg.PALLAS_RNN_CELL = True
+        assert layer._pallas_cell_args(stages, 8, jnp.float32) is not None
+        y_pallas, _ = lstm(x)
+        cfg.PALLAS_RNN_CELL = False
+        y_jnp, _ = lstm(x)
+    finally:
+        cfg.PALLAS_INTERPRET = prev_interp
+        cfg.PALLAS_RNN_CELL = prev_cell
+    np.testing.assert_allclose(np.asarray(y_pallas), np.asarray(y_jnp),
+                               rtol=1e-6, atol=1e-6)
