@@ -18,12 +18,38 @@ from typing import List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import nnx
 
+from brevitas_tpu.core.restrict import RestrictType
 from brevitas_tpu.models.mobilenetv1 import (
-    common_int_act_quant,
     common_int_weight_per_channel_quant,
-    common_uint_act_quant,
 )
-from brevitas_tpu.nn import QuantConv1d, QuantIdentity, QuantReLU
+from brevitas_tpu.nn import QuantConv1d, QuantHardTanh, QuantReLU
+from brevitas_tpu.quant.config import QuantConfig, QuantType, ScalingImplType
+
+ABS_ACT_VAL = 1.0  # reference cfg ABS_ACT_VAL (quant_quartznet_*.ini)
+
+
+def _act_quant(bit_width, max_val=ABS_ACT_VAL):
+    """Reference make_jasper_activation (quartznet/parts/common.py:43):
+    unsigned ReLU quant, learned LOG_FP threshold initialized at
+    absolute_act_val (=1.0 in every published config)."""
+    if bit_width is None:
+        return QuantConfig(quant_type=QuantType.NONE)
+    return QuantConfig(
+        bit_width=float(bit_width), signed=False, narrow_range=False,
+        scaling_impl=ScalingImplType.PARAMETER, scaling_const=float(max_val),
+        restrict_scaling=RestrictType.LOG_FP, scaling_min_val=2e-16)
+
+
+def _norm_scale_quant(bit_width, abs_val=ABS_ACT_VAL):
+    """Reference make_norm_scale (common.py:36): QuantHardTanh clamped to
+    +/-absolute_act_val with a learned LOG_FP threshold — applied after
+    every depthwise conv and on both residual operands (shared instance)."""
+    if bit_width is None:
+        return QuantConfig(quant_type=QuantType.NONE)
+    return QuantConfig(
+        bit_width=float(bit_width), signed=True, narrow_range=False,
+        scaling_impl=ScalingImplType.PARAMETER, scaling_const=float(abs_val),
+        restrict_scaling=RestrictType.LOG_FP, scaling_min_val=2e-16)
 from brevitas_tpu.quant.quantizers import TrainToggleMixin
 
 # (filters, repeat, kernel, stride, dilation, residual, separable)
@@ -62,9 +88,14 @@ class SeparableConv1d(nnx.Module):
                               rngs=rngs)
         self.pw = QuantConv1d(in_ch, out_ch, 1, use_bias=False,
                               weight_quant=wq, rngs=rngs)
+        # reference norm_depthwise (parts/quartznet.py:165-201): a
+        # QuantHardTanh +/-abs_act_val between the depthwise and pointwise
+        # convolutions
+        self.norm = QuantHardTanh(_norm_scale_quant(bit_width),
+                                  max_val=ABS_ACT_VAL, min_val=-ABS_ACT_VAL)
 
     def __call__(self, x):
-        return self.pw(self.dw(x))
+        return self.pw(self.norm(self.dw(x)))
 
 
 class QuartzBlock(nnx.Module):
@@ -88,9 +119,11 @@ class QuartzBlock(nnx.Module):
                                          padding=[(pad, pad)], dilation=dilation,
                                          use_bias=False, weight_quant=wq,
                                          rngs=rngs))
-            bns.append(nnx.BatchNorm(filters, use_running_average=False,
-                                     rngs=rngs))
-            acts.append(QuantReLU(common_uint_act_quant(bit_width)))
+            # reference: BatchNorm1d(eps=1e-3, momentum=0.1)
+            # (parts/quartznet.py:312); flax momentum convention = 0.9
+            bns.append(nnx.BatchNorm(filters, epsilon=1e-3, momentum=0.9,
+                                     use_running_average=False, rngs=rngs))
+            acts.append(QuantReLU(_act_quant(bit_width)))
             ch = filters
         self.convs = nnx.List(convs)
         self.bns = nnx.List(bns)
@@ -98,10 +131,15 @@ class QuartzBlock(nnx.Module):
         if residual:
             self.res_conv = QuantConv1d(in_ch, filters, 1, use_bias=False,
                                         weight_quant=wq, rngs=rngs)
-            self.res_bn = nnx.BatchNorm(filters, use_running_average=False,
-                                        rngs=rngs)
-            # shared scale-alignment quantizer on both residual operands
-            self.res_quant = QuantIdentity(common_int_act_quant(bit_width))
+            self.res_bn = nnx.BatchNorm(filters, epsilon=1e-3,
+                                        momentum=0.9,
+                                        use_running_average=False, rngs=rngs)
+            # reference quant_normalization (parts/quartznet.py:238-241):
+            # ONE QuantHardTanh +/-abs_act_val applied to both residual
+            # operands so the add sees matching scales
+            self.res_quant = QuantHardTanh(_norm_scale_quant(bit_width),
+                                           max_val=ABS_ACT_VAL,
+                                           min_val=-ABS_ACT_VAL)
 
     def __call__(self, x):
         inp = x

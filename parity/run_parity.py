@@ -345,6 +345,210 @@ def mobilenet_logits_parity(bit_width, ref_model):
 
 
 # ---------------------------------------------------------------------------
+# QuartzNet family (CTC head-to-head on synthetic phone sequences — the
+# remaining BASELINE speech config; the reference's REAL JasperEncoder +
+# JasperDecoderForCTC at reduced scale, WER via greedy CTC decode)
+# ---------------------------------------------------------------------------
+
+QN_FEATS = 32
+QN_VOCAB = 10           # phone classes; blank is class QN_VOCAB
+QN_FRAMES_PER_PHONE = 6
+QN_LABELS_PER_SEQ = 4
+QN_TOPOLOGY = ((32, 1, 5, 2, 1, False, True),
+               (32, 2, 5, 1, 1, True, True),
+               (64, 1, 1, 1, 1, False, False))
+
+
+def ctc_dataset(n_train=512, n_test=128, seed=0):
+    """Synthetic CTC data: each phone class has a fixed random feature
+    template; a sequence concatenates QN_LABELS_PER_SEQ phones
+    (QN_FRAMES_PER_PHONE frames each) plus noise."""
+    rng = np.random.default_rng(seed)
+    templates = rng.standard_normal((QN_VOCAB, QN_FEATS)).astype(np.float32)
+
+    def make(n, r):
+        labels = r.integers(0, QN_VOCAB,
+                            (n, QN_LABELS_PER_SEQ)).astype(np.int32)
+        feats = templates[labels]                      # (n, L, F)
+        feats = np.repeat(feats, QN_FRAMES_PER_PHONE, axis=1)
+        feats = feats + 0.3 * r.standard_normal(feats.shape).astype(
+            np.float32)
+        return feats.astype(np.float32), labels
+
+    x_tr, y_tr = make(n_train, np.random.default_rng(seed + 1))
+    x_te, y_te = make(n_test, np.random.default_rng(seed + 2))
+    return x_tr, y_tr, x_te, y_te
+
+
+def _greedy_wer(log_probs, labels, blank):
+    """Token error rate of greedy CTC decoding (collapse repeats, drop
+    blanks), averaged edit distance / label length."""
+    def edit(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    total = errs = 0
+    pred_ids = np.argmax(log_probs, axis=-1)
+    for p, ref in zip(pred_ids, labels):
+        seq = []
+        last = -1
+        for t in p:
+            if t != last and t != blank:
+                seq.append(int(t))
+            last = t
+        errs += edit(seq, list(ref))
+        total += len(ref)
+    return errs / total
+
+
+def build_reference_quartznet(bit_width: int, seed: int):
+    from parity.refbridge import import_reference_quartznet
+    qn = import_reference_quartznet()
+    import torch
+    torch.manual_seed(seed)
+    JasperEncoder, JasperDecoderForCTC = qn.JasperEncoder, qn.JasperDecoderForCTC
+
+    jasper = []
+    for filters, repeat, kernel, stride, dilation, residual, separable \
+            in QN_TOPOLOGY:
+        jasper.append(dict(filters=filters, repeat=repeat, kernel=[kernel],
+                           stride=[stride], dilation=[dilation], dropout=0.0,
+                           residual=residual, separable=separable))
+    enc = JasperEncoder(
+        jasper=jasper, outer_bit_width=bit_width,
+        inner_bit_width=bit_width, weight_scaling_per_output_channel=True,
+        absolute_act_val=1.0,
+        activation_inner_scaling_per_output_channel=False,
+        activation_other_scaling_per_output_channel=False,
+        activation="relu", feat_in=QN_FEATS, conv_mask=False)
+    dec = JasperDecoderForCTC(feat_in=QN_TOPOLOGY[-1][0],
+                              num_classes=QN_VOCAB, bit_width=bit_width,
+                              weight_scaling_per_channel=True)
+
+    class RefQN(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder = enc
+            self.decoder = dec
+
+        def forward(self, x):   # (B, F, T) -> (B, T', C) log-probs
+            return self.decoder(encoder_output=self.encoder(x))
+
+    return RefQN()
+
+
+def train_eval_reference_quartznet(bit_width, epochs, batch_size, lr,
+                                   seed=42):
+    import torch
+
+    x_tr, y_tr, x_te, y_te = ctc_dataset()
+    model = build_reference_quartznet(bit_width, seed)
+    opt = torch.optim.Adam(model.parameters(), lr=lr)
+    ctc = torch.nn.CTCLoss(blank=QN_VOCAB)
+    xt = torch.from_numpy(np.transpose(x_tr, (0, 2, 1))).contiguous()
+    yt = torch.from_numpy(y_tr.astype(np.int64))
+
+    model.train()
+    for ep in range(epochs):
+        for sel in epoch_batches(len(x_tr), batch_size, seed=ep):
+            sel = np.asarray(sel)
+            logp = model(xt[sel])            # (B, T', C)
+            t_len = torch.full((len(sel),), logp.shape[1], dtype=torch.long)
+            l_len = torch.full((len(sel),), QN_LABELS_PER_SEQ,
+                               dtype=torch.long)
+            loss = ctc(logp.transpose(0, 1), yt[sel], t_len, l_len)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+
+    model.eval()
+    with torch.no_grad():
+        xe = torch.from_numpy(np.transpose(x_te, (0, 2, 1))).contiguous()
+        logp = model(xe).numpy()
+    return _greedy_wer(logp, y_te, blank=QN_VOCAB), model
+
+
+def build_tpu_quartznet(bit_width: int, seed: int):
+    from flax import nnx
+
+    from brevitas_tpu.models.quartznet import QuartzNet
+
+    return QuartzNet(num_features=QN_FEATS, vocab_size=QN_VOCAB + 1,
+                     bit_width=bit_width, topology=QN_TOPOLOGY,
+                     rngs=nnx.Rngs(seed))
+
+
+def train_eval_tpu_quartznet(bit_width, epochs, batch_size, lr, seed=42):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax import nnx
+
+    from brevitas_tpu.utils import eval_mode, train_mode
+
+    x_tr, y_tr, x_te, y_te = ctc_dataset()
+    model = build_tpu_quartznet(bit_width, seed)
+    opt = nnx.Optimizer(model, optax.adam(lr), wrt=nnx.Param)
+    train_mode(model)
+
+    @nnx.jit
+    def step(model, opt, x, y):
+        def loss_fn(m):
+            logits = m(x)
+            logits = getattr(logits, "value", logits)    # (B, T', C)
+            loss = optax.ctc_loss(
+                logits, jnp.zeros(logits.shape[:2], jnp.float32), y,
+                jnp.zeros(y.shape, jnp.float32), blank_id=QN_VOCAB)
+            return loss.mean()
+
+        loss, grads = nnx.value_and_grad(loss_fn)(model)
+        opt.update(model, grads)
+        return loss
+
+    for ep in range(epochs):
+        for sel in epoch_batches(len(x_tr), batch_size, seed=ep):
+            step(model, opt, jnp.asarray(x_tr[sel]),
+                 jnp.asarray(y_tr[sel]))
+
+    eval_mode(model)
+    logits = model(jnp.asarray(x_te))
+    logits = np.asarray(getattr(logits, "value", logits))
+    return _greedy_wer(logits, y_te, blank=QN_VOCAB), model
+
+
+def quartznet_logits_parity(bit_width, ref_model):
+    """Import the reference-trained encoder+decoder into the twin and
+    compare log-prob outputs + greedy decodes on the test set."""
+    import jax.numpy as jnp
+    import torch
+
+    from brevitas_tpu.interop.torch_import import import_torch_state_dict
+    from brevitas_tpu.utils import eval_mode
+
+    _, _, x_te, _ = ctc_dataset()
+    sd = {k: v.detach().cpu().numpy()
+          for k, v in ref_model.state_dict().items()}
+    model = build_tpu_quartznet(bit_width, seed=0)
+    import_torch_state_dict(model, sd)
+    eval_mode(model)
+    logits = model(jnp.asarray(x_te))
+    logits = np.asarray(getattr(logits, "value", logits))
+    ours_logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    ref_model.eval()
+    with torch.no_grad():
+        xe = torch.from_numpy(np.transpose(x_te, (0, 2, 1))).contiguous()
+        ref_logp = ref_model(xe).numpy()
+    max_delta = float(np.abs(ours_logp - ref_logp).max())
+    agree = float((ours_logp.argmax(-1) == ref_logp.argmax(-1)).mean())
+    return max_delta, agree
+
+
+# ---------------------------------------------------------------------------
 # reference side (torch)
 # ---------------------------------------------------------------------------
 
@@ -479,6 +683,24 @@ def parse_config(name: str):
 
 def run_config(name, epochs, batch_size, lr, seed=42, with_logits=True):
     arch, w, a, in_bw = parse_config(name)
+    if arch == "quartznet":
+        qn_lr = min(lr, 0.003)
+        t0 = time.time()
+        wer_ref, ref_model = train_eval_reference_quartznet(
+            w, epochs, batch_size, qn_lr, seed)
+        t_ref = time.time() - t0
+        t0 = time.time()
+        wer_tpu, _ = train_eval_tpu_quartznet(
+            w, epochs, batch_size, qn_lr, seed)
+        row = {"config": name, "epochs": epochs,
+               "ref_wer": round(wer_ref, 4), "tpu_wer": round(wer_tpu, 4),
+               "delta_wer": round(wer_tpu - wer_ref, 4),
+               "ref_s": round(t_ref, 1), "tpu_s": round(time.time() - t0, 1)}
+        if with_logits:
+            max_delta, agree = quartznet_logits_parity(w, ref_model)
+            row["import_logprob_maxdiff"] = round(max_delta, 5)
+            row["import_argmax_agreement"] = round(agree, 4)
+        return row
     if arch == "mobilenet":
         # depthwise-separable family: CE loss, Adam, no weight clipping
         mob_lr = min(lr, 0.002)
@@ -548,11 +770,15 @@ def main(argv=None):
         print(json.dumps(row))
         rows.append(row)
 
-    print("\n| config | epochs | reference top-1 | brevitas_tpu top-1 | Δ |")
+    print("\n| config | epochs | reference | brevitas_tpu | Δ |")
     print("|---|---|---|---|---|")
     for r in rows:
-        print(f"| {r['config']} | {r['epochs']} | {r['ref_top1']:.4f} "
-              f"| {r['tpu_top1']:.4f} | {r['delta']:+.4f} |")
+        if "ref_wer" in r:   # WER rows (lower is better)
+            print(f"| {r['config']} (WER) | {r['epochs']} | {r['ref_wer']:.4f} "
+                  f"| {r['tpu_wer']:.4f} | {r['delta_wer']:+.4f} |")
+        else:
+            print(f"| {r['config']} | {r['epochs']} | {r['ref_top1']:.4f} "
+                  f"| {r['tpu_top1']:.4f} | {r['delta']:+.4f} |")
     return rows
 
 

@@ -26,12 +26,16 @@ def _train_digits(model, epochs=3, batch=64, lr=0.02):
     return evaluate(model, x_test, y_test, batch_size=128)
 
 
-# Floors derived from the measured head-to-head vs the reference (PARITY.md:
-# 20-epoch digits training reaches ref 0.922/0.939/0.969/0.981 for
-# 1W1A/1W2A/2W2A/4W4A and brevitas_tpu matches within 1.4 points). At the
-# 10-epoch budget used here both frameworks sit a few points below that;
-# floors = measured 10-epoch value minus ~3 points of seed noise.
-TEN_EPOCH_FLOORS = {(1, 1): 0.82, (1, 2): 0.85, (2, 2): 0.88, (4, 4): 0.90}
+# Floors derived from MEASURED 10-epoch values (round 3, post-BN-momentum
+# fix): over seeds {0,1,2} single-device CPU — 1W1A 0.883-0.919,
+# 1W2A 0.892-0.911, 2W2A 0.961-0.972, 4W4A 0.986-0.989 — and under the
+# test env's 8-virtual-device XLA config the 2W2A trajectory lands at
+# 0.933 (low-bit training is chaotic across backend configs, ±4 points).
+# Floor = min observed − 3 points: tight enough to catch a real semantics
+# regression (the round-2 BN-momentum defect cost ~4-6 eval points at
+# these budgets), honest about cross-environment variance.
+TEN_EPOCH_FLOORS = {(1, 1): 0.853, (1, 2): 0.862, (2, 2): 0.903,
+                    (4, 4): 0.956}
 
 
 @pytest.mark.slow
