@@ -93,6 +93,12 @@ def decode_demo(args):
         for blk in model.blocks:
             blk.attn.k_quant = ActQuantizer(kvq.let())
             blk.attn.v_quant = ActQuantizer(kvq.let())
+        if args.kv_bits <= 4:
+            # an explicit --kv-bits 4 asks for the PACKED cache (capacity
+            # over speed); the default "auto" policy only packs where the
+            # kernel measured >= int8 decode speed (config.py)
+            from brevitas_tpu import config as _cfg
+            _cfg.INT4_KV_CACHE = "1"
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, 256, (args.decode_batch, 16)), jnp.int32)
     with G.calibration_mode(model):

@@ -21,7 +21,18 @@ import argparse
 import json
 import time
 
+import jax
 import numpy as np
+
+# This image's sitecustomize registers the axon TPU platform and IGNORES the
+# JAX_PLATFORMS env var, so "CPU" invocations of this harness actually run on
+# the TPU — where DEFAULT matmul/conv precision computes f32 via bf16 passes.
+# That is fine for coarse 1-4-bit grids (scale 1.0) but injects noise
+# comparable to the quant step for fine-grained per-channel 8-bit scaling
+# (MobileNetV1's first layer), unfairly degrading the brevitas_tpu side of
+# the head-to-head. Force full f32-equivalent precision for every conv/
+# matmul in the harness; the torch side computes f32 on CPU.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 
 # ---------------------------------------------------------------------------
