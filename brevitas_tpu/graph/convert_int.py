@@ -89,6 +89,29 @@ def _val(x):
     return x.value if isinstance(x, QuantTensor) else x
 
 
+def _carried_codes(x):
+    """(codes_int8, scale, shift) from a CARRIED input grid, or None.
+
+    QAT models built in the bnn_pynq style give their linears/convs no
+    ``input_quant`` — the input grid arrives as QuantTensor metadata from
+    the preceding activation quantizer (``return_quant_tensor`` chains,
+    reference nn/quant_layer.py WBIOL law). The dequantized values are
+    exact code multiples of the carried scale, so ``round(value/scale)``
+    recovers the integer codes losslessly at serving time; unsigned grids
+    (post-ReLU) re-center by 128 into int8 and the shift folds into the
+    epilogue via the weight column sums. Symmetric (zero zero-point) grids
+    only — the bnn_pynq/QuartzNet family contract."""
+    from brevitas_tpu.quant_tensor import QuantTensor
+
+    if not isinstance(x, QuantTensor) or x.scale is None:
+        return None
+    signed = bool(x.signed) if x.signed is not None else True
+    shift = 0.0 if signed else 128.0
+    codes = jnp.round(x.value / x.scale) - shift
+    codes = jnp.clip(codes, -128.0, 127.0).astype(jnp.int8)
+    return codes, jnp.asarray(x.scale, jnp.float32).reshape(()), shift
+
+
 class Int8InferenceLinear(nnx.Module):
     """Serving twin of a trained QuantLinear: cached int8 kernel + fused
     quantized GEMM."""
@@ -100,23 +123,27 @@ class Int8InferenceLinear(nnx.Module):
         assert float(jnp.max(qw.bit_width)) <= 8.0, "int8 path needs bw<=8"
         self.w_int = jax.lax.stop_gradient(qw.int())  # (in, out) int8
         self.w_scale = jnp.asarray(qw.scale).reshape(-1)
-        if qlinear.input_quant.quant_type == QuantType.NONE:
-            raise ValueError(
-                "integer inference needs an input quantizer for the input scale")
-        x_scale, x_zp, self.x_lo, self.x_hi = _freeze_act_quant(
-            qlinear.input_quant)
-        self.x_scale = jnp.asarray(x_scale).reshape(())
-        self.x_zp = float(jnp.asarray(x_zp).reshape(()))
-        self.x_signed = qlinear.input_quant.cfg.signed
+        self.colsum = jnp.sum(self.w_int.astype(jnp.int32),
+                              axis=0).astype(jnp.float32)
         bias = (qlinear.bias[...].astype(jnp.float32)
                 if qlinear.bias is not None else jnp.zeros((self.w_int.shape[1],)))
-        # unsigned activations (uint8, e.g. post-ReLU) are re-centered into
-        # int8 by subtracting 128; together with the zero-point this folds
-        # into the bias via (x_q - zp) = (x_q - shift) + (shift - zp)
-        self.x_shift = 0.0 if self.x_signed else 128.0
-        colsum = jnp.sum(self.w_int.astype(jnp.int32), axis=0).astype(jnp.float32)
-        self.bias = bias + (self.x_shift - self.x_zp) * colsum \
-            * self.x_scale * self.w_scale
+        if qlinear.input_quant.quant_type == QuantType.NONE:
+            # carried-grid mode: the input grid arrives as QuantTensor
+            # metadata at call time (bnn_pynq-style chains)
+            self.x_scale = None
+            self.bias = bias
+        else:
+            x_scale, x_zp, self.x_lo, self.x_hi = _freeze_act_quant(
+                qlinear.input_quant)
+            self.x_scale = jnp.asarray(x_scale).reshape(())
+            self.x_zp = float(jnp.asarray(x_zp).reshape(()))
+            self.x_signed = qlinear.input_quant.cfg.signed
+            # unsigned activations (uint8, e.g. post-ReLU) are re-centered
+            # into int8 by subtracting 128; together with the zero-point this
+            # folds into the bias via (x_q - zp) = (x_q - shift) + (shift - zp)
+            self.x_shift = 0.0 if self.x_signed else 128.0
+            self.bias = bias + (self.x_shift - self.x_zp) * self.colsum \
+                * self.x_scale * self.w_scale
         self.act = act
         self.output_quant = _freeze_output_quant(
             getattr(qlinear, "output_quant", None))
@@ -136,27 +163,48 @@ class Int8InferenceLinear(nnx.Module):
             self.w_packed = None
 
     def __call__(self, x: Array) -> Array:
-        x = _val(x)
         from brevitas_tpu.kernels import int8_matmul_reference
         from brevitas_tpu.kernels.int4 import int4_matmul, int4_matmul_reference
 
-        x_int = jnp.clip(jnp.round(x / self.x_scale + self.x_zp),
-                         self.x_lo, self.x_hi)
-        x_int = (x_int - self.x_shift).astype(jnp.int8)
+        if self.x_scale is None:
+            carried = _carried_codes(x)
+            if carried is None:
+                # no grid available for this input: dequantized-weight float
+                # path keeps the function correct
+                v = _val(x)
+                w = self.w_int.astype(jnp.float32) * self.w_scale \
+                    if self.w_int is not None else None
+                if w is None:
+                    from brevitas_tpu.kernels.int4 import unpack_int4
+                    w = unpack_int4(
+                        self.w_packed).astype(jnp.float32) * self.w_scale
+                y = v @ w + self.bias
+                y = jnp.maximum(y, 0.0) if self.act == "relu" else y
+                return _apply_output_quant(y, self.output_quant)
+            x_int, x_scale, shift = carried
+            bias = self.bias + shift * self.colsum * x_scale * self.w_scale
+            x = _val(x)
+        else:
+            x = _val(x)
+            x_scale = self.x_scale
+            bias = self.bias
+            x_int = jnp.clip(jnp.round(x / x_scale + self.x_zp),
+                             self.x_lo, self.x_hi)
+            x_int = (x_int - self.x_shift).astype(jnp.int8)
         flat = x_int.reshape(-1, x_int.shape[-1])
         if self.w_packed is not None:
             on_tpu = jax.default_backend() == "tpu" and config.USE_PALLAS_KERNELS
             mm4 = int4_matmul if on_tpu else int4_matmul_reference
-            y = mm4(flat, self.w_packed, self.x_scale, self.w_scale,
-                    self.bias, act=self.act)
+            y = mm4(flat, self.w_packed, x_scale, self.w_scale,
+                    bias, act=self.act)
         else:
             use_pallas = (jax.default_backend() == "tpu"
                           and config.USE_PALLAS_KERNELS
                           and _prefer_pallas_gemm(flat.shape[0],
                                                   *self.w_int.shape))
             mm = int8_matmul if use_pallas else int8_matmul_reference
-            y = mm(flat, self.w_int, self.x_scale, self.w_scale,
-                   self.bias, act=self.act)
+            y = mm(flat, self.w_int, x_scale, self.w_scale,
+                   bias, act=self.act)
         y = y.reshape(*x.shape[:-1], self.out_features)
         return _apply_output_quant(y, self.output_quant)
 
@@ -173,11 +221,20 @@ class Int8InferenceConv(nnx.Module):
         assert float(jnp.max(qw.bit_width)) <= 8.0
         self.w_int = jax.lax.stop_gradient(qw.int())  # HWIO int8
         self.w_scale = jnp.asarray(qw.scale).reshape(-1)
-        x_scale, x_zp, self.x_lo, self.x_hi = _freeze_act_quant(
-            qconv.input_quant)
-        self.x_scale = jnp.asarray(x_scale).reshape(())
-        self.x_zp = float(jnp.asarray(x_zp).reshape(()))
-        self.x_signed = qconv.input_quant.cfg.signed
+        if qconv.input_quant.quant_type == QuantType.NONE:
+            # carried-grid mode (see _carried_codes): the grid arrives as
+            # QuantTensor metadata at call time
+            self.x_scale = None
+        else:
+            x_scale, x_zp, self.x_lo, self.x_hi = _freeze_act_quant(
+                qconv.input_quant)
+            self.x_scale = jnp.asarray(x_scale).reshape(())
+            self.x_zp = float(jnp.asarray(x_zp).reshape(()))
+            self.x_signed = qconv.input_quant.cfg.signed
+            # unsigned inputs re-center by 128 (see Int8InferenceLinear); the
+            # x_zp/x_shift are static floats so the common symmetric-signed
+            # case statically skips the border-correction conv below
+            self.x_shift = 0.0 if self.x_signed else 128.0
         self.stride = qconv.stride
         self.padding = qconv.padding
         self.dilation = qconv.dilation
@@ -185,10 +242,6 @@ class Int8InferenceConv(nnx.Module):
         self.dn = qconv._dn()
         self.bias = (qconv.bias[...].astype(jnp.float32)
                      if qconv.bias is not None else None)
-        # unsigned inputs re-center by 128 (see Int8InferenceLinear); the
-        # x_zp/x_shift are static floats so the common symmetric-signed case
-        # statically skips the border-correction conv below
-        self.x_shift = 0.0 if self.x_signed else 128.0
         self.output_quant = _freeze_output_quant(
             getattr(qconv, "output_quant", None))
 
@@ -200,17 +253,33 @@ class Int8InferenceConv(nnx.Module):
             preferred_element_type=jnp.int32)
 
     def __call__(self, x: Array) -> Array:
-        x = _val(x)
-        x_int = jnp.clip(jnp.round(x / self.x_scale + self.x_zp),
-                         self.x_lo, self.x_hi)
-        x_int = (x_int - self.x_shift).astype(jnp.int8)
+        if self.x_scale is None:
+            carried = _carried_codes(x)
+            if carried is None:
+                v = _val(x)
+                w = self.w_int.astype(jnp.float32) * self.w_scale
+                y = jax.lax.conv_general_dilated(
+                    v, w, window_strides=self.stride, padding=self.padding,
+                    rhs_dilation=self.dilation, dimension_numbers=self.dn,
+                    feature_group_count=self.groups)
+                if self.bias is not None:
+                    y = y + self.bias
+                return _apply_output_quant(y, self.output_quant)
+            x_int, x_scale, shift = carried
+            x = _val(x)
+        else:
+            x = _val(x)
+            x_scale = self.x_scale
+            shift = self.x_shift - self.x_zp  # static python float
+            x_int = jnp.clip(jnp.round(x / x_scale + self.x_zp),
+                             self.x_lo, self.x_hi)
+            x_int = (x_int - self.x_shift).astype(jnp.int8)
         acc = self._conv(x_int).astype(jnp.float32)
-        shift = self.x_shift - self.x_zp  # static python float
         if shift != 0.0:
             # per-position kernel weight sums handle zero-padding borders
             ksum = self._conv(jnp.ones(x.shape, jnp.int8)).astype(jnp.float32)
             acc = acc + shift * ksum
-        y = acc * (self.x_scale * self.w_scale)
+        y = acc * (x_scale * self.w_scale)
         if self.bias is not None:
             y = y + self.bias
         return _apply_output_quant(y, self.output_quant)
@@ -266,9 +335,11 @@ class Int8InferenceAttention(nnx.Module):
             self.kv_int4 = False
         elif policy in ("1", "true", "on"):
             self.kv_int4 = fits_nibble
-        else:  # auto
-            self.kv_int4 = (fits_nibble
-                            and self.head_dim >= _cfg.INT4_KV_MIN_HEAD_DIM)
+        else:  # auto: pack at the measured win boundary, or when the model
+            # explicitly asked for a nibble KV grid (QuantLlama kv_bit_width)
+            requested = getattr(mha, "kv_pack_requested", False)
+            self.kv_int4 = fits_nibble and (
+                requested or self.head_dim >= _cfg.INT4_KV_MIN_HEAD_DIM)
 
     def _to_int8(self, x: Array, name: str) -> Array:
         """Straight to the integer domain — no fake-quant round trip."""
@@ -606,11 +677,15 @@ def convert_integer_inference(model: nnx.Module) -> nnx.Module:
                         and ScalingImplType(mod.input_quant.cfg.scaling_impl)
                         == ScalingImplType.DYNAMIC):
                     set_module(model, path, DynamicInt8InferenceLinear(mod))
-                elif mod.input_quant.quant_type == QuantType.NONE:
-                    # no input grid: the only integer serving mode is
-                    # weight-only (w4a16)
+                elif (mod.input_quant.quant_type == QuantType.NONE
+                      and float(jnp.max(
+                          mod.quant_weight().bit_width)) <= 4.0):
+                    # <=4-bit weights without an input grid: weight-only
+                    # w4a16 serving (the LLM pattern)
                     set_module(model, path, WeightOnlyInt4InferenceLinear(mod))
                 else:
+                    # frozen input grid, or carried-QuantTensor grid when
+                    # the layer has no input quantizer (bnn_pynq chains)
                     set_module(model, path, Int8InferenceLinear(mod))
             elif isinstance(mod, QuantLinear) \
                     and mod.weight_quant.quant_type == QuantType.FLOAT:

@@ -113,6 +113,8 @@ class QuantLlama(nnx.Module, TrainToggleMixin):
         # 2x smaller cache)
         kvq = (aq.let(bit_width=float(kv_bit_width))
                if kv_bit_width is not None else None)
+        self._kv_pack_requested = (kv_bit_width is not None
+                                   and kv_bit_width <= 4)
         # Llama-2 sizing: hidden = 8/3 * dim rounded up to a multiple of 32
         if hidden is None:
             hidden = -(-(8 * dim // 3) // 32) * 32
@@ -125,6 +127,12 @@ class QuantLlama(nnx.Module, TrainToggleMixin):
                             num_kv_heads=num_kv_heads, kv_quant=kvq,
                             rngs=rngs)
             for _ in range(depth)])
+        if self._kv_pack_requested:
+            # an explicit kv_bit_width <= 4 is user intent for the PACKED
+            # decode cache (capacity over speed); the serving conversion's
+            # "auto" policy honors this over its head-dim boundary
+            for blk in self.blocks:
+                blk.attn.kv_pack_requested = True
         self.final_norm = nnx.RMSNorm(dim, rngs=rngs)
         self.head = QuantLinear(dim, vocab_size, use_bias=False,
                                 weight_quant=wq, input_quant=aq, rngs=rngs)

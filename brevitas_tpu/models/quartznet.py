@@ -92,7 +92,8 @@ class SeparableConv1d(nnx.Module):
         # QuantHardTanh +/-abs_act_val between the depthwise and pointwise
         # convolutions
         self.norm = QuantHardTanh(_norm_scale_quant(bit_width),
-                                  max_val=ABS_ACT_VAL, min_val=-ABS_ACT_VAL)
+                                  max_val=ABS_ACT_VAL, min_val=-ABS_ACT_VAL,
+                                  return_quant_tensor=True)
 
     def __call__(self, x):
         return self.pw(self.norm(self.dw(x)))
@@ -123,7 +124,10 @@ class QuartzBlock(nnx.Module):
             # (parts/quartznet.py:312); flax momentum convention = 0.9
             bns.append(nnx.BatchNorm(filters, epsilon=1e-3, momentum=0.9,
                                      use_running_average=False, rngs=rngs))
-            acts.append(QuantReLU(_act_quant(bit_width)))
+            # return_quant_tensor: the carried grid lets the integer
+            # serving twins consume exact codes (convert_int._carried_codes)
+            acts.append(QuantReLU(_act_quant(bit_width),
+                                  return_quant_tensor=True))
             ch = filters
         self.convs = nnx.List(convs)
         self.bns = nnx.List(bns)
@@ -139,7 +143,8 @@ class QuartzBlock(nnx.Module):
             # operands so the add sees matching scales
             self.res_quant = QuantHardTanh(_norm_scale_quant(bit_width),
                                            max_val=ABS_ACT_VAL,
-                                           min_val=-ABS_ACT_VAL)
+                                           min_val=-ABS_ACT_VAL,
+                                           return_quant_tensor=True)
 
     def __call__(self, x):
         inp = x

@@ -844,3 +844,115 @@ def test_act_equalization_improves_ptq(rng):
         return float(jnp.mean((m(x) - y_float) ** 2))
 
     assert ptq(True) < ptq(False)
+
+
+def test_carried_grid_serving_twins_engage(rng):
+    """bnn_pynq-style models give their layers no input_quant — the input
+    grid arrives as QuantTensor metadata (return_quant_tensor chains).
+    convert_integer_inference must still produce integer twins (carried-grid
+    mode, _carried_codes) and match the fake-quant model up to f32
+    grid-tie flips (the reference's ORT tier tolerates 2 codes the same
+    way, tests/brevitas_ort/common.py:25)."""
+    from collections import Counter
+
+    from brevitas_tpu.graph.base import named_modules
+    from brevitas_tpu.models import lfc
+
+    m = lfc(weight_bit_width=8, act_bit_width=8, in_bit_width=8, dropout=0.0,
+            rngs=nnx.Rngs(0))
+    x = jnp.asarray(rng.random((4, 28, 28, 1)).astype(np.float32))
+    m(x)
+    eval_mode(m)
+    y_fake = np.asarray(m(x))
+    G.convert_integer_inference(m)
+    twins = Counter(type(mod).__name__ for _, mod in named_modules(m)
+                    if "Inference" in type(mod).__name__)
+    assert twins.get("Int8InferenceLinear", 0) == 4, twins
+    y_int = np.asarray(m(x))
+    d = np.abs(y_int - y_fake)
+    # integer path is exact; the fake path's f32 noise flips grid ties on
+    # the odd sample — median at noise level, worst case well under a step
+    assert np.median(d) < 1e-4, np.median(d)
+    assert d.max() < 0.1, d.max()
+
+
+def test_carried_grid_conv_twins_cnv(rng):
+    from collections import Counter
+
+    from brevitas_tpu.graph.base import named_modules
+    from brevitas_tpu.models import cnv
+
+    m = cnv(8, 8, 8, rngs=nnx.Rngs(0))
+    x = jnp.asarray(rng.random((4, 32, 32, 3)).astype(np.float32))
+    m(x)
+    eval_mode(m)
+    y_fake = np.asarray(m(x))
+    G.convert_integer_inference(m)
+    twins = Counter(type(mod).__name__ for _, mod in named_modules(m)
+                    if "Inference" in type(mod).__name__)
+    assert twins.get("Int8InferenceConv", 0) == 6, twins
+    assert twins.get("Int8InferenceLinear", 0) == 3, twins
+    y_int = np.asarray(m(x))
+    d = np.abs(y_int - y_fake)
+    # end-to-end, the fake path's f32 noise flips act-grid ties that
+    # cascade through 9 quant layers — only loose bounds are meaningful
+    # here (the layer-wise test below is the tight one)
+    assert d.max() < 1.0, d.max()
+    assert (y_int.argmax(-1) == y_fake.argmax(-1)).mean() >= 0.5
+
+
+def test_carried_grid_twin_layerwise_exact(rng):
+    """With MATCHED QuantTensor inputs (no tie cascade), a carried-grid
+    twin reproduces its quant layer to f32 noise — for signed AND unsigned
+    carried grids, linear and conv."""
+    from brevitas_tpu.graph.convert_int import (
+        Int8InferenceConv,
+        Int8InferenceLinear,
+    )
+    from brevitas_tpu.quant_tensor import QuantTensor
+
+    for signed in (True, False):
+        scale = jnp.asarray(0.037, jnp.float32)
+        lo, hi = (-128, 127) if signed else (0, 255)
+        codes = rng.integers(lo, hi + 1, (4, 16)).astype(np.float32)
+        qt = QuantTensor(jnp.asarray(codes) * scale, scale, jnp.zeros(()),
+                         jnp.asarray(8.0), signed=signed)
+        lin = qnn.QuantLinear(16, 8, use_bias=True,
+                              weight_quant=presets.Int8WeightPerTensorFloat,
+                              rngs=rngs())
+        eval_mode(lin)
+        y_fake = np.asarray(getattr(lin(qt), "value", lin(qt)))
+        twin = Int8InferenceLinear(lin)
+        assert twin.x_scale is None  # carried-grid mode
+        y_twin = np.asarray(twin(qt))
+        np.testing.assert_allclose(y_twin, y_fake, rtol=1e-4, atol=1e-5)
+
+        codes4 = rng.integers(lo, hi + 1, (2, 8, 8, 3)).astype(np.float32)
+        qt4 = QuantTensor(jnp.asarray(codes4) * scale, scale, jnp.zeros(()),
+                          jnp.asarray(8.0), signed=signed)
+        conv = qnn.QuantConv2d(3, 8, 3, padding=[(1, 1), (1, 1)],
+                               use_bias=False,
+                               weight_quant=presets.Int8WeightPerTensorFloat,
+                               rngs=rngs())
+        eval_mode(conv)
+        y_fake = np.asarray(getattr(conv(qt4), "value", conv(qt4)))
+        ctwin = Int8InferenceConv(conv)
+        assert ctwin.x_scale is None
+        y_twin = np.asarray(ctwin(qt4))
+        np.testing.assert_allclose(y_twin, y_fake, rtol=1e-4, atol=1e-4)
+
+
+def test_carried_grid_fallback_without_quant_tensor(rng):
+    """A carried-grid twin receiving a PLAIN array (no grid) falls back to
+    the dequantized-weight float path — function stays correct."""
+    from brevitas_tpu.graph.convert_int import Int8InferenceConv
+
+    conv = qnn.QuantConv2d(3, 8, 3, padding="VALID", use_bias=False,
+                           weight_quant=presets.Int8WeightPerTensorFloat,
+                           rngs=rngs())
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 3)).astype(np.float32))
+    eval_mode(conv)
+    y_fake = np.asarray(getattr(conv(x), "value", conv(x)))
+    twin = Int8InferenceConv(conv)
+    y_twin = np.asarray(twin(x))
+    np.testing.assert_allclose(y_twin, y_fake, rtol=1e-5, atol=1e-5)

@@ -201,6 +201,9 @@ def test_llama_gqa_int4_kv_cache(rng):
     for blk in m.blocks:
         blk.attn.k_quant = ActQuantizer(kv.let())
         blk.attn.v_quant = ActQuantizer(kv.let())
+        # explicit packing intent (the "auto" policy only packs at the
+        # measured head_dim boundary; QuantLlama(kv_bit_width=4) sets this)
+        blk.attn.kv_pack_requested = True
     ids = jnp.asarray(rng.integers(0, 64, (2, 8)))
     with G.calibration_mode(m):
         m(ids)
