@@ -120,13 +120,6 @@ class _ConvBNAct(nnx.Module):
             return jnp.minimum(jax.nn.relu(x), 6.0)
         return x
 
-    def export_layers(self):
-        items = [self.conv] + _bn_items(self.bn)
-        if self.act == "relu":
-            items.append(("relu",))
-        elif self.act == "relu6":
-            items.append(("relu6",))
-        return items
 
 
 def _bn_items(bn):
@@ -171,16 +164,6 @@ class FloatAlexNet(nnx.Module):
         x = jax.nn.relu(self.fc2(self.drop2(x, deterministic=deterministic)))
         return self.fc3(x)
 
-    def export_layers(self):
-        """ONNX walk (export assumes an input size whose feature map is
-        already 6x6 at the classifier, e.g. 224 — the adaptive pool is then
-        the identity and the flatten happens in NHWC element order)."""
-        return [self.conv1, ("relu",), ("maxpool", 3, 2, "VALID"),
-                self.conv2, ("relu",), ("maxpool", 3, 2, "VALID"),
-                self.conv3, ("relu",), self.conv4, ("relu",),
-                self.conv5, ("relu",), ("maxpool", 3, 2, "VALID"),
-                ("flatten_hwc",),
-                self.fc1, ("relu",), self.fc2, ("relu",), self.fc3]
 
 
 def float_alexnet(**kw) -> FloatAlexNet:
@@ -205,11 +188,6 @@ class _Fire(nnx.Module):
             [jax.nn.relu(self.expand1(s)), jax.nn.relu(self.expand3(s))],
             axis=-1)
 
-    def export_layers(self, tag):
-        s, e1 = f"fire{tag}s", f"fire{tag}e1"
-        return [self.squeeze, ("relu",), ("save", s),
-                self.expand1, ("relu",), ("save", e1), ("load", s),
-                self.expand3, ("relu",), ("concat", [e1, "@"])]
 
 
 class FloatSqueezeNet(nnx.Module):
@@ -243,13 +221,6 @@ class FloatSqueezeNet(nnx.Module):
         x = jax.nn.relu(self.classifier(x))
         return jnp.mean(x, axis=(1, 2))
 
-    def export_layers(self):
-        items = [self.stem, ("relu",), ("maxpool", 3, 2, "VALID")]
-        for i, fire in enumerate(self.fires):
-            items += fire.export_layers(i)
-            if i in self.pool_after:
-                items.append(("maxpool", 3, 2, "VALID"))
-        return items + [self.classifier, ("relu",), ("gap",), ("flatten",)]
 
 
 def float_squeezenet(**kw) -> FloatSqueezeNet:
@@ -279,15 +250,6 @@ class _InvertedResidual(nnx.Module):
         y = self.project(self.depthwise(y))
         return x + y if self.use_residual else y
 
-    def export_layers(self, tag):
-        items = [("save", f"ir{tag}")] if self.use_residual else []
-        if self.expand is not None:
-            items += self.expand.export_layers()
-        items += self.depthwise.export_layers()
-        items += self.project.export_layers()
-        if self.use_residual:
-            items.append(("add_saved", f"ir{tag}"))
-        return items
 
 
 class FloatMobileNetV2(nnx.Module):
@@ -321,12 +283,6 @@ class FloatMobileNetV2(nnx.Module):
         x = jnp.mean(self.head(x), axis=(1, 2))
         return self.classifier(self.drop(x, deterministic=deterministic))
 
-    def export_layers(self):
-        items = self.stem.export_layers()
-        for i, blk in enumerate(self.blocks):
-            items += blk.export_layers(i)
-        return items + self.head.export_layers() + [
-            ("gap",), ("flatten",), self.classifier]
 
 
 def float_mobilenet_v2(**kw) -> FloatMobileNetV2:
@@ -371,13 +327,6 @@ class FloatMNASNet(nnx.Module):
         x = jnp.mean(self.head(x), axis=(1, 2))
         return self.classifier(self.drop(x, deterministic=deterministic))
 
-    def export_layers(self):
-        items = (self.stem.export_layers() + self.sep_dw.export_layers()
-                 + self.sep_pw.export_layers())
-        for i, blk in enumerate(self.blocks):
-            items += blk.export_layers(i)
-        return items + self.head.export_layers() + [
-            ("gap",), ("flatten",), self.classifier]
 
 
 def float_mnasnet(**kw) -> FloatMNASNet:
@@ -408,19 +357,6 @@ class _Inception(nnx.Module):
             self.branch4(_max_pool(x, 3, 1, padding="SAME")),
         ], axis=-1)
 
-    def export_layers(self, tag):
-        t = f"inc{tag}"
-        items = [("save", f"{t}i")]
-        items += self.branch1.export_layers() + [
-            ("save", f"{t}b1"), ("load", f"{t}i")]
-        items += (self.branch2a.export_layers()
-                  + self.branch2b.export_layers()
-                  + [("save", f"{t}b2"), ("load", f"{t}i")])
-        items += (self.branch3a.export_layers()
-                  + self.branch3b.export_layers()
-                  + [("save", f"{t}b3"), ("load", f"{t}i")])
-        items += [("maxpool", 3, 1, "SAME")] + self.branch4.export_layers()
-        return items + [("concat", [f"{t}b1", f"{t}b2", f"{t}b3", "@"])]
 
 
 class FloatGoogLeNet(nnx.Module):
@@ -460,15 +396,6 @@ class FloatGoogLeNet(nnx.Module):
         x = jnp.mean(x, axis=(1, 2))
         return self.classifier(self.drop(x, deterministic=deterministic))
 
-    def export_layers(self):
-        items = self.stem1.export_layers() + [("maxpool", 3, 2, "SAME")]
-        items += self.stem2.export_layers() + self.stem3.export_layers()
-        items.append(("maxpool", 3, 2, "SAME"))
-        for i, inc in enumerate(self.inceptions):
-            items += inc.export_layers(i)
-            if i in self.POOL_AFTER:
-                items.append(("maxpool", 3, 2, "SAME"))
-        return items + [("gap",), ("flatten",), self.classifier]
 
 
 def float_googlenet(**kw) -> FloatGoogLeNet:
@@ -573,17 +500,6 @@ class _XBlock(nnx.Module):
         identity = x if self.proj is None else self.proj(x)
         return jax.nn.relu(self.conv3(self.conv2(self.conv1(x))) + identity)
 
-    def export_layers(self, tag):
-        t = f"xb{tag}"
-        items = [("save", f"{t}i")]
-        items += (self.conv1.export_layers() + self.conv2.export_layers()
-                  + self.conv3.export_layers())
-        if self.proj is not None:
-            items += ([("save", f"{t}y"), ("load", f"{t}i")]
-                      + self.proj.export_layers() + [("add_saved", f"{t}y")])
-        else:
-            items.append(("add_saved", f"{t}i"))
-        return items + [("relu",)]
 
 
 class FloatRegNetX(nnx.Module):
@@ -614,11 +530,6 @@ class FloatRegNetX(nnx.Module):
             x = blk(x)
         return self.classifier(jnp.mean(x, axis=(1, 2)))
 
-    def export_layers(self):
-        items = self.stem.export_layers()
-        for i, blk in enumerate(self.blocks):
-            items += blk.export_layers(i)
-        return items + [("gap",), ("flatten",), self.classifier]
 
 
 def float_regnetx(**kw) -> FloatRegNetX:
