@@ -19,6 +19,7 @@ in :mod:`brevitas_tpu.kernels.fake_quant`.
 
 from typing import Callable, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from brevitas_tpu.ops import (
@@ -74,7 +75,15 @@ def int_quant(
     float_to_int: FloatToInt = round_ste,
     clamp_fn: ClampFn = tensor_clamp,
 ) -> Array:
-    """Scale/shift uniform affine fake-quantization (quantize + dequantize)."""
+    """Scale/shift uniform affine fake-quantization (quantize + dequantize).
+
+    Deliberately NOT wrapped in ``jax.checkpoint``: rematting this chain
+    was measured 14% SLOWER than letting XLA keep the residuals (CNV QAT
+    A/B, PERF.md round-3 CNV section) — the checkpoint's optimization
+    barrier breaks the elementwise fusion that makes fake-quant nearly
+    free, and with ``prevent_cse=False`` XLA's CSE undoes the remat
+    entirely. Measured, not assumed: see ``parity/cnv_qat_ab.py``.
+    """
     y_int = int_quant_to_int(
         x, scale, zero_point, bit_width,
         signed=signed, narrow_range=narrow_range,
@@ -98,6 +107,7 @@ def decoupled_int_quant(
     """Quantize against (pre_scale, pre_zero_point) but dequantize against
     (scale, zero_point) — used for weight-normalization-style decoupled weight
     quantizers (reference DecoupledIntQuant, core/quant/int_base.py:100)."""
+
     y_int = int_quant_to_int(
         x, pre_scale, pre_zero_point, bit_width,
         signed=signed, narrow_range=narrow_range,
