@@ -118,19 +118,34 @@ def scalar_clamp_min_ste(x: Array, min_val: float) -> Array:
     return _clamp(x)
 
 
+@jax.custom_vjp
+def _stochastic_round(x: Array, noise: Array) -> Array:
+    # noise is an explicit primal (zero cotangent), NOT a closure capture: a
+    # closed-over noise tracer inside a locally-defined custom_vjp leaks
+    # across jax.checkpoint/transpose traces (UnexpectedTracerError when a
+    # stochastic-round quantizer runs inside a rematted pipeline stage).
+    return jnp.floor(x + noise)
+
+
+def _stochastic_round_fwd(x, noise):
+    return jnp.floor(x + noise), None
+
+
+def _stochastic_round_bwd(_, g):
+    return g, jnp.zeros(jnp.shape(g), jnp.float32)
+
+
+_stochastic_round.defvjp(_stochastic_round_fwd, _stochastic_round_bwd)
+
+
 def stochastic_round_ste(x: Array, key) -> Array:
     """Stochastic rounding with straight-through gradient: rounds up with
     probability equal to the fractional part (unbiased in expectation),
-    backward identity. The key closes over the custom_vjp so the gradient
-    signature stays unary (keys are not differentiable)."""
+    backward identity. The key is consumed here — the custom_vjp sees only
+    the drawn noise, so forward and any rematerialized recompute use the
+    same bits."""
     noise = jax.random.uniform(key, jnp.shape(x), jnp.float32)
-
-    @jax.custom_vjp
-    def _sr(x):
-        return jnp.floor(x + noise)
-
-    _sr.defvjp(lambda x: (jnp.floor(x + noise), None), lambda _, g: (g,))
-    return _sr(x)
+    return _stochastic_round(x, noise)
 
 
 @jax.custom_vjp

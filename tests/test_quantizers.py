@@ -251,6 +251,45 @@ def test_stochastic_round_weight_quant(rng):
     np.testing.assert_allclose(g, np.ones_like(g))
 
 
+def test_stochastic_round_inside_remat(rng):
+    """Stochastic rounding must stay legal inside a jax.checkpoint region
+    (the 1F1B pipeline stages and the scanned-epoch remat recipes wrap
+    quant layers in remat). The supported pattern passes the module state
+    as an ARGUMENT to the rematted function and merges inside it: the
+    RngCount then lives at the remat trace level (no cross-trace
+    mutation; a closure over state or the live module raises
+    TraceContextError), and because backward re-merges from the same
+    state, the recompute draws bit-identical rounding noise to the
+    forward — which the gradient check below depends on."""
+    from brevitas_tpu.core.restrict import FloatToIntImpl
+
+    w = jnp.asarray(rng.standard_normal((4, 64)).astype(np.float32))
+    cfg = presets.Int8WeightPerTensorFloat.let(
+        float_to_int=FloatToIntImpl.STOCHASTIC_ROUND,
+        scaling_impl="const", scaling_const=12.7)
+    q = WeightQuantizer(cfg, w, rngs=nnx.Rngs(stochastic_round=0))
+    graphdef, state = nnx.split(q)
+
+    def loss(state, v):
+        def fwd(state_, v_):
+            m = nnx.merge(graphdef, state_)
+            out = jnp.sum(m(v_).value ** 2)
+            _, state2 = nnx.split(m)  # consumed rng count flows out
+            return out, state2
+
+        out, _ = jax.checkpoint(fwd)(state, v)
+        return out
+
+    # would raise flax TraceContextError if the key were drawn inside
+    val, g = jax.jit(jax.value_and_grad(loss, argnums=1))(state, w)
+    assert np.isfinite(float(val))
+    # STE: d/dv sum(fq(v)^2) = 2*fq(v); the recomputed fq must equal the
+    # forward fq bit-for-bit or this comparison drifts by whole grid steps
+    m2 = nnx.merge(graphdef, state)
+    np.testing.assert_allclose(np.asarray(g),
+                               2.0 * np.asarray(m2(w).value), rtol=1e-6)
+
+
 def test_max_l2_uses_per_channel_view_for_per_tensor_scale(rng):
     """Review finding: AbsMaxL2 must norm PER-CHANNEL maxima even when the
     scale is per-tensor (decoupled L2 presets)."""
