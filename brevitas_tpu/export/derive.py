@@ -65,8 +65,14 @@ def _shape(v) -> Tuple[int, ...]:
     return tuple(getattr(v.aval, "shape", ()))
 
 
-def derive_export_items(model, example_input) -> list:
-    """Derive the exporter's item list from one traced forward."""
+def derive_export_items(model, example_input, output_rank=None) -> list:
+    """Derive the exporter's item list from one traced forward.
+
+    ``output_rank`` (when known by the caller from a prior forward) is the
+    rank of the model's actual output: a walk ending at rank 4 while the
+    model returns rank 2 (a keepdims=False global mean as the final op,
+    e.g. squeezenet's classifier mean) gets a trailing flatten so the ONNX
+    output shape matches the model's."""
     import jax.numpy as jnp
 
     from brevitas_tpu.graph.autograph import trace_module_graph
@@ -172,6 +178,18 @@ def derive_export_items(model, example_input) -> list:
                 emits.append(e)
                 continue
             raise DeriveError("max with non-zero operand")
+        if prim == "min":
+            # relu6 lowers as max(x, 0) -> min(., 6); fold the clip into the
+            # preceding relu emit (exported as a single Clip(0, 6) node)
+            lits = [lit for lit in map(_lit, eqn.invars)
+                    if lit is not None and lit.size == 1]
+            src = resolve_preds(node)[0]
+            if (lits and float(lits[0]) == 6.0 and isinstance(src, _Emit)
+                    and src.glue == ("relu",)):
+                src.glue = ("relu6",)
+                src_of[id(node)] = src
+                continue
+            raise DeriveError("unmapped min")
         if prim in ("add", "add_any"):
             shapes = [_shape(v) for v in eqn.invars]
             out_shape = _shape(eqn.outvars[0])
@@ -279,6 +297,12 @@ def derive_export_items(model, example_input) -> list:
 
     if not emits:
         raise DeriveError("traced graph produced no exportable steps")
+
+    # emits are in eqn (execution) order, so emits[-1] produces the model
+    # output; reconcile its ONNX rank with the model's true output rank
+    if output_rank == 2 and emits[-1].onnx_rank == 4:
+        emits.append(_Emit("glue", glue=("flatten",), inputs=[emits[-1]],
+                           onnx_rank=2))
 
     # ---- schedule: sequential walk with save/load/add glue ----------------
     return _schedule(emits)

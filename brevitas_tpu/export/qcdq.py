@@ -729,22 +729,28 @@ def export_model(model, example_input, path: Optional[str] = None,
     eval_mode(model)
     # one eval forward resolves shape-dependent layer state (adaptive pools
     # bind their kernel to the example spatial dims) before handlers read it
-    model(jnp.asarray(example_input))
+    y_ref = model(jnp.asarray(example_input))
+    fallback_reason = None
     if hasattr(model, "export_layers"):
         items = model.export_layers()
     else:
         # derive the walk from the traced module graph (the reference
         # exports any traced model, export/onnx/manager.py:66); unknown
-        # structure falls back to plain child order
+        # structure falls back to plain child order — but the fallback is
+        # VALIDATING: its bytes are interpreter-checked against the model
+        # below and export refuses rather than emit a wrong graph
         from brevitas_tpu.export.derive import (
             DeriveError,
             derive_export_items,
         )
 
         try:
-            items = derive_export_items(model, example_input)
-        except DeriveError:
+            items = derive_export_items(
+                model, example_input,
+                output_rank=np.asarray(y_ref).ndim)
+        except DeriveError as e:
             items = [m for _, m in _sequential_children(model)]
+            fallback_reason = e
     b = GraphBuilder(style)
     in_shape = np.asarray(example_input).shape
     if len(in_shape) >= 3:
@@ -864,6 +870,9 @@ def export_model(model, example_input, path: Optional[str] = None,
     if style == "finn":
         custom = [("finn.custom_op.general", 1)]
     blob = P.model(graph_msg, opset=13, custom_domains=custom)
+    if fallback_reason is not None:
+        _validate_fallback_export(blob, example_input, y_ref, items,
+                                  input_name, fallback_reason)
     if style == "finn":
         from brevitas_tpu.export.finn import (
             move_quant_attributes_into_annotations,
@@ -875,6 +884,42 @@ def export_model(model, example_input, path: Optional[str] = None,
         with open(path, "wb") as f:
             f.write(blob)
     return blob
+
+
+class ExportValidationError(ValueError):
+    """The export walk could not be derived AND the child-order fallback
+    produced bytes that do not reproduce the model — export refuses to
+    return a structurally wrong graph (round-3 verdict: a silent wrong
+    export is worse than a loud refusal)."""
+
+
+def _validate_fallback_export(blob, example_input, y_ref, items, input_name,
+                              reason):
+    """Interpreter-check fallback bytes against the live model's output."""
+    from brevitas_tpu.export.interp import run_onnx
+
+    arr = np.asarray(example_input)
+    feed = arr
+    if arr.ndim == 4:
+        feed = arr.transpose(0, 3, 1, 2)
+    elif arr.ndim == 3 and not any(isinstance(it, QuantLSTM) for it in items):
+        feed = arr.transpose(0, 2, 1)
+    want = np.asarray(y_ref)
+    if want.ndim == 4:
+        want = want.transpose(0, 3, 1, 2)
+    try:
+        (got,) = run_onnx(blob, {input_name: feed.astype(np.float32)})
+        span = float(np.max(np.abs(want))) + 1e-6
+        ok = got.shape == want.shape and np.allclose(
+            got, want, atol=5e-2 * span + 1e-3)
+    except Exception:
+        ok = False
+    if not ok:
+        raise ExportValidationError(
+            "export walk could not be derived "
+            f"({reason}) and the child-order fallback does not reproduce "
+            "the model; provide export_layers() for this architecture"
+        ) from reason
 
 
 def _onnx_input_shape(nhwc_shape, items) -> List[Optional[int]]:

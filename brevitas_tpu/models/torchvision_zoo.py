@@ -67,6 +67,13 @@ def adaptive_avg_pool2d(x: jnp.ndarray, out_hw) -> jnp.ndarray:
         out_hw = (out_hw, out_hw)
     oh, ow = out_hw
     _, ih, iw, _ = x.shape
+    if (ih, iw) == (oh, ow):
+        return x
+    if ih % oh == 0 and iw % ow == 0:
+        # uniform bins: a plain average pool (one reduce_window the XLA/TPU
+        # backend tiles well, and a shape the export deriver maps directly)
+        kh, kw = ih // oh, iw // ow
+        return nnx.avg_pool(x, (kh, kw), strides=(kh, kw), padding="VALID")
 
     def bins(i_size, o_size):
         return [(math.floor(i * i_size / o_size),
