@@ -40,6 +40,14 @@ PALLAS_RNN_CELL: bool = env_to_bool("BREVITAS_TPU_PALLAS_RNN_CELL", True)
 # for tests exercising the kernel paths on CPU).
 PALLAS_INTERPRET: bool = env_to_bool("BREVITAS_TPU_PALLAS_INTERPRET", False)
 
+# Wrap the fake-quant chain (core/quant.py::int_quant) in jax.checkpoint so
+# its residuals are rematerialized in the backward pass. OFF by default:
+# measured 17% SLOWER on the CNV QAT epoch (parity/cnv_qat_ab.py, PERF.md) —
+# the checkpoint's optimization barrier breaks the elementwise fusion that
+# makes fake-quant nearly free. Read at TRACE time, so flipping it between
+# builds pins each compiled graph to its own variant.
+REMAT_FAKE_QUANT: bool = env_to_bool("BREVITAS_TPU_REMAT_FAKE_QUANT", False)
+
 # pack the decode KV cache two-positions-per-byte when the K/V quantizers
 # are <= 4-bit (2x less cache memory + HBM traffic than int8; exact).
 # Policy: "auto" (default) packs only where the int4kv decode kernel

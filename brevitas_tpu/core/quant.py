@@ -22,6 +22,7 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 
+from brevitas_tpu import config
 from brevitas_tpu.ops import (
     binary_sign_ste,
     max_int,
@@ -77,18 +78,26 @@ def int_quant(
 ) -> Array:
     """Scale/shift uniform affine fake-quantization (quantize + dequantize).
 
-    Deliberately NOT wrapped in ``jax.checkpoint``: rematting this chain
-    was measured 14% SLOWER than letting XLA keep the residuals (CNV QAT
-    A/B, PERF.md round-3 CNV section) — the checkpoint's optimization
-    barrier breaks the elementwise fusion that makes fake-quant nearly
-    free, and with ``prevent_cse=False`` XLA's CSE undoes the remat
-    entirely. Measured, not assumed: see ``parity/cnv_qat_ab.py``.
+    NOT rematerialized by default: wrapping this chain in ``jax.checkpoint``
+    was measured SLOWER than letting XLA keep the residuals (CNV QAT
+    interleaved A/B, ``parity/cnv_qat_ab.py``; PERF.md round-4 CNV
+    section) — the checkpoint's optimization barrier breaks the elementwise
+    fusion that makes fake-quant nearly free. The negative result stays
+    reproducible via ``config.REMAT_FAKE_QUANT`` (read at trace time), which
+    the A/B harness flips between builds.
     """
-    y_int = int_quant_to_int(
-        x, scale, zero_point, bit_width,
-        signed=signed, narrow_range=narrow_range,
-        float_to_int=float_to_int, clamp_fn=clamp_fn)
-    return (y_int - zero_point) * scale
+
+    def _fq(x, scale, zero_point, bit_width):
+        y_int = int_quant_to_int(
+            x, scale, zero_point, bit_width,
+            signed=signed, narrow_range=narrow_range,
+            float_to_int=float_to_int, clamp_fn=clamp_fn)
+        return (y_int - zero_point) * scale
+
+    if config.REMAT_FAKE_QUANT:
+        return jax.checkpoint(_fq, prevent_cse=True)(
+            x, scale, zero_point, bit_width)
+    return _fq(x, scale, zero_point, bit_width)
 
 
 def decoupled_int_quant(

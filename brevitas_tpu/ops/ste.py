@@ -128,11 +128,14 @@ def _stochastic_round(x: Array, noise: Array) -> Array:
 
 
 def _stochastic_round_fwd(x, noise):
-    return jnp.floor(x + noise), None
+    # residual = a zero-size sentinel carrying the noise aval, so the bwd
+    # rule emits a correctly shaped/dtyped zero cotangent even if the noise
+    # dtype or broadcasting ever diverges from the output gradient's
+    return jnp.floor(x + noise), jnp.zeros_like(noise)
 
 
-def _stochastic_round_bwd(_, g):
-    return g, jnp.zeros(jnp.shape(g), jnp.float32)
+def _stochastic_round_bwd(noise_zeros, g):
+    return g, noise_zeros
 
 
 _stochastic_round.defvjp(_stochastic_round_fwd, _stochastic_round_bwd)

@@ -129,8 +129,10 @@ def _write_idx(path, array):
         f.write(array.astype(np.uint8).tobytes())
 
 
-def test_load_mnist_idx_roundtrip(tmp_path):
-    """load_mnist parses real IDX files (both splits, raw and gzip)."""
+def test_load_mnist_idx_mixed_raw_gzip_split(tmp_path):
+    """load_mnist parses real IDX files (both splits, raw train + gzip test
+    in the same directory) and raises on a missing directory. Was shadowed
+    by the later parametrized roundtrip test until round 4 (F811)."""
     import gzip
 
     from brevitas_tpu.examples.bnn_pynq import load_mnist
