@@ -22,7 +22,11 @@ chip (1.0 = fake-quant training is free — the reference publishes no speed
 numbers, BASELINE.md); serving legs report int-serving/float-eval (>1 =
 integer serving is faster than float eval). Each leg also reports ``mfu``
 (model FLOPs / measured time / chip peak) when XLA cost analysis is
-available.
+available, a ``ratio_spread`` across paired reps, ``roofline_frac``
+(vs nominal datasheet peaks) and ``roofline_frac_measured`` (vs the HBM
+bandwidth probed on THIS chip at bench start). A leg whose FP twin cannot
+compile in budget omits ``vs_baseline`` and carries ``degraded: true`` —
+no invented ratios.
 
 Prints one JSON line per completed leg; the FINAL line is the headline
 LFC record (same schema as round 1) carrying all legs under ``"configs"``.
@@ -52,18 +56,20 @@ from flax import nnx
 
 from brevitas_tpu.examples.bnn_pynq import sqr_hinge_loss
 
-REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
 LEG_TIMEOUT_S = int(os.environ.get("BENCH_LEG_TIMEOUT_S", "600"))
 BF16 = os.environ.get("BENCH_BF16", "1") != "0"
 
-# ratio from the most recent successful paired LFC measurement on this chip
-# — used only when the FP baseline exceeds its time budget (the remote
-# compile service occasionally takes ~8 minutes for one graph)
-_FALLBACK_VS_BASELINE = 1.008
-
 # chip peaks for MFU (v5e / "TPU v5 lite"); MFU is omitted on other chips
 _V5E_PEAK = {"bf16": 197e12, "f32": 197e12 / 4, "int8": 394e12}
-_V5E_HBM_BW = 819e9  # bytes/s
+_V5E_HBM_BW = 819e9  # bytes/s (nominal datasheet)
+
+# HBM bandwidth this chip ACTUALLY delivers, probed at bench start by
+# _probe_measured_bw (the virtualized relay chip delivers a fraction of the
+# datasheet number — PERF.md measured ~35-110 GB/s vs 819 nominal); None
+# until probed. roofline_frac_measured uses this so "at the bytes ceiling"
+# claims are checkable against the artifact of record (round-3 verdict #4).
+_MEASURED_BW = None
 
 
 def _peak_flops():
@@ -78,6 +84,24 @@ def _peak_bw():
     if "v5 lite" in kind or "v5e" in kind:
         return _V5E_HBM_BW
     return None
+
+
+def _probe_measured_bw(repeats: int = 5):
+    """Achievable HBM bandwidth: stream a 256 MB array through one jitted
+    elementwise op (read + write = 2x bytes). Returns bytes/s or None."""
+    global _MEASURED_BW
+    n = 64 * 1024 * 1024  # f32 elements = 256 MB
+    x = jnp.ones((n,), jnp.float32)
+    f = jax.jit(lambda a: a * 1.000001)
+    f(x).block_until_ready()  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        f(x).block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    if best > 0 and best != float("inf"):
+        _MEASURED_BW = 2 * 4 * n / best
+    return _MEASURED_BW
 
 
 def _maybe_bf16(model):
@@ -137,6 +161,23 @@ class ScannedRun:
                 interleave_with.run_once()
                 other_best = min(other_best, time.perf_counter() - t0)
         return (best, other_best) if interleave_with is not None else best
+
+    def timed_reps(self, repeats=REPEATS, interleave_with=None):
+        """Per-rep (self_dt, other_dt) pairs, strictly alternated (the
+        interleaved A/B discipline: paired reps so relay drift cancels in
+        the per-rep ratio, parity/cnv_qat_ab.py methodology)."""
+        pairs = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            self.run_once()
+            dt = time.perf_counter() - t0
+            other_dt = None
+            if interleave_with is not None:
+                t0 = time.perf_counter()
+                interleave_with.run_once()
+                other_dt = time.perf_counter() - t0
+            pairs.append((dt, other_dt))
+        return pairs
 
 
 def _cost_flops(jitted, *args):
@@ -225,18 +266,29 @@ def _scanned_eval(model, data_shape, steps, batch, int_vocab=None):
     return ScannedRun(run_once, steps * batch, flops, nbytes)
 
 
-def _emit(name, unit, qat: ScannedRun, fp, fallback_vs=None):
-    """Interleaved paired timing → one record dict."""
-    if fp is not None:
-        qat_dt, fp_dt = qat.best_dt(interleave_with=fp)
-    else:
-        qat_dt, fp_dt = qat.best_dt(), None
+def _emit(name, unit, qat: ScannedRun, fp):
+    """Interleaved paired timing → one record dict.
+
+    When the FP twin is unavailable (compile timeout), ``vs_baseline`` is
+    OMITTED and the record carries ``degraded: true`` with a reason — no
+    invented ratios in the artifact of record (round-3 verdict #9)."""
+    pairs = qat.timed_reps(interleave_with=fp)
+    qat_dt = min(dt for dt, _ in pairs)
+    fp_dt = (min(o for _, o in pairs) if fp is not None else None)
     value = qat.items / qat_dt
-    vs = (qat_dt and fp_dt and (qat.items / qat_dt) / (fp.items / fp_dt))
-    record = {"metric": name, "value": round(value, 1), "unit": unit,
-              "vs_baseline": round(vs, 4) if vs else fallback_vs}
-    if fp is None and fallback_vs is not None:
-        record["vs_baseline_is_fallback"] = True
+    record = {"metric": name, "value": round(value, 1), "unit": unit}
+    if fp is not None and fp_dt:
+        record["vs_baseline"] = round(
+            (qat.items / qat_dt) / (fp.items / fp_dt), 4)
+        # per-rep paired ratios: drift-cancelled variance evidence
+        ratios = [(qat.items / dt) / (fp.items / o) for dt, o in pairs if o]
+        if len(ratios) > 1:
+            mean = sum(ratios) / len(ratios)
+            record["ratio_spread"] = round(
+                (max(ratios) - min(ratios)) / mean, 4)
+    else:
+        record["degraded"] = True
+        record["degraded_reason"] = "fp twin unavailable (compile timeout)"
     peak = _peak_flops()
     if qat.flops and peak:
         record["mfu"] = round(qat.flops / qat_dt / peak, 4)
@@ -244,6 +296,10 @@ def _emit(name, unit, qat: ScannedRun, fp, fallback_vs=None):
     # and HBM bytes (whichever bounds), over the measured time. 1.0 = the
     # chip cannot run this program faster; quantifies "as fast as this chip
     # allows" for bandwidth-bound legs where MFU is meaningless.
+    # Emitted against BOTH the nominal datasheet bandwidth (roofline_frac)
+    # and the bandwidth this chip measurably delivers
+    # (roofline_frac_measured) — the latter is the number PERF.md's
+    # "at the bytes ceiling" claims are checked against.
     bw = _peak_bw()
     if peak and bw and (qat.flops or qat.bytes):
         t_bound = max((qat.flops or 0.0) / peak, (qat.bytes or 0.0) / bw)
@@ -251,6 +307,11 @@ def _emit(name, unit, qat: ScannedRun, fp, fallback_vs=None):
             record["roofline_frac"] = round(t_bound / qat_dt, 4)
             record["bound"] = ("hbm" if (qat.bytes or 0.0) / bw
                                >= (qat.flops or 0.0) / peak else "mxu")
+    if peak and _MEASURED_BW and (qat.flops or qat.bytes):
+        t_meas = max((qat.flops or 0.0) / peak,
+                     (qat.bytes or 0.0) / _MEASURED_BW)
+        if t_meas > 0:
+            record["roofline_frac_measured"] = round(t_meas / qat_dt, 4)
     return record
 
 
@@ -271,7 +332,7 @@ def leg_lfc_int4_qat():
         lambda: _scanned_train(build(None), (28, 28, 1), steps=30,
                                batch=1024), LEG_TIMEOUT_S)
     return _emit("lfc_int4_qat_images_per_sec_per_chip", "images/sec/chip",
-                 qat, fp, fallback_vs=_FALLBACK_VS_BASELINE)
+                 qat, fp)
 
 
 def _cnv_legs():
@@ -601,7 +662,7 @@ def _device_alive(budget_s: int = 150) -> bool:
         return True
 
     # relay wedges are often transient over minutes (PERF.md "weather"):
-    # retry twice with pauses before abandoning the whole suite (~9.5 min
+    # retry twice with pauses before abandoning the whole suite (~11.5 min
     # worst case — cheaper than losing every leg to a short wedge window)
     for attempt in range(3):
         if _with_timeout(probe, budget_s):
@@ -620,14 +681,18 @@ def main():
         "llama_serving,llama_decode,mobilenetv1_qat,lfc_qat")
     if not _device_alive():
         print("device probe failed: relay/compile service unresponsive — "
-              "emitting fallback headline only", file=sys.stderr)
+              "emitting degraded headline only", file=sys.stderr)
         print(json.dumps({
             "metric": "lfc_int4_qat_images_per_sec_per_chip",
             "value": None, "unit": "images/sec/chip",
-            "vs_baseline": _FALLBACK_VS_BASELINE,
-            "vs_baseline_is_fallback": True,
-            "device_unresponsive": True}), flush=True)
+            "degraded": True,
+            "degraded_reason": "device unresponsive (3 probes over ~11.5 "
+                               "min failed)"}), flush=True)
         os._exit(0)
+    bw = _with_timeout(_probe_measured_bw, 120)
+    if bw:
+        print(f"measured HBM bandwidth: {bw / 1e9:.1f} GB/s "
+              f"({bw / _V5E_HBM_BW:.1%} of nominal)", file=sys.stderr)
     names = [n.strip() for n in selected.split(",") if n.strip()]
     records = []
     for name in names:
@@ -650,9 +715,14 @@ def main():
     if head is None:
         head = {"metric": "lfc_int4_qat_images_per_sec_per_chip",
                 "value": None, "unit": "images/sec/chip",
-                "vs_baseline": _FALLBACK_VS_BASELINE,
-                "vs_baseline_is_fallback": True}
+                "degraded": True,
+                "degraded_reason": ("headline leg timed out"
+                                    if "lfc_qat" in names else
+                                    "headline leg not selected "
+                                    "(BENCH_CONFIGS)")}
     head["metric"] = "lfc_int4_qat_images_per_sec_per_chip"
+    if _MEASURED_BW:
+        head["hbm_bw_measured_gbs"] = round(_MEASURED_BW / 1e9, 1)
     if records:
         head["configs"] = records
     print(json.dumps(head), flush=True)

@@ -76,11 +76,12 @@ def derive_export_items(model, example_input, output_rank=None) -> list:
     import jax.numpy as jnp
 
     from brevitas_tpu.graph.autograph import trace_module_graph
+    from brevitas_tpu.models.common import TensorNorm
     from brevitas_tpu.nn.linear import QuantLinear
     from brevitas_tpu.nn.misc import QuantUpsample
 
     g = trace_module_graph(model, jnp.asarray(example_input), per_call=True,
-                           extra_classes=(QuantUpsample,))
+                           extra_classes=(QuantUpsample, TensorNorm))
 
     # ---- resolve each node's data source through transparent prims --------
     # g.nodes is in jaxpr eqn order = topological execution order.
@@ -109,11 +110,19 @@ def derive_export_items(model, example_input, output_rank=None) -> list:
 
     for node in g.nodes:
         if node.kind == "module":
-            ins = resolve_preds(node)
             # weight/state tensors are jaxpr invars (no producer) and never
-            # create edges; module preds are data tensors. Multi-pred module
-            # calls (an act quantizer applied to a sum formed inside another
-            # module's scope) keep their first pred as the data input.
+            # create edges; module preds are data/metadata tensors. The DATA
+            # input is the pred whose crossing tensor is largest — a
+            # QuantTensor's scale flowing around a pool into a conv crosses
+            # as a scalar and must not win over the pooled values
+            # (edge_size recorded by trace_module_graph).
+            if len(node.preds) > 1:
+                data_pred = max(
+                    node.preds,
+                    key=lambda p: g.edge_size.get((id(p), id(node)), 0))
+                ins = [resolve(data_pred)]
+            else:
+                ins = resolve_preds(node)
             rank_in = 4
             if ins and isinstance(ins[0], _Emit):
                 rank_in = ins[0].onnx_rank
@@ -190,6 +199,42 @@ def derive_export_items(model, example_input, output_rank=None) -> list:
                 src_of[id(node)] = src
                 continue
             raise DeriveError("unmapped min")
+        if prim in ("mul", "div", "add", "add_any", "sub"):
+            # elementwise op against a scalar literal: ("affine", mul, add)
+            # glue (e.g. the bnn_pynq input prologue x -> 2x - 1,
+            # models/fc.py:101); consecutive affines compose in place
+            lits = [_lit(v) for v in eqn.invars]
+            scalar = next((float(lv) for lv in lits
+                           if lv is not None and lv.size == 1), None)
+            if scalar is not None:
+                if prim == "mul":
+                    m_, a_ = scalar, 0.0
+                elif prim == "div":
+                    if lits[1] is None:
+                        raise DeriveError("scalar / tensor")
+                    m_, a_ = 1.0 / scalar, 0.0
+                elif prim == "sub":
+                    if lits[1] is None:
+                        raise DeriveError("scalar - tensor")
+                    m_, a_ = 1.0, -scalar
+                else:
+                    m_, a_ = 1.0, scalar
+                src = resolve_preds(node)[0]
+                if (isinstance(src, _Emit) and src.glue
+                        and src.glue[0] == "affine"):
+                    _, pm, pa = src.glue
+                    src.glue = ("affine", m_ * pm, m_ * pa + a_)
+                    src_of[id(node)] = src
+                    continue
+                rank = (src.onnx_rank if isinstance(src, _Emit)
+                        else len(np.asarray(example_input).shape))
+                e = _Emit("glue", node=node, glue=("affine", m_, a_),
+                          inputs=[src], onnx_rank=rank)
+                src_of[id(node)] = e
+                emits.append(e)
+                continue
+        if prim == "sub":
+            raise DeriveError("unmapped sub")
         if prim in ("add", "add_any"):
             shapes = [_shape(v) for v in eqn.invars]
             out_shape = _shape(eqn.outvars[0])

@@ -179,9 +179,15 @@ class GraphNode:
 
 class ModuleGraph:
     def __init__(self, nodes: List[GraphNode],
-                 modules: Dict[str, GraphNode]):
+                 modules: Dict[str, GraphNode],
+                 edge_size: Optional[Dict[Tuple[int, int], int]] = None):
         self.nodes = nodes
         self.modules = modules  # path → node
+        # (id(src), id(dst)) → max element count crossing that edge; lets
+        # consumers distinguish the DATA edge from metadata edges (a
+        # QuantTensor's scale flowing from a quantizer through a pool into
+        # a conv crosses as a scalar; the pooled values cross as (B,H,W,C))
+        self.edge_size = edge_size or {}
 
     def successors(self, node: GraphNode) -> List[GraphNode]:
         return node.succs
@@ -317,7 +323,7 @@ def trace_module_graph(model: nnx.Module, sample_input, *,
             nodes.append(node)
         return node
 
-    eqn_owner: List[Tuple[GraphNode, List[Optional[int]]]] = []
+    eqn_owner: List[Tuple[GraphNode, List[Optional[int]], List[int]]] = []
     for prim, ins, outs, tag, eqn in flat:
         if tag is not None:
             node = module_node(tag)
@@ -328,18 +334,22 @@ def trace_module_graph(model: nnx.Module, sample_input, *,
             # a module node's out_shape ends up as its LAST eqn's output —
             # the tensor that leaves the module (used by cost reports)
             node.out_shape = tuple(eqn.outvars[0].aval.shape)
-        eqn_owner.append((node, ins))
+        sizes = [int(np.prod(getattr(v.aval, "shape", ()) or (1,)))
+                 for v in eqn.invars]
+        eqn_owner.append((node, ins, sizes))
         for o in outs:
             if o is not None:
                 producer[o] = node
 
     seen_edges: Set[Tuple[int, int]] = set()
-    for node, ins in eqn_owner:
-        for i in ins:
+    edge_size: Dict[Tuple[int, int], int] = {}
+    for node, ins, sizes in eqn_owner:
+        for i, sz in zip(ins, sizes):
             src = producer.get(i) if i is not None else None
             if src is None or src is node:
                 continue
             key = (id(src), id(node))
+            edge_size[key] = max(edge_size.get(key, 0), sz)
             if key in seen_edges:
                 continue
             seen_edges.add(key)
@@ -348,7 +358,7 @@ def trace_module_graph(model: nnx.Module, sample_input, *,
 
     module_nodes = {path: node for (path, idx), node in call_nodes.items()
                     if idx == 0}
-    return ModuleGraph(nodes, module_nodes)
+    return ModuleGraph(nodes, module_nodes, edge_size)
 
 
 # ---------------------------------------------------------------------------

@@ -99,13 +99,11 @@ class CNV(nnx.Module, TrainToggleMixin):
             x = lyr(x)
         return self.norm(x)
 
-    def export_layers(self):
-        """Layer sequence for ONNX export (the conv stack ends at spatial
-        1x1, so NCHW Flatten matches the NHWC reshape element order)."""
-        return [("affine", 2.0, -1.0), self.input_quant,
-                *self.conv_features, ("flatten",),
-                *self.linear_features, self.norm]
-
+    # NOTE: no hand-authored export_layers() — the export walk is DERIVED
+    # from one traced forward (export/derive.py), matching the reference's
+    # export-any-traced-model property (export/onnx/manager.py:66). Round-4
+    # byte-identity vs the former hand list is locked by
+    # tests/test_export_derive.py::test_cnv_fc_derived_walk_matches_hand_authored.
 
 
 

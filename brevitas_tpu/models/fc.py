@@ -111,14 +111,9 @@ class FC(nnx.Module, TrainToggleMixin):
         x = self.head(x)
         return self.norm(x)
 
-    def export_layers(self):
-        """Layer sequence for ONNX export (expects a pre-flattened
-        (N, in_features) graph input; dropout is eval-elided)."""
-        items = [("affine", 2.0, -1.0), self.input_quant]
-        items.extend(self.hidden)
-        items.extend([self.head, self.norm])
-        return items
-
+    # NOTE: no hand-authored export_layers() — the export walk is DERIVED
+    # from one traced forward (export/derive.py), matching the reference's
+    # export-any-traced-model property (export/onnx/manager.py:66).
 
 
 

@@ -197,6 +197,45 @@ def test_fallback_still_exports_plain_sequential_models(rng):
                                atol=1e-5)
 
 
+def test_cnv_fc_derived_walk_matches_hand_authored(rng):
+    """CNV/FC lost their hand-authored export_layers() in round 4 — the
+    deriver is the only path. Lock byte-identity: exporting with the FORMER
+    hand list (reconstructed here) must produce the same bytes as the
+    derived walk, across dialects."""
+    from brevitas_tpu.models import cnv, tfc
+
+    m = tfc(2, 2, 2, dropout=0.0, rngs=nnx.Rngs(0))
+    assert not hasattr(m, "export_layers")
+    cal = jnp.asarray(rng.random((2, 28, 28, 1)).astype(np.float32))
+    m(cal)
+    eval_mode(m)
+    ex = jnp.zeros((1, 784))
+    hand = [("affine", 2.0, -1.0), m.input_quant, *m.hidden, m.head, m.norm]
+    for style in ("qcdq", "qonnx", "finn"):
+        blob_drv = export_model(m, ex, style=style)
+        m.export_layers = lambda: hand
+        try:
+            blob_hand = export_model(m, ex, style=style)
+        finally:
+            del m.export_layers
+        assert blob_drv == blob_hand, f"tfc {style} bytes diverge"
+
+    c = cnv(2, 2, 8, rngs=nnx.Rngs(0))
+    assert not hasattr(c, "export_layers")
+    x = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+    c(x)
+    eval_mode(c)
+    hand_c = [("affine", 2.0, -1.0), c.input_quant, *c.conv_features,
+              ("flatten",), *c.linear_features, c.norm]
+    blob_drv = export_model(c, x, style="qcdq")
+    c.export_layers = lambda: hand_c
+    try:
+        blob_hand = export_model(c, x, style="qcdq")
+    finally:
+        del c.export_layers
+    assert blob_drv == blob_hand, "cnv qcdq bytes diverge"
+
+
 def test_resnet18_derived_equals_interpreter(rng):
     """The real QuantResNet (hand-authored walk DELETED this round) exports
     through derivation alone, matching the model bit-for-bit at eval."""
