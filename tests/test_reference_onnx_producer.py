@@ -59,6 +59,116 @@ def test_reference_qcdq_bytes_roundtrip(w, a):
     np.testing.assert_allclose(y, y_ref, atol=1e-5)
 
 
+def _graph_input(g):
+    inits = set(g.initializers)
+    produced = {nm for n in g.nodes for nm in n.outputs}
+    ins = sorted({nm for n in g.nodes for nm in n.inputs}
+                 - inits - produced - {""})
+    assert len(ins) == 1, ins
+    return ins[0]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("w,a", [(2, 2), (4, 4)])
+def test_reference_cnv_qcdq_bytes_roundtrip(w, a):
+    """Conv coverage for the independent producer check (round-3 verdict
+    #7): the reference's own CNV (conv QCDQ chains, maxpools, flatten, FC
+    tail) exported by the reference's exporter; this repo's parser +
+    interpreter must reproduce the reference model's outputs."""
+    import torch
+
+    from brevitas_tpu.export.interp import run_onnx
+    from brevitas_tpu.export.onnx_proto import parse_model
+    from brevitas_tpu.export.validate import validate_onnx
+    from parity.refbridge import export_reference_qcdq, import_reference_brevitas
+
+    import_reference_brevitas()
+    from brevitas_examples.bnn_pynq.models.CNV import CNV
+
+    torch.manual_seed(0)
+    m = CNV(num_classes=10, weight_bit_width=w, act_bit_width=a,
+            in_bit_width=8, in_ch=3)
+    m.eval()
+    x = torch.rand(2, 3, 32, 32)
+    data = export_reference_qcdq(m, x)
+    validate_onnx(data)
+    g = parse_model(data)
+    with torch.no_grad():
+        y_ref = m(x).numpy()
+    (y,) = run_onnx(data, {_graph_input(g): x.numpy()})
+    np.testing.assert_allclose(y, y_ref, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_reference_perchannel_shifted_uint_conv_bytes_roundtrip():
+    """Per-channel weight QCDQ + asymmetric (shifted-uint8) activation
+    bytes from the reference's exporter — axes and nonzero zero-points on
+    the wire — consumed by this repo's validator/interpreter."""
+    import torch
+    import torch.nn as tnn
+
+    from brevitas_tpu.export.interp import run_onnx
+    from brevitas_tpu.export.onnx_proto import parse_model
+    from brevitas_tpu.export.validate import validate_onnx
+    from parity.refbridge import export_reference_qcdq, import_reference_brevitas
+
+    import_reference_brevitas()
+    import brevitas.nn as qnn_ref
+    from brevitas.quant.scaled_int import Int8WeightPerChannelFloat
+    from brevitas.quant.shifted_scaled_int import ShiftedUint8ActPerTensorFloat
+
+    torch.manual_seed(1)
+
+    class Net(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.inp = qnn_ref.QuantIdentity(
+                act_quant=ShiftedUint8ActPerTensorFloat,
+                return_quant_tensor=False)
+            self.c1 = qnn_ref.QuantConv2d(
+                3, 8, 3, padding=1, bias=True,
+                weight_quant=Int8WeightPerChannelFloat)
+            self.act = qnn_ref.QuantReLU(
+                act_quant=ShiftedUint8ActPerTensorFloat)
+            self.c2 = qnn_ref.QuantConv2d(
+                8, 4, 3, bias=False,
+                weight_quant=Int8WeightPerChannelFloat)
+
+        def forward(self, x):
+            return self.c2(self.act(self.c1(self.inp(x))))
+
+    m = Net()
+    x = torch.randn(2, 3, 8, 8)  # negative inputs -> nonzero input zp
+    with torch.no_grad():
+        m.train()
+        m(x)  # collect runtime act stats (train-mode collection)
+        m(x)
+    m.eval()
+    data = export_reference_qcdq(m, x)
+    validate_onnx(data)
+    g = parse_model(data)
+    # the wire must actually carry per-axis quantization and a nonzero zp
+    axis_nodes = [n for n in g.nodes
+                  if n.op_type in ("QuantizeLinear", "DequantizeLinear")
+                  and "axis" in n.attrs]
+    assert axis_nodes, "expected per-channel (axis) QCDQ nodes on the wire"
+    # zp tensors ride as initializers OR Constant-node outputs
+    const_of = {n.outputs[0]: n.attrs.get("value") for n in g.nodes
+                if n.op_type == "Constant" and n.outputs}
+    zps = []
+    for n in g.nodes:
+        if n.op_type == "QuantizeLinear" and len(n.inputs) > 2:
+            z = g.initializers.get(n.inputs[2], const_of.get(n.inputs[2]))
+            if z is not None:
+                zps.append(np.asarray(z))
+    assert zps and any(np.any(z != 0) for z in zps), (
+        "expected a nonzero (shifted-uint) zero point on the wire")
+    with torch.no_grad():
+        y_ref = m(x).numpy()
+    (y,) = run_onnx(data, {_graph_input(g): x.numpy()})
+    np.testing.assert_allclose(y, y_ref, atol=1e-4)
+
+
 @pytest.mark.slow
 def test_reference_bytes_match_own_exporter_numerics():
     """Import the reference model into the brevitas_tpu twin, export OUR
@@ -87,8 +197,11 @@ def test_reference_bytes_match_own_exporter_numerics():
     sd = {k: v.detach().cpu().numpy() for k, v in m_ref.state_dict().items()}
     import_torch_state_dict(twin, sd)
     eval_mode(twin)
-    x_nhwc = x.numpy().transpose(0, 2, 3, 1)
-    our_bytes = export_onnx_qcdq(twin, jnp.asarray(x_nhwc))
+    # FC exports take the pre-flattened (N, features) example (the derived
+    # walk treats an equal-shape reshape as transparent; a 4-D example
+    # would prepend an NHWC flatten the rank-2 feed below doesn't match)
+    our_bytes = export_onnx_qcdq(
+        twin, jnp.asarray(x.numpy().reshape(4, -1)))
 
     g = parse_model(ref_bytes)
     inits = set(g.initializers)
