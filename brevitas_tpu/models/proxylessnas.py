@@ -113,12 +113,17 @@ class ProxylessUnit(nnx.Module):
                  shortcut, bit_width, depthwise_bit_width, shared_act, *, rngs):
         self.residual = bool(residual)
         self.shortcut = bool(shortcut)
-        self.shared_act = shared_act
+        # attribute ORDER mirrors the reference (body, then shared_act,
+        # proxylessnas.py:165-176) so checkpoint import's order-matching
+        # pairs the aliased shared quantizer's state-dict duplicates 1:1
         if self.residual:
             self.body = ProxylessBlock(in_ch, out_ch, kernel, stride,
                                        expansion, bit_width,
                                        depthwise_bit_width, shared_act,
                                        rngs=rngs)
+            self.shared_act = shared_act
+        # non-residual units are passthrough and register nothing, exactly
+        # like the reference (its state dict has no entries for them)
 
     def __call__(self, x):
         if not self.residual:
@@ -138,43 +143,54 @@ class ProxylessNAS(nnx.Module, TrainToggleMixin):
                  depthwise_bit_width: Optional[int] = None,
                  hadamard_classifier: bool = False,
                  num_classes: int = 1000, in_channels: int = 3,
+                 channels: Sequence[Sequence[int]] = CHANNELS,
+                 init_channels: int = INIT_CHANNELS,
+                 final_channels: int = FINAL_CHANNELS,
+                 residuals: Sequence[Sequence[int]] = RESIDUALS,
+                 shortcuts: Sequence[Sequence[int]] = SHORTCUTS,
+                 kernels: Sequence[Sequence[int]] = KERNELS,
+                 expansions: Sequence[Sequence[int]] = EXPANSIONS,
+                 pool_size: int = 7,
                  rngs: nnx.Rngs):
         depthwise_bit_width = depthwise_bit_width or bit_width
-        blocks = [ConvBlock(in_channels, INIT_CHANNELS, 3, 2, 1, 1,
+        blocks = [ConvBlock(in_channels, init_channels, 3, 2, 1, 1,
                             first_layer_weight_bit_width, bit_width, rngs=rngs)]
-        in_ch = INIT_CHANNELS
-        shared_acts = []
+        in_ch = init_channels
         shared_act = None
-        for i in range(len(CHANNELS)):
-            for j, out_ch in enumerate(CHANNELS[i]):
+        for i in range(len(channels)):
+            for j, out_ch in enumerate(channels[i]):
                 stride = 2 if (j == 0) and (i != 0) else 1
-                if not SHORTCUTS[i][j] or shared_act is None:
+                if not shortcuts[i][j] or shared_act is None:
                     # each non-shortcut unit starts a fresh residual group
                     # with its own shared quantizer (reference creates a new
-                    # shared QuantIdentity per group)
+                    # shared QuantIdentity per group); the instance is NOT
+                    # separately registered at top level — it lives (aliased)
+                    # inside its units, exactly like the reference, so
+                    # checkpoint import's order-matching sees identical walks
                     shared_act = QuantIdentity(common_int_act_quant(bit_width),
                                                return_quant_tensor=True)
-                    shared_acts.append(shared_act)
                 blocks.append(ProxylessUnit(
-                    in_ch, out_ch, KERNELS[i][j], stride, EXPANSIONS[i][j],
-                    RESIDUALS[i][j], SHORTCUTS[i][j], bit_width,
+                    in_ch, out_ch, kernels[i][j], stride, expansions[i][j],
+                    residuals[i][j], shortcuts[i][j], bit_width,
                     depthwise_bit_width, shared_act, rngs=rngs))
                 in_ch = out_ch
-        blocks.append(ConvBlock(in_ch, FINAL_CHANNELS, 1, 1, 0, 1, bit_width,
+        blocks.append(ConvBlock(in_ch, final_channels, 1, 1, 0, 1, bit_width,
                                 bit_width, rngs=rngs))
         self.features = nnx.List(blocks)
-        self.shared_acts = nnx.List(shared_acts)
         self.final_pool = QuantAvgPool2d(
-            7, 1, trunc_quant=TruncTo8bit.let(bit_width=float(bit_width)))
+            pool_size, 1,
+            trunc_quant=TruncTo8bit.let(bit_width=float(bit_width)),
+            return_quant_tensor=True)
         if hadamard_classifier:
-            self.output = HadamardClassifier(FINAL_CHANNELS, num_classes)
+            self.output = HadamardClassifier(final_channels, num_classes)
         else:
+            # reference head (proxylessnas.py:286-291): NO input re-quant —
+            # the pool's trunc QuantTensor feeds straight in; IntBias takes
+            # scale AND bit width from that input
             self.output = QuantLinear(
-                FINAL_CHANNELS, num_classes, use_bias=True,
+                final_channels, num_classes, use_bias=True,
                 weight_quant=common_int_weight_per_tensor_quant(bit_width),
-                bias_quant=IntBias.let(requires_input_bit_width=False,
-                                       bit_width=32.0),
-                input_quant=common_int_act_quant(bit_width), rngs=rngs)
+                bias_quant=IntBias, rngs=rngs)
 
     def __call__(self, x):
         for blk in self.features:

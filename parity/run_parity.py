@@ -356,6 +356,165 @@ def mobilenet_logits_parity(bit_width, ref_model):
 
 
 # ---------------------------------------------------------------------------
+# ProxylessNAS family (reference accuracy-table family, README.md:11-13:
+# 4-bit 74.42 / 4-bit Hadamard 73.52 / 4b5b 75.01 — reduced-scale stand-in
+# on the digits set, same pattern as MobileNetV1: REAL reference class at a
+# shrunken NAS topology, CE loss, Adam, same batch order)
+# ---------------------------------------------------------------------------
+
+PROXY_TOPOLOGY = dict(
+    channels=((8,), (12, 12), (16, 16), (24, 24), (32,)),
+    residuals=((1,), (1, 1), (1, 1), (1, 1), (1,)),
+    shortcuts=((0,), (0, 1), (0, 1), (0, 1), (0,)),
+    kernels=((3,), (5, 3), (7, 3), (5, 5), (7,)),
+    expansions=((1,), (3, 3), (3, 3), (6, 3), (6,)),
+    init_channels=8, final_channels=64)
+
+
+def build_reference_proxyless(bit_width: int, seed: int,
+                              hadamard: bool = False,
+                              depthwise_bit_width=None):
+    """Reduced-topology reference ProxylessNAS (the REAL reference class,
+    imagenet_classification/models/proxylessnas.py:191), final pool resized
+    for the 32px stand-in (feature map reaches the pool at 1x1, not 7x7)."""
+    from parity.refbridge import import_reference_brevitas
+    import_reference_brevitas()
+    import torch
+    torch.manual_seed(seed)
+    from brevitas.nn import QuantAvgPool2d
+    from brevitas_examples.imagenet_classification.models.proxylessnas import (
+        ProxylessNAS,
+    )
+
+    t = PROXY_TOPOLOGY
+    net = ProxylessNAS(
+        channels=[list(s) for s in t["channels"]],
+        init_block_channels=t["init_channels"],
+        final_block_channels=t["final_channels"],
+        residuals=[list(s) for s in t["residuals"]],
+        shortcuts=[list(s) for s in t["shortcuts"]],
+        kernel_sizes=[list(s) for s in t["kernels"]],
+        expansions=[list(s) for s in t["expansions"]],
+        bit_width=bit_width,
+        depthwise_bit_width=depthwise_bit_width or bit_width,
+        first_layer_weight_bit_width=8,
+        hadamard_classifier=hadamard,
+        num_classes=10)
+    net.final_pool = QuantAvgPool2d(kernel_size=1, stride=1,
+                                    bit_width=bit_width)
+    return net
+
+
+def build_tpu_proxyless(bit_width: int, seed: int, hadamard: bool = False,
+                        depthwise_bit_width=None):
+    from flax import nnx
+
+    from brevitas_tpu.models.proxylessnas import ProxylessNAS
+
+    return ProxylessNAS(bit_width=bit_width,
+                        depthwise_bit_width=depthwise_bit_width,
+                        hadamard_classifier=hadamard, num_classes=10,
+                        pool_size=1, rngs=nnx.Rngs(seed),
+                        **PROXY_TOPOLOGY)
+
+
+def _train_eval_torch_ce(model, epochs, batch_size, lr, arch="cnv"):
+    """Shared CE-loss torch training loop (mobilenet/proxyless families)."""
+    import torch
+
+    x_train, y_train, x_test, y_test = digits_dataset(arch)
+    opt = torch.optim.Adam(model.parameters(), lr=lr)
+    crit = torch.nn.CrossEntropyLoss()
+    xt = torch.from_numpy(np.transpose(x_train, (0, 3, 1, 2))).contiguous()
+    yt = torch.from_numpy(y_train.astype(np.int64))
+
+    model.train()
+    for ep in range(epochs):
+        for sel in epoch_batches(len(x_train), batch_size, seed=ep):
+            sel = np.asarray(sel)
+            loss = crit(model(xt[sel]), yt[sel])
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+
+    model.eval()
+    with torch.no_grad():
+        xe = torch.from_numpy(np.transpose(x_test, (0, 3, 1, 2))).contiguous()
+        preds = []
+        for i in range(0, len(xe), 256):
+            preds.append(model(xe[i:i + 256]).argmax(-1).numpy())
+        pred = np.concatenate(preds)
+    return float((pred == y_test).mean()), model
+
+
+def _train_eval_tpu_ce(model, epochs, batch_size, lr, arch="cnv"):
+    """Shared CE-loss nnx training loop (mobilenet/proxyless families)."""
+    import jax.numpy as jnp
+    import optax
+    from flax import nnx
+
+    from brevitas_tpu.utils import eval_mode, train_mode
+
+    x_train, y_train, x_test, y_test = digits_dataset(arch)
+    opt = nnx.Optimizer(model, optax.adam(lr), wrt=nnx.Param)
+    train_mode(model)
+
+    @nnx.jit
+    def step(model, opt, x, y):
+        def loss_fn(m):
+            return optax.softmax_cross_entropy_with_integer_labels(
+                m(x), y).mean()
+
+        loss, grads = nnx.value_and_grad(loss_fn)(model)
+        opt.update(model, grads)
+        return loss
+
+    for ep in range(epochs):
+        for sel in epoch_batches(len(x_train), batch_size, seed=ep):
+            step(model, opt, jnp.asarray(x_train[sel]),
+                 jnp.asarray(y_train[sel]))
+
+    eval_mode(model)
+
+    @nnx.jit
+    def infer(model, x):
+        return jnp.argmax(model(x), -1)
+
+    preds = []
+    for i in range(0, len(x_test), 256):
+        preds.append(np.asarray(infer(model, jnp.asarray(x_test[i:i + 256]))))
+    pred = np.concatenate(preds)
+    return float((pred == y_test).mean()), model
+
+
+def proxyless_logits_parity(bit_width, ref_model, hadamard=False,
+                            depthwise_bit_width=None):
+    """Import the reference-trained ProxylessNAS state dict (incl. the
+    Hadamard head's scale parameter) into the twin and compare logits."""
+    import jax.numpy as jnp
+    import torch
+
+    from brevitas_tpu.interop.torch_import import import_torch_state_dict
+    from brevitas_tpu.utils import eval_mode
+
+    _, _, x_test, y_test = digits_dataset("cnv")
+    sd = {k: v.detach().cpu().numpy()
+          for k, v in ref_model.state_dict().items()}
+    model = build_tpu_proxyless(bit_width, seed=0, hadamard=hadamard,
+                                depthwise_bit_width=depthwise_bit_width)
+    import_torch_state_dict(model, sd)
+    eval_mode(model)
+    logits_tpu = np.asarray(model(jnp.asarray(x_test)))
+    ref_model.eval()
+    with torch.no_grad():
+        xe = torch.from_numpy(np.transpose(x_test, (0, 3, 1, 2))).contiguous()
+        logits_ref = ref_model(xe).numpy()
+    max_delta = float(np.abs(logits_tpu - logits_ref).max())
+    agree = float((logits_tpu.argmax(-1) == logits_ref.argmax(-1)).mean())
+    return max_delta, agree
+
+
+# ---------------------------------------------------------------------------
 # QuartzNet family (CTC head-to-head on synthetic phone sequences — the
 # remaining BASELINE speech config; the reference's REAL JasperEncoder +
 # JasperDecoderForCTC at reduced scale, WER via greedy CTC decode)
@@ -711,6 +870,30 @@ def run_config(name, epochs, batch_size, lr, seed=42, with_logits=True):
             max_delta, agree = quartznet_logits_parity(w, ref_model)
             row["import_logprob_maxdiff"] = round(max_delta, 5)
             row["import_argmax_agreement"] = round(agree, 4)
+        return row
+    if arch in ("proxyless", "proxylesshad", "proxyless4w5a"):
+        # NAS family: CE loss, Adam, no weight clipping; the three published
+        # configs (4-bit / 4-bit Hadamard / 4b5b, README.md:11-13)
+        hadamard = arch == "proxylesshad"
+        dwbw = 5 if arch == "proxyless4w5a" else None
+        px_lr = min(lr, 0.002)
+        t0 = time.time()
+        ref_model = build_reference_proxyless(w, seed, hadamard, dwbw)
+        acc_ref, ref_model = _train_eval_torch_ce(
+            ref_model, epochs, batch_size, px_lr)
+        t_ref = time.time() - t0
+        t0 = time.time()
+        tpu_model = build_tpu_proxyless(w, seed, hadamard, dwbw)
+        acc_tpu, _ = _train_eval_tpu_ce(tpu_model, epochs, batch_size, px_lr)
+        row = {"config": name, "epochs": epochs,
+               "ref_top1": round(acc_ref, 4), "tpu_top1": round(acc_tpu, 4),
+               "delta": round(acc_tpu - acc_ref, 4),
+               "ref_s": round(t_ref, 1), "tpu_s": round(time.time() - t0, 1)}
+        if with_logits:
+            max_delta, agree = proxyless_logits_parity(
+                w, ref_model, hadamard, dwbw)
+            row["import_logit_maxdiff"] = round(max_delta, 5)
+            row["import_top1_agreement"] = round(agree, 4)
         return row
     if arch == "mobilenet":
         # depthwise-separable family: CE loss, Adam, no weight clipping
