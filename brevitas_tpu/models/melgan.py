@@ -17,16 +17,25 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
-from brevitas_tpu.models.mobilenetv1 import (
-    common_int_act_quant,
-    common_int_weight_per_channel_quant,
-)
+from brevitas_tpu.models.mobilenetv1 import common_int_act_quant
 from brevitas_tpu.nn import QuantConv1d, QuantConvTranspose1d, QuantIdentity, QuantTanh
 from brevitas_tpu.quant.config import QuantConfig
 from brevitas_tpu.quant.quantizers import ActQuantizer, TrainToggleMixin
 from brevitas_tpu.quant_tensor import unpack
 
 MAX_WAV_VALUE = 32768.0
+
+
+def _melgan_weight_quant(bit_width: int) -> QuantConfig:
+    """Reference melgan weight recipe (melgan/common.py:46-71): PER-TENSOR
+    learned scale initialized from weight max (PARAMETER_FROM_STATS),
+    narrow range, scaling_min_val 2e-9."""
+    from brevitas_tpu.quant.config import ScalingImplType, StatsOp
+
+    return QuantConfig(bit_width=float(bit_width), signed=True,
+                       narrow_range=True,
+                       scaling_impl=ScalingImplType.PARAMETER_FROM_STATS,
+                       scaling_stats_op=StatsOp.MAX, scaling_min_val=2e-9)
 
 
 def _hardtanh_act(bit_width: int) -> QuantConfig:
@@ -59,7 +68,7 @@ class ResStack(nnx.Module):
     conv3, added to the input through a shared scale-aligning quantizer."""
 
     def __init__(self, channels: int, bit_width: int, *, rngs: nnx.Rngs):
-        wq = common_int_weight_per_channel_quant(bit_width)
+        wq = _melgan_weight_quant(bit_width)
         self.scale_norm = QuantIdentity(_hardtanh_act(bit_width))
         units = []
         for i in range(3):
@@ -88,33 +97,32 @@ class MelGANGenerator(nnx.Module, TrainToggleMixin):
 
     def __init__(self, *, mel_channels: int = 80, bit_width: int = 8,
                  last_layer_bit_width: int = 16, rngs: nnx.Rngs):
-        wq = common_int_weight_per_channel_quant(bit_width)
-        self.head = QuantConv1d(mel_channels, 512, 7, padding=[(3, 3)],
-                                weight_quant=wq, rngs=rngs)
-        ups, stacks, acts = [], [], []
+        wq = _melgan_weight_quant(bit_width)
+        # SINGLE interleaved block list in the reference's Sequential order
+        # (generator_brevitas.py:45-78: conv, [act, transconv, resstack]x4,
+        # act, conv, tanh) so checkpoint import order-matches 1:1
+        blocks = [QuantConv1d(mel_channels, 512, 7, padding=[(3, 3)],
+                              weight_quant=wq, rngs=rngs)]
         channels = [(512, 256, 16, 8), (256, 128, 16, 8),
                     (128, 64, 4, 2), (64, 32, 4, 2)]
         for in_ch, out_ch, k, s in channels:
-            acts.append(QuantLeakyReLU(bit_width))
-            ups.append(QuantConvTranspose1d(
+            blocks.append(QuantLeakyReLU(bit_width))
+            blocks.append(QuantConvTranspose1d(
                 in_ch, out_ch, k, stride=s, padding="SAME",
                 weight_quant=wq, rngs=rngs))
-            stacks.append(ResStack(out_ch, bit_width, rngs=rngs))
-        self.up_acts = nnx.List(acts)
-        self.ups = nnx.List(ups)
-        self.stacks = nnx.List(stacks)
-        self.tail_act = QuantLeakyReLU(bit_width)
-        self.tail = QuantConv1d(32, 1, 7, padding=[(3, 3)], weight_quant=wq,
-                                rngs=rngs)
-        self.out_quant = QuantTanh(_hardtanh_act(last_layer_bit_width))
+            blocks.append(ResStack(out_ch, bit_width, rngs=rngs))
+        blocks.append(QuantLeakyReLU(bit_width))
+        blocks.append(QuantConv1d(32, 1, 7, padding=[(3, 3)], weight_quant=wq,
+                                  rngs=rngs))
+        blocks.append(QuantTanh(_hardtanh_act(last_layer_bit_width)))
+        self.blocks = nnx.List(blocks)
 
     def __call__(self, mel):
         """mel: (B, T, mel_channels) → waveform (B, T*256, 1)."""
         x = (mel + 5.0) / 5.0  # reference's rough spectrogram normalization
-        x = self.head(x)
-        for act, up, stack in zip(self.up_acts, self.ups, self.stacks):
-            x = stack(up(act(x)))
-        return self.out_quant(self.tail(self.tail_act(x)))
+        for blk in self.blocks:
+            x = blk(x)
+        return x
 
 
 def melgan_8b(**kw) -> MelGANGenerator:
