@@ -163,3 +163,69 @@ def test_reference_quant_weight_numerics_match():
         tpu.weight[...] = jnp.asarray(ref.weight.detach().numpy().T)
         qw_tpu = np.asarray(tpu.quant_weight().value).T
         np.testing.assert_allclose(qw_tpu, qw_ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("hadamard", [False, True])
+def test_proxylessnas_checkpoint_import_logit_parity(hadamard):
+    """Reduced-topology ProxylessNAS (incl. the Hadamard head): the
+    reference-initialized checkpoint imports into the twin with logits
+    matching to quant-tie noise (round-3 verdict #3)."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from brevitas_tpu.interop.torch_import import import_torch_state_dict
+    from brevitas_tpu.utils import eval_mode
+    from parity.run_parity import (
+        build_reference_proxyless,
+        build_tpu_proxyless,
+        digits_dataset,
+    )
+
+    ref = build_reference_proxyless(4, seed=7, hadamard=hadamard)
+    tpu = build_tpu_proxyless(4, seed=0, hadamard=hadamard)
+    sd = {k: v.detach().cpu().numpy() for k, v in ref.state_dict().items()}
+    import_torch_state_dict(tpu, sd)
+    eval_mode(tpu)
+    ref.eval()
+
+    _, _, x_test, _ = digits_dataset("cnv")
+    x = x_test[:64]
+    with torch.no_grad():
+        l_ref = ref(torch.from_numpy(
+            np.transpose(x, (0, 3, 1, 2))).contiguous())
+        l_ref = (l_ref.value if hasattr(l_ref, "value") else l_ref).numpy()
+    l_tpu = tpu(jnp.asarray(x))
+    l_tpu = np.asarray(getattr(l_tpu, "value", l_tpu))
+    span = float(np.abs(l_ref).max()) + 1e-9
+    assert np.abs(l_ref - l_tpu).max() < 0.05 * span + 1e-4, (
+        hadamard, float(np.abs(l_ref - l_tpu).max()), span)
+
+
+@pytest.mark.slow
+def test_melgan_checkpoint_import_waveform_parity():
+    """Reference 8-bit MelGAN generator imports into the twin; waveforms
+    agree to quant-tie noise (round-3 verdict #8; full metric table in
+    PARITY.md via parity/melgan_parity.py)."""
+    from brevitas_tpu.interop.torch_import import import_torch_state_dict
+    from parity.melgan_parity import (
+        build_reference_generator,
+        build_tpu_generator,
+        forward_ref,
+        forward_tpu,
+        synth_mels,
+    )
+
+    ref = build_reference_generator()
+    tpu = build_tpu_generator()
+    sd = {k: v.detach().cpu().numpy() for k, v in ref.state_dict().items()}
+    import_torch_state_dict(tpu, sd)
+
+    mel = synth_mels(2, 16, np.random.default_rng(3))
+    wav_ref = forward_ref(ref, mel)
+    wav_tpu = forward_tpu(tpu, mel)
+    n = min(wav_ref.shape[-1], wav_tpu.shape[-1])
+    a, b = wav_ref[..., :n], wav_tpu[..., :n]
+    rel_l2 = float(np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-12))
+    assert rel_l2 < 0.15, rel_l2
