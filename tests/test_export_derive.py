@@ -134,6 +134,55 @@ def test_unmappable_structure_raises(rng):
         derive_export_items(m, x)
 
 
+def test_scalar_affine_prologue_composes(rng):
+    """x -> 2x - 1 before the first layer derives to ONE composed
+    ("affine", 2, -1) item (the bnn_pynq input prologue)."""
+
+    class Net(nnx.Module):
+        def __init__(self):
+            self.inp = qnn.QuantIdentity(A8.let(), return_quant_tensor=False)
+            self.fc = qnn.QuantLinear(8, 4, weight_quant=W8, rngs=nnx.Rngs(0))
+
+        def __call__(self, x):
+            return self.fc(self.inp(2.0 * x - 1.0))
+
+    m = Net()
+    x = jnp.asarray(rng.random((2, 8)).astype(np.float32))
+    _calibrate(m, x)
+    items = derive_export_items(m, x)
+    affines = [it for it in items if isinstance(it, tuple)
+               and it[0] == "affine"]
+    assert affines == [("affine", 2.0, -1.0)], items
+    blob = export_model(m, x)
+    (y_onnx,) = run_onnx(blob, {"input": np.asarray(x)})
+    np.testing.assert_allclose(y_onnx, np.asarray(m(x)), atol=1e-5)
+
+
+def test_relu6_clip_folds_into_single_item(rng):
+    """min(relu(x), 6) derives to one ("relu6",) item (exported as a
+    single Clip(0, 6) node)."""
+
+    class Net(nnx.Module):
+        def __init__(self):
+            self.c = qnn.QuantConv2d(3, 4, 1, padding="VALID",
+                                     weight_quant=W8, rngs=nnx.Rngs(0))
+            self.q = qnn.QuantIdentity(A8.let(), return_quant_tensor=False)
+
+        def __call__(self, x):
+            return self.q(jnp.minimum(jax.nn.relu(self.c(x)), 6.0))
+
+    m = Net()
+    x = jnp.asarray(rng.standard_normal((2, 4, 4, 3)).astype(np.float32) * 4)
+    _calibrate(m, x)
+    items = derive_export_items(m, x)
+    glue = [it for it in items if isinstance(it, tuple)]
+    assert ("relu6",) in glue and ("relu",) not in glue, items
+    blob = export_model(m, x)
+    (y_onnx,) = run_onnx(blob, {"input": np.asarray(x).transpose(0, 3, 1, 2)})
+    np.testing.assert_allclose(
+        y_onnx, np.asarray(m(x)).transpose(0, 3, 1, 2), atol=1e-5)
+
+
 def test_underivable_export_raises_instead_of_corrupting(rng):
     """When derivation fails AND the child-order fallback cannot reproduce
     the model, export_model must REFUSE (round-3 verdict weak #2: a silent
