@@ -60,7 +60,10 @@ class ConvBlock(nnx.Module):
             use_bias=False,
             weight_quant=common_int_weight_per_channel_quant(weight_bit_width),
             rngs=rngs)
-        self.bn = nnx.BatchNorm(out_ch, epsilon=bn_eps,
+        # momentum 0.9 in flax convention == torch's 0.1 default (the flax
+        # default 0.99 lags the training distribution and collapses eval
+        # top-1 — the same defect class as the round-2 TFC tail)
+        self.bn = nnx.BatchNorm(out_ch, epsilon=bn_eps, momentum=0.9,
                                 use_running_average=False, rngs=rngs)
         if shared_act is not None:
             # the stage's shared scale-aligning quantizer caps this block
