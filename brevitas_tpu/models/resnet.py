@@ -66,7 +66,10 @@ class _ConvBN(nnx.Module):
             in_ch, out_ch, kernel, stride=stride, padding=pad, use_bias=False,
             weight_quant=common_int_weight_per_channel_quant(weight_bit_width),
             input_quant=input_quant, rngs=rngs)
-        self.bn = nnx.BatchNorm(out_ch, use_running_average=False, rngs=rngs)
+        # momentum 0.9 in flax convention == torch's 0.1 default (flax's
+        # default 0.99 lags the training distribution and degrades eval)
+        self.bn = nnx.BatchNorm(out_ch, momentum=0.9,
+                                use_running_average=False, rngs=rngs)
 
     def __call__(self, x):
         return self.bn(self.conv(x))

@@ -53,7 +53,10 @@ class QuantVGG(nnx.Module, TrainToggleMixin):
                 weight_quant=common_int_weight_per_channel_quant(bit_width),
                 rngs=rngs))
             if batch_norm:
-                layers.append(nnx.BatchNorm(v, use_running_average=False,
+                # flax momentum 0.9 == torch 0.1 default (flax default 0.99
+                # lags the training distribution and degrades eval)
+                layers.append(nnx.BatchNorm(v, momentum=0.9,
+                                            use_running_average=False,
                                             rngs=rngs))
             layers.append(QuantReLU(common_uint_act_quant(bit_width),
                                     return_quant_tensor=True))
