@@ -595,7 +595,21 @@ def build_torch_module(model, example_input, style: str = "qcdq"):
     if hasattr(model, "export_layers"):
         items = model.export_layers()
     else:
-        items = [m for _, m in _sequential_children(model)]
+        # same walk source as the ONNX exporters: derive from one traced
+        # forward (CNV/FC lost their hand lists in round 4), child order
+        # as last resort
+        from brevitas_tpu.export.derive import (
+            DeriveError,
+            derive_export_items,
+        )
+
+        try:
+            items = derive_export_items(
+                model, example_input,
+                output_rank=np.asarray(model(
+                    jnp.asarray(example_input))).ndim)
+        except DeriveError:
+            items = [m for _, m in _sequential_children(model)]
     saved: Dict[str, object] = {}
     fns: List[TorchFn] = []
     for item in items:
