@@ -428,11 +428,14 @@ def _train_eval_torch_ce(model, epochs, batch_size, lr, arch="cnv"):
     xt = torch.from_numpy(np.transpose(x_train, (0, 3, 1, 2))).contiguous()
     yt = torch.from_numpy(y_train.astype(np.int64))
 
+    def unwrap(out):  # Hadamard heads return QuantTensor
+        return out.value if hasattr(out, "value") else out
+
     model.train()
     for ep in range(epochs):
         for sel in epoch_batches(len(x_train), batch_size, seed=ep):
             sel = np.asarray(sel)
-            loss = crit(model(xt[sel]), yt[sel])
+            loss = crit(unwrap(model(xt[sel])), yt[sel])
             opt.zero_grad()
             loss.backward()
             opt.step()
@@ -442,7 +445,7 @@ def _train_eval_torch_ce(model, epochs, batch_size, lr, arch="cnv"):
         xe = torch.from_numpy(np.transpose(x_test, (0, 3, 1, 2))).contiguous()
         preds = []
         for i in range(0, len(xe), 256):
-            preds.append(model(xe[i:i + 256]).argmax(-1).numpy())
+            preds.append(unwrap(model(xe[i:i + 256])).argmax(-1).numpy())
         pred = np.concatenate(preds)
     return float((pred == y_test).mean()), model
 
@@ -462,8 +465,10 @@ def _train_eval_tpu_ce(model, epochs, batch_size, lr, arch="cnv"):
     @nnx.jit
     def step(model, opt, x, y):
         def loss_fn(m):
+            out = m(x)
+            out = getattr(out, "value", out)  # Hadamard heads -> QuantTensor
             return optax.softmax_cross_entropy_with_integer_labels(
-                m(x), y).mean()
+                out, y).mean()
 
         loss, grads = nnx.value_and_grad(loss_fn)(model)
         opt.update(model, grads)
@@ -478,7 +483,8 @@ def _train_eval_tpu_ce(model, epochs, batch_size, lr, arch="cnv"):
 
     @nnx.jit
     def infer(model, x):
-        return jnp.argmax(model(x), -1)
+        out = model(x)
+        return jnp.argmax(getattr(out, "value", out), -1)
 
     preds = []
     for i in range(0, len(x_test), 256):
