@@ -510,11 +510,14 @@ def proxyless_logits_parity(bit_width, ref_model, hadamard=False,
                                 depthwise_bit_width=depthwise_bit_width)
     import_torch_state_dict(model, sd)
     eval_mode(model)
-    logits_tpu = np.asarray(model(jnp.asarray(x_test)))
+    out = model(jnp.asarray(x_test))
+    logits_tpu = np.asarray(getattr(out, "value", out))
     ref_model.eval()
     with torch.no_grad():
         xe = torch.from_numpy(np.transpose(x_test, (0, 3, 1, 2))).contiguous()
-        logits_ref = ref_model(xe).numpy()
+        out_ref = ref_model(xe)
+        logits_ref = (out_ref.value if hasattr(out_ref, "value")
+                      else out_ref).numpy()
     max_delta = float(np.abs(logits_tpu - logits_ref).max())
     agree = float((logits_tpu.argmax(-1) == logits_ref.argmax(-1)).mean())
     return max_delta, agree
