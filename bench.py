@@ -86,21 +86,32 @@ def _peak_bw():
     return None
 
 
-def _probe_measured_bw(repeats: int = 5):
-    """Achievable HBM bandwidth: stream a 256 MB array through one jitted
-    elementwise op (read + write = 2x bytes). Returns bytes/s or None."""
+def _probe_measured_bw(repeats: int = 5, passes: int = 24):
+    """Achievable HBM bandwidth: stream a 256 MB array through ``passes``
+    chained elementwise ops inside ONE jit (read + write = 2x bytes per
+    pass). Chaining amortizes the relay's per-dispatch overhead the same
+    way the scanned bench legs do — a single-op probe under-reports by the
+    dispatch cost and produces roofline fractions > 1. Returns bytes/s."""
     global _MEASURED_BW
     n = 64 * 1024 * 1024  # f32 elements = 256 MB
+
+    @jax.jit
+    def f(a):
+        def body(x, _):
+            return x * 1.000001, ()
+
+        y, _ = jax.lax.scan(body, a, None, length=passes)
+        return y
+
+    f(jnp.ones((n,), jnp.float32)).block_until_ready()  # compile + warm
     x = jnp.ones((n,), jnp.float32)
-    f = jax.jit(lambda a: a * 1.000001)
-    f(x).block_until_ready()  # compile + warm
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         f(x).block_until_ready()
         best = min(best, time.perf_counter() - t0)
     if best > 0 and best != float("inf"):
-        _MEASURED_BW = 2 * 4 * n / best
+        _MEASURED_BW = passes * 2 * 4 * n / best
     return _MEASURED_BW
 
 
