@@ -28,8 +28,11 @@ bandwidth probed on THIS chip at bench start). A leg whose FP twin cannot
 compile in budget omits ``vs_baseline`` and carries ``degraded: true`` —
 no invented ratios.
 
-Prints one JSON line per completed leg; the FINAL line is the headline
-LFC record (same schema as round 1) carrying all legs under ``"configs"``.
+Prints one JSON line per completed leg; the FINAL line is the COMPACT
+headline LFC record (same schema as round 1, guaranteed < 1,500 chars so
+the driver's tail capture always parses it). The full structured snapshot
+(headline + every leg record) is written to ``BENCH_full.json`` next to
+this file — that is the artifact PERF.md cites.
 
 Env knobs: ``BENCH_CONFIGS`` (comma subset of leg names), ``BENCH_REPEATS``,
 ``BENCH_BF16`` (default on), ``BENCH_LEG_TIMEOUT_S`` (per-leg compile+run
@@ -277,26 +280,56 @@ def _scanned_eval(model, data_shape, steps, batch, int_vocab=None):
     return ScannedRun(run_once, steps * batch, flops, nbytes)
 
 
+_SPREAD_TARGET = 0.15   # raise reps while paired-ratio spread exceeds this
+_MAX_EXTRA_ROUNDS = 2   # ... up to REPEATS * (1 + _MAX_EXTRA_ROUNDS) pairs
+_LATENCY_FRAC = 0.30    # below this fraction of the (measured) roofline the
+                        # leg's time is dominated by per-step dispatch/launch
+                        # latency, not by streaming bytes or MXU FLOPs
+
+
 def _emit(name, unit, qat: ScannedRun, fp):
     """Interleaved paired timing → one record dict.
+
+    ``vs_baseline`` is the MEDIAN of per-rep paired ratios (robust to a
+    single slow relay window poisoning min-based estimates; round-4 verdict
+    #5 — cnv_int8pc admitted a 0.60 spread and the mean drifted). The mean
+    and spread are kept as ``vs_baseline_mean`` / ``ratio_spread``; legs
+    whose spread exceeds ``_SPREAD_TARGET`` automatically collect more
+    paired reps (up to 3x) and report the final count as ``reps``.
 
     When the FP twin is unavailable (compile timeout), ``vs_baseline`` is
     OMITTED and the record carries ``degraded: true`` with a reason — no
     invented ratios in the artifact of record (round-3 verdict #9)."""
     pairs = qat.timed_reps(interleave_with=fp)
+
+    def spread_of(rs):
+        m = sum(rs) / len(rs)
+        return (max(rs) - min(rs)) / m if m else 0.0
+
+    if fp is not None:
+        for _ in range(_MAX_EXTRA_ROUNDS):
+            ratios = [(qat.items / dt) / (fp.items / o)
+                      for dt, o in pairs if o]
+            if len(ratios) < 2 or spread_of(ratios) <= _SPREAD_TARGET:
+                break
+            pairs += qat.timed_reps(interleave_with=fp)
     qat_dt = min(dt for dt, _ in pairs)
     fp_dt = (min(o for _, o in pairs) if fp is not None else None)
     value = qat.items / qat_dt
-    record = {"metric": name, "value": round(value, 1), "unit": unit}
+    record = {"metric": name, "value": round(value, 1), "unit": unit,
+              "reps": len(pairs)}
     if fp is not None and fp_dt:
-        record["vs_baseline"] = round(
-            (qat.items / qat_dt) / (fp.items / fp_dt), 4)
         # per-rep paired ratios: drift-cancelled variance evidence
-        ratios = [(qat.items / dt) / (fp.items / o) for dt, o in pairs if o]
+        ratios = sorted((qat.items / dt) / (fp.items / o)
+                        for dt, o in pairs if o)
+        mid = len(ratios) // 2
+        median = (ratios[mid] if len(ratios) % 2
+                  else (ratios[mid - 1] + ratios[mid]) / 2)
+        record["vs_baseline"] = round(median, 4)
         if len(ratios) > 1:
-            mean = sum(ratios) / len(ratios)
-            record["ratio_spread"] = round(
-                (max(ratios) - min(ratios)) / mean, 4)
+            record["vs_baseline_mean"] = round(
+                sum(ratios) / len(ratios), 4)
+            record["ratio_spread"] = round(spread_of(ratios), 4)
     else:
         record["degraded"] = True
         record["degraded_reason"] = "fp twin unavailable (compile timeout)"
@@ -322,7 +355,14 @@ def _emit(name, unit, qat: ScannedRun, fp):
         t_meas = max((qat.flops or 0.0) / peak,
                      (qat.bytes or 0.0) / _MEASURED_BW)
         if t_meas > 0:
-            record["roofline_frac_measured"] = round(t_meas / qat_dt, 4)
+            frac = t_meas / qat_dt
+            record["roofline_frac_measured"] = round(frac, 4)
+            # self-consistency with PERF.md (round-4 verdict #4): a leg
+            # achieving well under the bandwidth THIS chip measurably
+            # delivers is not streaming-bound — its time is per-step
+            # dispatch/launch latency (small working sets through the relay)
+            if "bound" in record and frac < _LATENCY_FRAC:
+                record["bound"] = "latency"
     return record
 
 
@@ -685,6 +725,22 @@ def _device_alive(budget_s: int = 150) -> bool:
     return False
 
 
+HEADLINE_MAX_CHARS = 1500  # hard cap, tested (tests/test_bench_headline.py)
+
+
+def headline_line(head: dict) -> str:
+    """The final stdout line: compact JSON, guaranteed under the driver's
+    tail-capture budget. Never embeds per-leg records (they are printed as
+    their own lines and snapshotted in BENCH_full.json)."""
+    head = {k: v for k, v in head.items() if k != "configs"}
+    line = json.dumps(head, separators=(",", ":"))
+    if len(line) > HEADLINE_MAX_CHARS:  # drop optional fields, keep schema
+        core = {k: head[k] for k in
+                ("metric", "value", "unit", "vs_baseline") if k in head}
+        line = json.dumps(core, separators=(",", ":"))
+    return line
+
+
 def main():
     selected = os.environ.get(
         "BENCH_CONFIGS",
@@ -734,9 +790,19 @@ def main():
     head["metric"] = "lfc_int4_qat_images_per_sec_per_chip"
     if _MEASURED_BW:
         head["hbm_bw_measured_gbs"] = round(_MEASURED_BW / 1e9, 1)
-    if records:
-        head["configs"] = records
-    print(json.dumps(head), flush=True)
+    # Full structured snapshot (headline + every leg record) goes to a repo
+    # file PERF.md cites; the FINAL printed line stays COMPACT so the
+    # driver's tail capture can always parse it (round-4 verdict #1:
+    # embedding `configs` pushed the line past the 2,000-char tail and the
+    # round's headline number was lost).
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_full.json"), "w") as f:
+            json.dump({"headline": head, "configs": records}, f, indent=1)
+    except OSError as e:
+        print(f"could not write BENCH_full.json: {e}", file=sys.stderr)
+    head["legs_completed"] = len(records)
+    print(headline_line(head), flush=True)
     # an abandoned measurement thread may hold a relay RPC; don't let
     # interpreter teardown wait on it
     os._exit(0)
