@@ -157,6 +157,15 @@ def derive_export_items(model, example_input, output_rank=None) -> list:
         if prim in _TRANSPARENT:
             src_of[id(node)] = resolve_preds(node)[0]
             continue
+        if eqn is not None and eqn.outvars and \
+                getattr(eqn.outvars[0].aval, "ndim", None) == 0:
+            # scalar METADATA computation (e.g. po2 restrict evaluating
+            # 2**round(log2 s) on a frozen scale param, restrict.py) — not
+            # on the data path; the consuming module's data-input selection
+            # already prefers the largest crossing tensor, so just thread
+            # the producer through
+            src_of[id(node)] = resolve_preds(node)[0]
+            continue
         if prim == "broadcast_in_dim":
             in_shape = _shape(eqn.invars[0])
             out_shape = _shape(eqn.outvars[0])

@@ -125,8 +125,11 @@ def hardtanh_bias(bit_width: int, narrow: bool) -> float:
 # ---------------------------------------------------------------------------
 
 
-def _act_meta(layer):
-    probe = jnp.zeros((1, 8), jnp.float32)
+def _act_meta(layer, channels=None):
+    # per-channel act quantizers need a probe at their true channel count
+    # (MobileNetV1's per-channel ReLU scales)
+    ch = getattr(layer, "num_channels", None) or channels or 8
+    probe = jnp.zeros((1, int(ch)), jnp.float32)
     qt = layer.act_quant(probe)
     scale = np.asarray(qt.scale, np.float32)
     bw = int(round(float(np.asarray(qt.bit_width))))
@@ -137,7 +140,7 @@ def _act_meta(layer):
 def _finn_relu(b: GraphBuilder, layer: QuantReLU, x: str) -> str:
     if layer.act_quant.quant_type == QuantType.NONE:
         return b.add("Relu", [x])
-    qt, scale, bw, signed, narrow = _act_meta(layer)
+    qt, scale, bw, signed, narrow = _act_meta(layer, b.channels)
     thr = relu_thresholds(scale, bw, b.channels)
     t_name = b.init_tensor("thres", thr)
     y = b.add("MultiThreshold", [x, t_name], domain=DOMAIN_STRING,
@@ -156,7 +159,7 @@ def _finn_identity(b: GraphBuilder, layer, x: str) -> str:
     aq = layer.act_quant
     if aq.quant_type == QuantType.NONE:
         return x
-    qt, scale, bw, signed, narrow = _act_meta(layer)
+    qt, scale, bw, signed, narrow = _act_meta(layer, b.channels)
     if aq.quant_type == QuantType.BINARY or bw == 1:
         # BIPOLAR: y = out_scale·[x >= 0] + out_bias = sign(x)·scale
         # (reference emits out_scale=2, out_bias=-1 and asserts scale == 1;
@@ -230,7 +233,10 @@ def _finn_bias(b: GraphBuilder, layer, y: str, conv: bool) -> str:
     if layer.bias is None:
         return y
     bias = np.asarray(layer.bias[...], np.float32)
-    shape = (1, -1, 1, 1)[: 2 + (2 if conv else 0)] if conv else (-1,)
+    # conv output is (N, C, *spatial): broadcast bias over the layer's OWN
+    # spatial rank (a (1,C,1,1) bias on an NCL conv1d output is a shape
+    # error, caught by the QuartzNet FINN roundtrip)
+    shape = (1, -1) + (1,) * layer.spatial_dims if conv else (-1,)
     bq = layer.bias_quant
     if bq is not None and bq.quant_type == QuantType.INT and \
             not bq.cfg.requires_input_scale:
@@ -272,10 +278,19 @@ def _finn_conv(b: GraphBuilder, layer, x: str) -> str:
     perm = (spatial + 1, spatial) + tuple(range(spatial))  # HWIO → OIHW
     w = np.transpose(codes, perm)
     if isinstance(layer.padding, str):
-        if layer.padding != "VALID":
-            raise ValueError("FINN conv export needs explicit or VALID "
-                             "padding")
-        pads = [0] * (2 * spatial)
+        if layer.padding == "VALID":
+            pads = [0] * (2 * spatial)
+        elif layer.padding == "SAME" and all(s == 1 for s in layer.stride) \
+                and all(((k - 1) * d) % 2 == 0 for k, d in
+                        zip(layer.kernel_size, layer.dilation)):
+            # stride-1 SAME with odd effective kernel = symmetric explicit
+            # pads (the pointwise/residual 1x1 convs of QuartzNet/MobileNet)
+            half = [((k - 1) * d) // 2 for k, d in
+                    zip(layer.kernel_size, layer.dilation)]
+            pads = half + half
+        else:
+            raise ValueError("FINN conv export needs explicit, VALID, or "
+                             "symmetric stride-1 SAME padding")
     else:
         pads = [p[0] for p in layer.padding] + [p[1] for p in layer.padding]
     y = b.add("Conv", [x, b.init_tensor("W_int", w)], domain=DOMAIN_STRING,
@@ -293,7 +308,10 @@ def _finn_conv(b: GraphBuilder, layer, x: str) -> str:
 
 @_finn_handles(QuantAvgPool2d)
 def _finn_avgpool(b: GraphBuilder, layer: QuantAvgPool2d, x: str) -> str:
-    if layer.trunc_quant is None:
+    if layer.trunc_quant is None or \
+            getattr(layer, "last_call_truncated", None) is False:
+        # mirror the model: no trunc quantizer, or the layer saw a plain
+        # array at runtime and computed a plain mean (nn/pool.py)
         return b.add("AveragePool", [x], kernel_shape=list(layer.kernel_size),
                      strides=list(layer.stride))
     if b.last_qt is None:

@@ -234,6 +234,21 @@ def run_onnx(model_bytes: bytes, inputs: Dict[str, np.ndarray],
             hi = (2 ** (bw - 1) - 1) if signed else (2**bw - 1 - (1 if narrow else 0))
             q = np.clip(np.round(x / scale + zp), lo, hi)
             out = ((q - zp) * scale).astype(np.float32)
+        elif n.op_type == "Trunc":  # QONNX custom op (reference
+            # BrevitasTruncFn, export/onnx/qonnx/function.py:54-72):
+            # integer-domain LSB drop — y_int = round(x/s + zp), then
+            # floor(y_int / 2^(ibw-obw)), output at the INPUT scale
+            # (matches core/quant.py trunc_int_quant with FLOOR)
+            x, scale, zp, ibw, obw = i
+            mode = a.get("rounding_mode", "FLOOR")
+            mode = mode.decode() if isinstance(mode, bytes) else mode
+            shift = 2.0 ** (float(np.asarray(ibw).reshape(-1)[0])
+                            - float(np.asarray(obw).reshape(-1)[0]))
+            y = np.round(x / scale + zp) / shift
+            y = np.floor(y) if mode == "FLOOR" else np.round(y)
+            out = ((y - zp) * scale).astype(np.float32)
+        elif n.op_type == "Floor":
+            out = np.floor(i[0])
         elif n.op_type == "MultiThreshold":
             # FINN custom op (finn.custom_op.general): per-channel threshold
             # counting — y[.., c, ..] = Σ_t [x >= T[c, t]] — optionally

@@ -240,6 +240,15 @@ class Int8InferenceConv(nnx.Module):
         self.dilation = qconv.dilation
         self.groups = qconv.groups
         self.dn = qconv._dn()
+        # border-correction kernel for recentered unsigned inputs: the
+        # correction conv(1s, w) is batch-independent and linear in the
+        # input channels, so it collapses to a batch-1, one-channel-per-
+        # group conv with the input-channel-summed kernel — B*Cin/g times
+        # cheaper than re-running the full conv (round-4 verdict #2: the
+        # full-shape 1s-conv doubled every unsigned-act conv's cost and put
+        # quartznet int8 serving behind bf16)
+        self.w_ksum = jnp.sum(self.w_int.astype(jnp.int32), axis=-2,
+                              keepdims=True).astype(jnp.float32)
         self.bias = (qconv.bias[...].astype(jnp.float32)
                      if qconv.bias is not None else None)
         self.output_quant = _freeze_output_quant(
@@ -276,8 +285,15 @@ class Int8InferenceConv(nnx.Module):
             x_int = (x_int - self.x_shift).astype(jnp.int8)
         acc = self._conv(x_int).astype(jnp.float32)
         if shift != 0.0:
-            # per-position kernel weight sums handle zero-padding borders
-            ksum = self._conv(jnp.ones(x.shape, jnp.int8)).astype(jnp.float32)
+            # per-position kernel weight sums handle zero-padding borders;
+            # batch-1, channel-summed-kernel form (see __init__.w_ksum)
+            ones = jnp.ones((1,) + x.shape[1:-1] + (self.groups,),
+                            jnp.float32)
+            ksum = jax.lax.conv_general_dilated(
+                ones, self.w_ksum, window_strides=self.stride,
+                padding=self.padding, rhs_dilation=self.dilation,
+                dimension_numbers=self.dn,
+                feature_group_count=self.groups)
             acc = acc + shift * ksum
         y = acc * (x_scale * self.w_scale)
         if self.bias is not None:

@@ -40,6 +40,11 @@ class QuantAvgPool2d(nnx.Module, QuantLayerMixin):
         self.stride = _pair(stride) if stride is not None else self.kernel_size
         self.trunc_quant = TruncQuantizer(trunc_quant) if trunc_quant else None
         self.return_quant_tensor = return_quant_tensor
+        # whether the most recent call took the truncation branch — a
+        # STATIC metadata-presence decision (safe to record under tracing);
+        # the exporter mirrors it so exported graphs truncate exactly when
+        # the model does (export/qcdq.py _export_avgpool)
+        self.last_call_truncated = None
 
     @property
     def _kernel_elems(self) -> int:
@@ -51,8 +56,10 @@ class QuantAvgPool2d(nnx.Module, QuantLayerMixin):
         strides = (1, *self.stride, 1)
         summed = jax.lax.reduce_window(
             qt.value, 0.0, jax.lax.add, window, strides, "VALID")
-        if (qt.scale is not None and qt.bit_width is not None
-                and self.trunc_quant is not None):
+        self.last_call_truncated = (
+            qt.scale is not None and qt.bit_width is not None
+            and self.trunc_quant is not None)
+        if self.last_call_truncated:
             acc_bw = qt.bit_width + ceil_ste(
                 jnp.log2(jnp.asarray(float(self._kernel_elems))))
             acc = QuantTensor(summed, qt.scale, qt.zero_point, acc_bw,

@@ -158,32 +158,62 @@ def test_native_export_roundtrip(tmp_path, rng):
         np.asarray(qw.value), rtol=1e-5, atol=1e-6)
 
 
-def test_export_avgpool_trunc_rescale(rng):
-    """3x3 avgpool exports with the k/2^ceil(log2 k) truncation rescale."""
-    from brevitas_tpu.quant_tensor import QuantTensor
+class _TruncPoolNet(nnx.Module):
+    def __init__(self, k=3):
+        act = presets.Int8ActPerTensorFloat.let(collect_stats_steps=1)
+        self.inp = qnn.QuantIdentity(act, return_quant_tensor=True)
+        self.pool = qnn.QuantAvgPool2d(k, return_quant_tensor=False)
 
-    class Net(nnx.Module):
-        def __init__(self):
-            act = presets.Int8ActPerTensorFloat.let(collect_stats_steps=1)
-            self.inp = qnn.QuantIdentity(act, return_quant_tensor=True)
-            self.pool = qnn.QuantAvgPool2d(3, return_quant_tensor=False)
+    def export_layers(self):
+        return [self.inp, self.pool]
 
-        def export_layers(self):
-            return [self.inp, self.pool]
+    def __call__(self, x):
+        return self.pool(self.inp(x))
 
-        def __call__(self, x):
-            return self.pool(self.inp(x))
 
-    m = Net()
+@pytest.mark.parametrize("style", ["qcdq", "qonnx"])
+@pytest.mark.parametrize("k", [2, 3])
+def test_export_avgpool_trunc_exact(style, k, rng):
+    """Trunc-avgpool export reproduces nn/pool.py's integer-domain floor to
+    well under one output quant step (round-4 verdict: the old rescale-only
+    export was off by up to 1 LSB/element and the test hid it behind a
+    whole-quant-step tolerance)."""
+    from brevitas_tpu.export import export_onnx_qcdq, export_qonnx
+
+    m = _TruncPoolNet(k)
     x = jnp.asarray(rng.standard_normal((1, 6, 6, 2)).astype(np.float32))
     m(x)
     eval_mode(m)
     y_model = np.asarray(m(x))  # NHWC
-    blob = export_onnx_qcdq(m, x)
+    blob = (export_onnx_qcdq(m, x) if style == "qcdq"
+            else export_qonnx(m, x))
     (y_onnx,) = run_onnx(blob, {"input": np.asarray(x).transpose(0, 3, 1, 2)})
-    # trunc floor is approximated; scale factor must match (atol ~ scale)
+    scale = float(m.inp.act_quant(x).scale)
+    # exact integer semantics: only f32 round-off remains (<< one LSB)
     np.testing.assert_allclose(y_onnx, y_model.transpose(0, 3, 1, 2),
-                               atol=float(m.inp.act_quant(x).scale) * 1.1)
+                               atol=scale * 1e-3)
+
+
+def test_qonnx_trunc_op_bit_exact_vs_pool(rng):
+    """The QONNX Trunc custom op is BIT-exact against nn/pool.py's floor
+    across a sweep that exercises every truncation boundary."""
+    from brevitas_tpu.export import export_qonnx
+
+    m = _TruncPoolNet(3)
+    x = jnp.asarray(rng.standard_normal((4, 9, 9, 3)).astype(np.float32))
+    m(x)
+    eval_mode(m)
+    y_model = np.asarray(m(x))
+    blob = export_qonnx(m, x)
+    g = parse_model(blob)
+    assert any(n.op_type == "Trunc" and n.domain == "onnx.brevitas"
+               for n in g.nodes), "QONNX export must emit the Trunc op"
+    (y_onnx,) = run_onnx(blob, {"input": np.asarray(x).transpose(0, 3, 1, 2)})
+    scale = float(m.inp.act_quant(x).scale)
+    # bit-exact in the integer domain: identical multiples of the scale
+    int_onnx = np.round(y_onnx.transpose(0, 2, 3, 1) / scale)
+    int_model = np.round(y_model / scale)
+    np.testing.assert_array_equal(int_onnx, int_model)
 
 
 # -- QOp (QLinearConv / QLinearMatMul) ---------------------------------------

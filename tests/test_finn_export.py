@@ -271,3 +271,94 @@ def test_finn_per_channel_relu_thresholds(rng):
     thr = g.initializers[mt.inputs[1]]
     assert thr.shape == (8, 15)  # 8 channels x (2^4 - 1) thresholds
     assert len({tuple(row) for row in thr}) > 1  # truly per-channel
+
+
+# -- example-tier FINN exports (reference tests/brevitas_finn/brevitas_examples)
+
+
+def _finn_roundtrip(model, x, feed, want, atol_frac=1e-4):
+    blob = export_finn_onnx(model, x)
+    (got,) = run_onnx(blob, {"input": feed})
+    span = float(np.abs(want).max()) + 1e-9
+    np.testing.assert_allclose(got, want, atol=atol_frac * span)
+    return blob
+
+
+def test_finn_quartznet_roundtrip(rng):
+    """QuartzNet through the FINN dialect (reference
+    tests/brevitas_finn/brevitas_examples/test_quartznet_finn_export.py:1):
+    1-d separable convs (depthwise group Conv + pointwise), HardTanh
+    norm-scale MultiThresholds, residual adds, CTC decoder. Reduced to the
+    stem + one separable/residual group + the two outer blocks so the fast
+    tier exercises every handler; the full 15x5 export runs slow-tier."""
+    from brevitas_tpu.models.quartznet import QUARTZNET_15x5, QuartzNet
+
+    topo = QUARTZNET_15x5[:2] + QUARTZNET_15x5[-2:]
+    m = QuartzNet(num_features=64, topology=topo, rngs=nnx.Rngs(0))
+    x = jnp.asarray(rng.random((2, 32, 64), dtype=np.float32))
+    m(x)
+    eval_mode(m)
+    y = np.asarray(m(x))
+    assert np.abs(y).max() > 0
+    blob = _finn_roundtrip(m, x, np.asarray(x).transpose(0, 2, 1),
+                           y.transpose(0, 2, 1))
+    g = P.parse_model(blob)
+    ops = [n.op_type for n in g.nodes]
+    assert "MultiThreshold" in ops
+    # depthwise 1-d convs survive with their group attribute + INT8
+    # per-channel integer weights
+    dw = [n for n in g.nodes if n.op_type == "Conv"
+          and dict(n.attrs).get("group", 1) > 1]
+    assert dw, "separable blocks must export grouped (depthwise) Convs"
+    anns = read_finn_annotations(blob)
+    w = g.initializers[dw[0].inputs[1]]
+    assert w.shape[1] == 1  # OIHW depthwise: one input channel per group
+    assert np.allclose(w, np.round(w))
+    assert anns[dw[0].inputs[1]].startswith("INT")
+
+
+@pytest.mark.slow
+def test_finn_quartznet_15x5_full_roundtrip(rng):
+    """Full QuartzNet-15x5 through FINN export + interpreter execution."""
+    from brevitas_tpu.models import quartznet_15x5
+
+    m = quartznet_15x5(num_features=64, rngs=nnx.Rngs(0))
+    x = jnp.asarray(rng.random((2, 32, 64), dtype=np.float32))
+    m(x)
+    eval_mode(m)
+    y = np.asarray(m(x))
+    _finn_roundtrip(m, x, np.asarray(x).transpose(0, 2, 1),
+                    y.transpose(0, 2, 1))
+
+
+def test_finn_mobilenet_roundtrip(rng):
+    """MobileNetV1 through the FINN dialect (reference
+    tests/brevitas_finn/brevitas_examples/test_mobilenet_finn_export.py:1):
+    depthwise 3x3 + pointwise 1x1 convs, per-channel ReLU MultiThresholds,
+    the 8-bit trunc-avgpool QuantAvgPool2d node, and the quantized head.
+    BN running stats need a few calibration batches before eval-mode output
+    is non-degenerate (momentum 0.9)."""
+    from brevitas_tpu.models import quant_mobilenet_v1
+
+    m = quant_mobilenet_v1(bit_width=4, rngs=nnx.Rngs(0))
+    step = nnx.jit(lambda mm, xx: mm(xx))
+    for _ in range(12):
+        xb = jnp.asarray(rng.random((2, 224, 224, 3), dtype=np.float32))
+        step(m, xb)
+    eval_mode(m)
+    x = jnp.asarray(rng.random((1, 224, 224, 3), dtype=np.float32))
+    y = np.asarray(m(x))
+    assert np.abs(y).max() > 0 and y.std() > 0
+    blob = _finn_roundtrip(m, x, np.asarray(x).transpose(0, 3, 1, 2), y)
+    g = P.parse_model(blob)
+    ops = [n.op_type for n in g.nodes]
+    # the trunc avg-pool lands as the FINN QuantAvgPool2d accumulator node
+    pool = [n for n in g.nodes if n.op_type == "QuantAvgPool2d"]
+    assert pool and pool[0].domain == "finn.custom_op.general"
+    attrs = dict(pool[0].attrs)
+    assert attrs["kernel"] == 7 and attrs["obits"] == 4
+    # depthwise convs keep group attr; UINT4 activation annotations exist
+    assert any(n.op_type == "Conv" and dict(n.attrs).get("group", 1) > 1
+               for n in g.nodes)
+    anns = read_finn_annotations(blob)
+    assert "UINT4" in anns.values()
