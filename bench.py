@@ -194,19 +194,33 @@ class ScannedRun:
         return pairs
 
 
-def _cost_flops(jitted, *args):
-    """(FLOPs, bytes accessed) per invocation from XLA cost analysis
-    (None where unavailable)."""
+def _cost_flops(jitted, *args, steps: int = 1):
+    """(FLOPs per RUN, HBM-byte lower bound per RUN) for a scanned program.
+
+    XLA cost analysis counts a While/scan body ONCE regardless of trip
+    count (verified on this backend: a scan of 1 vs 16 matmuls reports the
+    same flops), so the body flops are multiplied by ``steps`` here —
+    round-4's mfu/roofline columns under-reported by the scan length.
+
+    ``bytes accessed`` from cost analysis counts every fusion-internal
+    buffer and overstates true HBM traffic by large factors on fused
+    models, so the bytes bound used for rooflines is a model-derived LOWER
+    bound instead: every argument read once (weights/state could persist
+    in VMEM across scan steps on small models, so x1 not x steps). A lower
+    bound keeps ``roofline_frac`` a true "fraction of the best possible
+    time" — it can understate, never flatter."""
     try:
         ca = jitted.lower(*args).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        flops = float(ca.get("flops", 0.0))
-        nbytes = float(ca.get("bytes accessed", 0.0))
-        return (flops if flops > 0 else None,
-                nbytes if nbytes > 0 else None)
+        flops = float(ca.get("flops", 0.0)) * steps
     except Exception:
-        return None, None
+        flops = 0.0
+    nbytes = float(sum(
+        leaf.nbytes for leaf in jax.tree.leaves(args)
+        if hasattr(leaf, "nbytes")))
+    return (flops if flops > 0 else None,
+            nbytes if nbytes > 0 else None)
 
 
 def _scanned_train(model_fn, data_shape, steps, batch, loss_fn=sqr_hinge_loss,
@@ -235,7 +249,7 @@ def _scanned_train(model_fn, data_shape, steps, batch, loss_fn=sqr_hinge_loss,
         state, losses = jax.lax.scan(body, state, (xs, ys))
         return state, losses
 
-    flops, nbytes = _cost_flops(epoch, state, xs, ys)
+    flops, nbytes = _cost_flops(epoch, state, xs, ys, steps=steps)
     box = {"state": state}
 
     def run_once():
@@ -271,7 +285,7 @@ def _scanned_eval(model, data_shape, steps, batch, int_vocab=None):
         state, sums = jax.lax.scan(body, state, xs)
         return sums
 
-    flops, nbytes = _cost_flops(epoch, state, xs)
+    flops, nbytes = _cost_flops(epoch, state, xs, steps=steps)
 
     def run_once():
         jax.device_get(epoch(state, xs))
@@ -513,7 +527,11 @@ def leg_quartznet_int8_serving():
     from brevitas_tpu.models import quartznet_15x5
     from brevitas_tpu.utils import eval_mode
 
-    steps, batch, frames, feats = 4, 4, 256, 64
+    # steps amortize the relay's fixed per-run dispatch cost (measured
+    # ~ms-scale, parity/llama_prefill_decomp.py null_floor) — a 4-step scan
+    # was paying ~25% of its wall time in dispatch, depressing the leg's
+    # roofline fraction for reasons unrelated to the compute path
+    steps, batch, frames, feats = 16, 4, 256, 64
     rng = np.random.default_rng(0)
     calib = jnp.asarray(rng.random((batch, frames, feats), dtype=np.float32))
 
@@ -552,7 +570,7 @@ def leg_llama_int8_serving():
     from brevitas_tpu.quant.presets import NoneActQuant, NoneWeightQuant
     from brevitas_tpu.utils import eval_mode
 
-    steps, batch, seq = 4, 8, 512
+    steps, batch, seq = 16, 8, 512  # amortize dispatch floor (see above)
     # dim-1024 6-block: (4096, 1024)x(1024, ~2752) GEMMs — MXU-bound, where
     # the int8 dot path (2x bf16 peak) actually shows; dim-512 measured
     # overhead-bound (int8 0.91x bf16)
@@ -642,7 +660,7 @@ def leg_llama_int8_decode(kv_bit_width=None):
             (_, _), sums = jax.lax.scan(body, (caches, jnp.int32(0)), ids)
             return sums
 
-        flops, nbytes = _cost_flops(run, state, caches, ids)
+        flops, nbytes = _cost_flops(run, state, caches, ids, steps=t_steps)
 
         def run_once():
             jax.device_get(run(state, caches, ids))

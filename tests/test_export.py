@@ -514,3 +514,39 @@ def test_resnet_residual_export_matches_model(rng):
         blob = exporter(m, x)
         out = run_onnx(blob, xin)[0]
         np.testing.assert_allclose(out, y, atol=5e-4)
+
+
+@pytest.mark.parametrize("style", ["qcdq", "qonnx"])
+def test_export_avgpool_trunc_shifted_uint_exact(style, rng):
+    """Trunc-avgpool behind an ASYMMETRIC (shifted-uint8) act grid: the
+    zero-point rides through the integer-domain floor on both dialects
+    (the zp!=0 branches of the QCDQ Mul/Add/Floor/Sub chain and the QONNX
+    Trunc op)."""
+    from brevitas_tpu.export import export_onnx_qcdq, export_qonnx
+
+    class Net(nnx.Module):
+        def __init__(self):
+            act = presets.ShiftedUint8ActPerTensorFloat.let(
+                collect_stats_steps=1)
+            self.inp = qnn.QuantIdentity(act, return_quant_tensor=True)
+            self.pool = qnn.QuantAvgPool2d(3, return_quant_tensor=False)
+
+        def export_layers(self):
+            return [self.inp, self.pool]
+
+        def __call__(self, x):
+            return self.pool(self.inp(x))
+
+    m = Net()
+    x = jnp.asarray(rng.standard_normal((2, 6, 6, 3)).astype(np.float32))
+    m(x)
+    eval_mode(m)
+    qt = m.inp.act_quant(x)
+    assert float(np.asarray(qt.zero_point)) != 0.0  # the case under test
+    y_model = np.asarray(m(x))
+    blob = (export_onnx_qcdq(m, x) if style == "qcdq"
+            else export_qonnx(m, x))
+    (y_onnx,) = run_onnx(blob, {"input": np.asarray(x).transpose(0, 3, 1, 2)})
+    scale = float(np.asarray(qt.scale))
+    np.testing.assert_allclose(y_onnx, y_model.transpose(0, 3, 1, 2),
+                               atol=scale * 1e-3)
