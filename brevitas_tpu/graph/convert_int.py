@@ -249,12 +249,38 @@ class Int8InferenceConv(nnx.Module):
         # quartznet int8 serving behind bf16)
         self.w_ksum = jnp.sum(self.w_int.astype(jnp.int32), axis=-2,
                               keepdims=True).astype(jnp.float32)
+        # pointwise (1x1, stride 1, ungrouped, zero-pad) convs serve as int8
+        # MATMULS: XLA's s8 convolution path inserts layout copies around
+        # every conv (measured: 27 copy ops vs 15 in the bf16 twin on a
+        # 2-block QuartzNet), while the s8 dot hits the MXU at ~94% peak
+        # with native layouts. Border correction for kernel-1 is exact as a
+        # per-channel constant (no borders), so the ksum conv vanishes too.
+        self._pointwise = (
+            all(k == 1 for k in qconv.kernel_size)
+            and all(s == 1 for s in qconv.stride)
+            and all(d == 1 for d in qconv.dilation)
+            and qconv.groups == 1
+            # kernel-1 SAME == VALID == zero padding; only explicit nonzero
+            # pads disqualify
+            and (isinstance(qconv.padding, str)
+                 or all(p == (0, 0) for p in qconv.padding)))
+        if self._pointwise:
+            cin = self.w_int.shape[-2]
+            self.w_mat = self.w_int.reshape(cin, self.w_int.shape[-1])
+            self.colsum = jnp.sum(self.w_mat.astype(jnp.int32),
+                                  axis=0).astype(jnp.float32)
         self.bias = (qconv.bias[...].astype(jnp.float32)
                      if qconv.bias is not None else None)
         self.output_quant = _freeze_output_quant(
             getattr(qconv, "output_quant", None))
 
     def _conv(self, x_int: Array) -> Array:
+        if self._pointwise:
+            flat = x_int.reshape(-1, x_int.shape[-1])
+            y = jax.lax.dot_general(
+                flat, self.w_mat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return y.reshape(x_int.shape[:-1] + (self.w_mat.shape[1],))
         return jax.lax.conv_general_dilated(
             x_int, self.w_int, window_strides=self.stride,
             padding=self.padding, rhs_dilation=self.dilation,
@@ -285,16 +311,20 @@ class Int8InferenceConv(nnx.Module):
             x_int = (x_int - self.x_shift).astype(jnp.int8)
         acc = self._conv(x_int).astype(jnp.float32)
         if shift != 0.0:
-            # per-position kernel weight sums handle zero-padding borders;
-            # batch-1, channel-summed-kernel form (see __init__.w_ksum)
-            ones = jnp.ones((1,) + x.shape[1:-1] + (self.groups,),
-                            jnp.float32)
-            ksum = jax.lax.conv_general_dilated(
-                ones, self.w_ksum, window_strides=self.stride,
-                padding=self.padding, rhs_dilation=self.dilation,
-                dimension_numbers=self.dn,
-                feature_group_count=self.groups)
-            acc = acc + shift * ksum
+            if self._pointwise:
+                # kernel-1: no borders — correction is a per-channel constant
+                acc = acc + shift * self.colsum
+            else:
+                # per-position kernel weight sums handle zero-padding
+                # borders; batch-1, channel-summed-kernel form (__init__)
+                ones = jnp.ones((1,) + x.shape[1:-1] + (self.groups,),
+                                jnp.float32)
+                ksum = jax.lax.conv_general_dilated(
+                    ones, self.w_ksum, window_strides=self.stride,
+                    padding=self.padding, rhs_dilation=self.dilation,
+                    dimension_numbers=self.dn,
+                    feature_group_count=self.groups)
+                acc = acc + shift * ksum
         y = acc * (x_scale * self.w_scale)
         if self.bias is not None:
             y = y + self.bias

@@ -27,7 +27,7 @@ import numpy as np
 from flax import nnx
 
 DIMS = dict(vocab_size=2000, dim=1024, depth=6, num_heads=16)
-BATCH, SEQ, SCAN = 8, 512, 4
+BATCH, SEQ, SCAN = 8, 512, int(os.environ.get("DECOMP_SCAN", "16"))
 REPS = 5
 
 
@@ -36,26 +36,37 @@ def _timed(model, fn, *args):
 
     ``model`` is nnx.split and its state passed as a jit ARGUMENT —
     closing over the module would inline ~100 MB of weights as constants
-    and blow the remote-compile request limit (HTTP 413)."""
+    and blow the remote-compile request limit (HTTP 413).
+
+    ``fn(m, i, *args)`` receives the scan step index ``i`` and MUST fold it
+    into its inputs (e.g. ``(ids + i) % vocab``): a loop-invariant body is
+    legal for XLA to hoist out of the While, which would time ONE call no
+    matter the scan length. FLOPs/bytes come from a single-call lowering
+    (XLA cost analysis counts a While body once, not times trip-count)."""
     graphdef, state = nnx.split(model)
 
     @jax.jit
     def run(state, *a):
         m = nnx.merge(graphdef, state)
 
-        def body(c, _):
-            return c, jnp.sum(fn(m, *a), dtype=jnp.float32)
+        def body(c, i):
+            return c, jnp.sum(fn(m, i, *a), dtype=jnp.float32)
 
-        _, sums = jax.lax.scan(body, 0, None, length=SCAN)
+        _, sums = jax.lax.scan(body, 0, jnp.arange(SCAN))
         return sums
+
+    @jax.jit
+    def run1(state, *a):
+        m = nnx.merge(graphdef, state)
+        return jnp.sum(fn(m, jnp.int32(0), *a), dtype=jnp.float32)
 
     run(state, *args).block_until_ready()
     try:
-        ca = run.lower(state, *args).compile().cost_analysis()
+        ca = run1.lower(state, *args).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        flops = float(ca.get("flops", 0.0)) / SCAN
-        nbytes = float(ca.get("bytes accessed", 0.0)) / SCAN
+        flops = float(ca.get("flops", 0.0))
+        nbytes = float(ca.get("bytes accessed", 0.0))
     except Exception:
         flops = nbytes = 0.0
     best = float("inf")
@@ -89,18 +100,24 @@ def main():
     x = jnp.asarray(rng.standard_normal(
         (BATCH, SEQ, DIMS["dim"])).astype(np.float32))
 
+    vocab = DIMS["vocab_size"]
     parts = {}
-    parts["full_int"] = _timed(mi, lambda m, i: m(i), ids)
-    parts["full_bf16"] = _timed(mf, lambda m, i: m(i), ids)
+    # dispatch floor: a near-empty scan body at the same trip count — the
+    # fixed per-run relay/sync cost every other row also pays
+    parts["null_floor"] = _timed(
+        nnx.Module(), lambda m, i, a: a * (1.0 + 0.0 * i),
+        jnp.ones((8,), jnp.float32))
+    parts["full_int"] = _timed(mi, lambda m, i, t: m((t + i) % vocab), ids)
+    parts["full_bf16"] = _timed(mf, lambda m, i, t: m((t + i) % vocab), ids)
 
-    def attn_only(m, xx):
-        h = xx
+    def attn_only(m, i, xx):
+        h = xx * (1.0 + 1e-6 * i)
         for blk in m.blocks:
             h = h + blk.attn(blk.attn_norm(h), causal=True)
         return h
 
-    def mlp_only(m, xx):
-        h = xx
+    def mlp_only(m, i, xx):
+        h = xx * (1.0 + 1e-6 * i)
         for blk in m.blocks:
             h = h + blk.mlp(blk.mlp_norm(h))
         return h
@@ -110,9 +127,11 @@ def main():
     parts["mlp_int"] = _timed(mi, mlp_only, x)
     parts["mlp_bf16"] = _timed(mf, mlp_only, x.astype(jnp.bfloat16))
     parts["embed_head_int"] = _timed(
-        mi, lambda m, i: m.head(m.final_norm(m.embed(i))), ids)
+        mi, lambda m, i, t: m.head(m.final_norm(m.embed((t + i) % vocab))),
+        ids)
     parts["embed_head_bf16"] = _timed(
-        mf, lambda m, i: m.head(m.final_norm(m.embed(i))), ids)
+        mf, lambda m, i, t: m.head(m.final_norm(m.embed((t + i) % vocab))),
+        ids)
 
     # pure-GEMM surrogate at the dominant shapes: what would the projections
     # cost with NO requant epilogues and NO attention core?
@@ -122,7 +141,8 @@ def main():
     w8_h = jnp.ones((d, hidden), jnp.int8)
     w8_hd = jnp.ones((hidden, d), jnp.int8)
 
-    def gemms(_m, a, wsq, wh, whd):
+    def gemms(_m, i, a, wsq, wh, whd):
+        a = a + (i % 2).astype(jnp.int8)
         y = 0.0
         for _ in range(DIMS["depth"]):
             for w in (wsq, wsq, wsq, wsq):  # q, k, v, o
@@ -142,18 +162,25 @@ def main():
     parts["gemms_int8_only"] = _timed(nnx.Module(), gemms,
                                       a8, w8_sq, w8_h, w8_hd)
 
+    floor = parts["null_floor"][0]
     total = parts["full_int"][0]
     rows = []
     for name, (dt, fl, by) in sorted(parts.items(),
                                      key=lambda kv: -kv[1][0]):
-        rows.append({
-            "part": name, "ms": round(dt * 1e3, 3),
-            "frac_of_full_int": round(dt / total, 3),
-            "gflops": round(fl / 1e9, 2), "mbytes": round(by / 1e6, 1)})
+        compute = max(dt - floor, 0.0)
+        row = {"part": name, "ms": round(dt * 1e3, 3),
+               "ms_minus_floor": round(compute * 1e3, 3),
+               "frac_of_full_int": round(dt / total, 3),
+               "gflops": round(fl / 1e9, 2), "mbytes": round(by / 1e6, 1)}
+        if compute > 0 and fl:
+            row["tflops_eff"] = round(fl / compute / 1e12, 1)
+        rows.append(row)
     acc = (parts["attn_int"][0] + parts["mlp_int"][0]
-           + parts["embed_head_int"][0]) / total
-    print(json.dumps({"rows": rows,
-                      "sublayer_sum_over_full": round(acc, 3),
+           + parts["embed_head_int"][0] - 2 * floor) / max(total - floor,
+                                                           1e-9)
+    print(json.dumps({"scan": SCAN, "rows": rows,
+                      "floor_ms_per_call": round(floor * 1e3, 3),
+                      "sublayer_sum_over_full_minus_floor": round(acc, 3),
                       "hidden": hidden,
                       "batch": BATCH, "seq": SEQ}, indent=1))
 
