@@ -92,7 +92,15 @@ def _install_onnx_shims():
         def FromString(data: bytes):
             return _Blob(data)
 
+    import importlib.machinery
+
     onnx_mod = types.ModuleType("onnx")
+    # a bare ModuleType has __spec__ = None, and importlib.util.find_spec
+    # RAISES ValueError for an imported module whose spec is None — which
+    # made every later reference-parity test in the same process fail once
+    # the producer tests had installed the shim (slow-tier order pollution,
+    # SLOWTIER.md round-5)
+    onnx_mod.__spec__ = importlib.machinery.ModuleSpec("onnx", loader=None)
     onnx_mod.__brevitas_tpu_shim__ = True
     onnx_mod.ModelProto = _Blob
     onnx_mod.load = lambda path: _Blob(open(path, "rb").read())
@@ -102,6 +110,8 @@ def _install_onnx_shims():
     sys.modules["onnx"] = onnx_mod
 
     opt_mod = types.ModuleType("onnxoptimizer")
+    opt_mod.__spec__ = importlib.machinery.ModuleSpec(
+        "onnxoptimizer", loader=None)
     opt_mod.__brevitas_tpu_shim__ = True
     opt_mod.optimize = lambda model, passes=None: model
     sys.modules["onnxoptimizer"] = opt_mod

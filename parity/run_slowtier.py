@@ -31,6 +31,8 @@ def main():
     proc = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
     out = proc.stdout + proc.stderr
     dt = datetime.datetime.now() - t0
+    with open("/tmp/slowtier_last.log", "w") as f:
+        f.write(out)  # full tracebacks for post-mortem (not committed)
 
     durations = []
     for line in out.splitlines():
