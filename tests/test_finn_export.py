@@ -276,7 +276,7 @@ def test_finn_per_channel_relu_thresholds(rng):
 # -- example-tier FINN exports (reference tests/brevitas_finn/brevitas_examples)
 
 
-def _finn_roundtrip(model, x, feed, want, atol_frac=1e-4):
+def _finn_example_roundtrip(model, x, feed, want, atol_frac=1e-4):
     blob = export_finn_onnx(model, x)
     (got,) = run_onnx(blob, {"input": feed})
     span = float(np.abs(want).max()) + 1e-9
@@ -300,7 +300,7 @@ def test_finn_quartznet_roundtrip(rng):
     eval_mode(m)
     y = np.asarray(m(x))
     assert np.abs(y).max() > 0
-    blob = _finn_roundtrip(m, x, np.asarray(x).transpose(0, 2, 1),
+    blob = _finn_example_roundtrip(m, x, np.asarray(x).transpose(0, 2, 1),
                            y.transpose(0, 2, 1))
     g = P.parse_model(blob)
     ops = [n.op_type for n in g.nodes]
@@ -327,7 +327,7 @@ def test_finn_quartznet_15x5_full_roundtrip(rng):
     m(x)
     eval_mode(m)
     y = np.asarray(m(x))
-    _finn_roundtrip(m, x, np.asarray(x).transpose(0, 2, 1),
+    _finn_example_roundtrip(m, x, np.asarray(x).transpose(0, 2, 1),
                     y.transpose(0, 2, 1))
 
 
@@ -349,7 +349,7 @@ def test_finn_mobilenet_roundtrip(rng):
     x = jnp.asarray(rng.random((1, 224, 224, 3), dtype=np.float32))
     y = np.asarray(m(x))
     assert np.abs(y).max() > 0 and y.std() > 0
-    blob = _finn_roundtrip(m, x, np.asarray(x).transpose(0, 3, 1, 2), y)
+    blob = _finn_example_roundtrip(m, x, np.asarray(x).transpose(0, 3, 1, 2), y)
     g = P.parse_model(blob)
     ops = [n.op_type for n in g.nodes]
     # the trunc avg-pool lands as the FINN QuantAvgPool2d accumulator node
