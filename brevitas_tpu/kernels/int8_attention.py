@@ -158,12 +158,15 @@ def int8_attention_dispatch(q_i8: Array, k_i8: Array, v_i8: Array,
     qk_scale = (jnp.asarray(q_scale, jnp.float32)
                 * jnp.asarray(k_scale, jnp.float32)) / math.sqrt(head_dim)
     if use_pallas is None:
-        # measured on v5e (PERF.md): the fused kernel wins at head_dim ≤ 64
-        # — 1.4x at few batch*head rows (XLA underutilizes there) and 1.18x
-        # at bh=128/T=512 (the llama prefill leg shape, bit-exact vs the
-        # XLA path; round-5 probe) — default to XLA outside that region
-        use_pallas = (jax.default_backend() == "tpu"
-                      and k_i8.shape[1] <= 16384 and d <= 64 and bh <= 128)
+        # measured on v5e (PERF.md round-5 sweep): the fused kernel wins at
+        # head_dim ≤ 64 in two regions — few batch*head rows (bh ≤ 16,
+        # 1.4x; XLA underutilizes) and FULL row-tile grids at short
+        # sequence (bh % 128 == 0 with T ≤ 512: 1.07-1.18x, maxdiff 0.0 —
+        # the llama prefill shape). Partial tiles (bh=96/112: 0.96) and
+        # longer T (1024: 0.94, 2048: 0.89) lose to XLA — stay there.
+        use_pallas = (jax.default_backend() == "tpu" and d <= 64
+                      and ((bh <= 16 and k_i8.shape[1] <= 16384)
+                           or (bh % 128 == 0 and k_i8.shape[1] <= 512)))
     fn = int8_attention if use_pallas else int8_attention_reference
     return fn(q_i8, k_i8, v_i8, qk_scale, jnp.asarray(p_scale, jnp.float32),
               jnp.asarray(v_scale, jnp.float32),

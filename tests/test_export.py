@@ -550,3 +550,39 @@ def test_export_avgpool_trunc_shifted_uint_exact(style, rng):
     scale = float(np.asarray(qt.scale))
     np.testing.assert_allclose(y_onnx, y_model.transpose(0, 3, 1, 2),
                                atol=scale * 1e-3)
+
+
+def test_export_avgpool_mirrors_runtime_trunc_decision(rng):
+    """The exporter truncates exactly when the MODEL truncated at runtime:
+    a pool fed a plain array (metadata unwrapped upstream, e.g. residual
+    glue returning .value) computes a plain mean and must export as a bare
+    AveragePool — no Floor chain, no Trunc op (round-5 regression: the
+    walk-based heuristic emitted a trunc the model never ran)."""
+    from brevitas_tpu.export import export_onnx_qcdq
+
+    class Net(nnx.Module):
+        def __init__(self):
+            act = presets.Int8ActPerTensorFloat.let(collect_stats_steps=1)
+            self.inp = qnn.QuantIdentity(act, return_quant_tensor=True)
+            self.pool = qnn.QuantAvgPool2d(3, return_quant_tensor=False)
+
+        def export_layers(self):
+            return [self.inp, self.pool]
+
+        def __call__(self, x):
+            q = self.inp(x)
+            return self.pool(q.value)  # metadata dropped -> plain mean
+
+    m = Net()
+    x = jnp.asarray(rng.standard_normal((1, 6, 6, 2)).astype(np.float32))
+    m(x)
+    eval_mode(m)
+    assert m.pool.last_call_truncated is False
+    y_model = np.asarray(m(x))
+    blob = export_onnx_qcdq(m, x)
+    g = parse_model(blob)
+    ops = [n.op_type for n in g.nodes]
+    assert "AveragePool" in ops and "Floor" not in ops
+    (y_onnx,) = run_onnx(blob, {"input": np.asarray(x).transpose(0, 3, 1, 2)})
+    np.testing.assert_allclose(y_onnx, y_model.transpose(0, 3, 1, 2),
+                               atol=1e-5)
