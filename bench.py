@@ -813,12 +813,16 @@ def main():
     # driver's tail capture can always parse it (round-4 verdict #1:
     # embedding `configs` pushed the line past the 2,000-char tail and the
     # round's headline number was lost).
+    # subset runs (BENCH_CONFIGS) must not clobber the committed full
+    # snapshot — they go to BENCH_partial.json instead
+    snap = ("BENCH_full.json" if "BENCH_CONFIGS" not in os.environ
+            else "BENCH_partial.json")
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_full.json"), "w") as f:
+                               snap), "w") as f:
             json.dump({"headline": head, "configs": records}, f, indent=1)
     except OSError as e:
-        print(f"could not write BENCH_full.json: {e}", file=sys.stderr)
+        print(f"could not write {snap}: {e}", file=sys.stderr)
     head["legs_completed"] = len(records)
     print(headline_line(head), flush=True)
     # an abandoned measurement thread may hold a relay RPC; don't let
